@@ -74,9 +74,11 @@ REQUEST_ELEMENT = T.StructType(
 
 #: Polled row from ``async_inv_in`` (external invoice-service results).
 #: Reference: model/response/AsyncInvInRecord.java:3-39 and the SELECT at
-#: source/AsyncInvInSource.java:66-79.
+#: source/AsyncInvInSource.java:66-79.  All payload fields nullable — we
+#: read whatever the table holds.
 ASYNC_INV_IN_RECORD = T.StructType(
-    [T.StructField("id", T.LongType(), False)] + INVOICE_MYSQL_RECORD.fields
+    [T.StructField("id", T.LongType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in INVOICE_MYSQL_RECORD.fields]
 )
 
 #: Polled row from ``async_inv_out`` (tax-authority results).
@@ -139,7 +141,8 @@ RESPONSE_ITEM = T.StructType(
         T.StructField("code", T.StringType(), True),
         T.StructField("res_code", T.StringType(), True),
         T.StructField("res_resource", T.StringType(), True),
-        T.StructField("data", T.StringType(), True),  # raw JSON round-trip
+        T.StructField("data", T.VariantType(), True),  # parsed JSON tree,
+        # embedded as a nested object when the packet is serialized
     ]
 )
 
@@ -225,5 +228,7 @@ RETRY_PAYLOAD_SUPERSET = T.StructType(
         T.StructField("callback_res_msg", T.StringType(), True),
         T.StructField("callback_res_json", T.StringType(), True),
         T.StructField("process_kafka", T.StringType(), True),
+        T.StructField("created_date", T.TimestampType(), True),
+        T.StructField("updated_date", T.TimestampType(), True),
     ]
 )

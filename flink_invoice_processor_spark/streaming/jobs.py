@@ -1,0 +1,156 @@
+"""The two reference jobs, composed from the pure operators.
+
+- ``run_invoice_request_job``  ≙ ``job/InvoiceRequest.java:26-161``:
+  Kafka packets (+ claimed retry rows) → parse/explode/validate/derive →
+  valid rows to the ``async_inv_in`` insert sink, failures to the
+  retry-queue sink.
+- ``run_invoice_response_job`` ≙ ``job/InvoiceResponse.java:29-166``:
+  poll ``async_inv_in``/``async_inv_out`` (+ claimed RESPONSE retry rows)
+  → envelope → dedup/validate/batch/assemble → packets to Kafka,
+  successes to the transactional log-and-delete sink, failures to the
+  retry-queue sink.  Kafka publish happens before the DB transaction for
+  each micro-batch, preserving the reference's ordering caveat
+  (``InvoiceResponseBatchProcessor.java:205-218`` — at-least-once with
+  downstream dedup, not atomic).
+
+Both jobs run as **micro-batch loops**: the streaming query's trigger (or
+the driver loop's poll interval) plays the role of the reference's
+processing-time timers; the batch envelope's count cap is enforced inside
+each micro-batch by ``assign_batch_seq``.  The strict per-key
+count-or-timeout batcher (``applyInPandasWithState``) lives in
+``streaming/batcher.py`` for users who need mid-interval flushes.
+
+Sinks are injected as callables so the same wiring runs against MySQL in
+production, SQLite in tests, and a collector in benchmarks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig, RETRY_JOB_REQUEST, RETRY_JOB_RESPONSE
+from ..operators.request import parse_request_packets, transform_retry_records
+from ..operators.response import (
+    process_response_batch,
+    transform_response_retry_records,
+)
+from ..sinks.dbapi import (
+    ConnFactory,
+    write_invoice_records,
+    write_log_and_delete,
+    write_retry_emissions,
+)
+from ..sources.dbapi import (
+    claim_retry_batch,
+    poll_async_inv_in,
+    poll_async_inv_out,
+)
+from .kafka import kafka_request_stream
+
+
+def request_micro_batch(
+    packets_df: DataFrame,
+    spark: SparkSession,
+    cfg: EngineConfig,
+    conn_factory: ConnFactory,
+    claim_retries: bool = True,
+) -> None:
+    """One micro-batch of the request job: new packets + claimed retry rows
+    → insert valid records, enqueue failures.  Usable directly as the body
+    of ``foreachBatch``."""
+    valid, retry = parse_request_packets(packets_df, cfg)
+    if claim_retries:
+        claimed = claim_retry_batch(spark, conn_factory, RETRY_JOB_REQUEST, cfg)
+        r_valid, r_retry = transform_retry_records(claimed, cfg)
+        valid = valid.unionByName(r_valid)
+        retry = retry.unionByName(r_retry)
+    write_invoice_records(valid, conn_factory, cfg)
+    write_retry_emissions(retry, conn_factory, cfg)
+
+
+def run_invoice_request_job(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    conn_factory: ConnFactory,
+    checkpoint_dir: str,
+    source: DataFrame | None = None,
+):
+    """Start the streaming request job.  ``source`` defaults to the Kafka
+    reader; tests inject a file/memory stream with a ``value`` column."""
+    stream = source if source is not None else kafka_request_stream(spark, cfg)
+
+    def on_batch(df: DataFrame, epoch_id: int) -> None:
+        request_micro_batch(df, spark, cfg, conn_factory)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{cfg.mysql_batch_interval_ms} milliseconds")
+        .start()
+    )
+
+
+def response_cycle(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    conn_factory: ConnFactory,
+    packet_sink: Callable[[DataFrame], None],
+    last_in_id: int = 0,
+    last_out_id: int = 0,
+    claim_retries: bool = True,
+) -> tuple[int, int]:
+    """One poll-process-sink cycle of the response job; returns the advanced
+    (inv_in, inv_out) high-water marks.  The driver loop calls this every
+    ``mysql.polling.interval.ms`` (500 ms in the reference); each cycle is
+    one "batch envelope" window.
+    """
+    from ..operators.response import make_response_envelope
+
+    inv_in, last_in_id = poll_async_inv_in(spark, conn_factory, cfg, last_in_id)
+    inv_out, last_out_id = poll_async_inv_out(spark, conn_factory, cfg, last_out_id)
+    envelope = make_response_envelope(inv_in, inv_out)
+
+    retry_emits = None
+    if claim_retries:
+        claimed = claim_retry_batch(spark, conn_factory, RETRY_JOB_RESPONSE, cfg)
+        recovered, retry_emits = transform_response_retry_records(claimed, cfg)
+        envelope = envelope.unionByName(recovered)
+
+    result = process_response_batch(envelope, cfg)
+
+    # Step 1: Kafka first, Step 2: DB transaction — the reference's ordering
+    # (InvoiceResponseBatchProcessor.java:205-218)
+    packet_sink(result.packets)
+    write_log_and_delete(result.db_ops, conn_factory, cfg)
+    retry = result.retry if retry_emits is None else result.retry.unionByName(retry_emits)
+    write_retry_emissions(retry, conn_factory, cfg)
+    return last_in_id, last_out_id
+
+
+def run_invoice_response_job(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    conn_factory: ConnFactory,
+    packet_sink: Callable[[DataFrame], None],
+    cycles: int | None = None,
+    sleep_s: float | None = None,
+) -> None:
+    """Driver loop for the response job: poll → process → sink, advancing
+    the id high-water marks (the reference keeps them in memory too,
+    ``AsyncInvInSource.java:19``; persist externally for restart safety).
+    ``cycles=None`` loops forever; tests pass a small count."""
+    import time
+
+    if sleep_s is None:
+        sleep_s = cfg.mysql_polling_interval_ms / 1000.0
+    last_in = last_out = 0
+    n = 0
+    while cycles is None or n < cycles:
+        last_in, last_out = response_cycle(
+            spark, cfg, conn_factory, packet_sink, last_in, last_out
+        )
+        n += 1
+        if cycles is None or n < cycles:
+            time.sleep(sleep_s)

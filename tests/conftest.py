@@ -6,6 +6,11 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
+# Python workers must be able to import the package and test helpers
+_paths = [p for p in ("/root/repo", os.path.dirname(__file__)) if p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    _paths + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 
 @pytest.fixture(scope="session")
