@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- **exact**: one hash-aggregate on ``md5(normalized_text)`` — the shuffle
+  key is a 128-bit digest, uniformly distributed, no skew.
+- **n-gram Jaccard**: shingle-explode → self-equi-join on shingle →
+  per-pair intersection counts.  The join key (shingle) is the classic
+  skew hazard, so ``max_shingle_doc_freq`` drops stop-shingles before the
+  join (a shingle appearing in half the corpus contributes O(n²) pairs and
+  no discriminative signal).  At 100 TB you ALWAYS set this.
+- **MinHash/LSH**: signatures are k column-wise min-aggregates over the
+  shingle explode (map-side partial aggregation — no row blowup), banding
+  turns O(n²) comparison into equi-join on band hash.
+- **SimHash**: 32-bit bitwise-majority over token hashes via a
+  32-way sequence explode + sum aggregate; near-dup candidates block on
+  8-bit bands (4 blocks) then filter on Hamming distance ≤ 3.
+
+Every hash is md5-derived (``conv(substr(md5(x),1,15),16,10)`` →
+non-negative int63) so DuckDB oracles reproduce results exactly.  For
+pure-Spark deployments ``xxhash64`` is the faster drop-in; the md5 default
+keeps the correctness gate honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens
+
+
+def _md5_int63(col: Column) -> Column:
+    """Portable deterministic 63-bit hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(text: Column) -> Column:
+    return F.concat_ws(" ", F.transform(tokens(text), F.lower))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized content hash.  Returns one row per distinct
+    content: canonical (min) doc_id and the duplicate count."""
+    return (
+        df.select(F.col("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("canonical_doc_id", "n_docs", F.col("h").alias("content_md5"))
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    # guard: sequence(1, 0) counts DOWN in Spark — short docs need an
+    # explicit empty array, not a descending range
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    ``J(a,b) = |S_a ∩ S_b| / (|S_a| + |S_b| - |S_a ∩ S_b|)`` computed from a
+    shingle self-join; returns (doc_id_a < doc_id_b, jaccard) above the
+    threshold.  ``max_shingle_doc_freq`` prunes stop-shingles pre-join
+    (mandatory at scale; see module docstring).
+    """
+    sh = shingles(df, n, text_col)
+    if max_shingle_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(F.broadcast(freq.where(F.col("_df") <= max_shingle_doc_freq)),
+                    "shingle", "inner")
+            .drop("_df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """k-permutation MinHash signatures from n-gram shingles.
+
+    Hash j of a shingle is ``md5_int63(j || ':' || shingle)``; signature
+    component j is the min over the document's shingles — computed as k
+    parallel min-aggregates over one shingle explode (map-side combine,
+    no k× row blowup).  Documents with no shingles are dropped.
+    """
+    sh = shingles(df, n, text_col)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            _md5_int63(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: split the k-component signature into ``bands``
+    bands of ``k/bands`` rows each; documents sharing any band hash are
+    candidates.  Equi-join on (band_id, band_hash) — O(n²) only within a
+    bucket, which is the whole point of LSH.
+
+    Returns distinct (doc_id_a < doc_id_b, n_shared_bands).  Feed the pairs
+    to ``jaccard_pairs``-style verification for the precision pass.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, k, n, text_col)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """SimHash signatures: per document, bit i of the signature is the
+    majority vote of bit i across the md5-derived hashes of its (lowercased)
+    tokens.  Bit votes are computed with one bits-way sequence explode and a
+    single sum-aggregate (no UDF, no per-row loops)."""
+    toks = df.select(
+        "doc_id", F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("tok")
+    )
+    hashed = toks.select("doc_id", _md5_int63(F.col("tok")).alias("h"))
+    votes = (
+        hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("h"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            # SQL form: the Python shiftright wrapper wants a literal shift
+            F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, bits: int = 32, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block on 8-bit bands (a pair within
+    Hamming distance d < bands must share ≥ one band — pigeonhole), then
+    filter on exact Hamming distance via ``bit_count(a XOR b)``."""
+    sig = simhash(df, bits, text_col)
+    n_bands = 4
+    width = bits // n_bands
+    band_rows = None
+    for bnd in range(n_bands):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(bnd).alias("band_id"),
+            F.shiftright(F.col("simhash"), bnd * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,35 @@
+"""Test-table loaders for /root/testdata/sf*/ (see TESTDATA.md).
+
+``load_table`` normalizes physical-type quirks so every downstream operator
+sees clean Spark types — notably ``events.ts`` is stored as
+``timestamp[ns]``, which Spark reads as nanosecond longs under
+``spark.sql.legacy.parquet.nanosAsLong`` (set in the session factory) and is
+converted here to a microsecond timestamp, matching what DuckDB reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

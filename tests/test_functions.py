@@ -1,0 +1,199 @@
+"""Tests for the LLM-pipeline operator extensions: text analysis, dedup
+family, similarity search, multimodal plumbing, windows — run against the
+real sf0.001 testdata plus crafted frames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.functions import dedup as D
+from flink_invoice_processor_spark.functions import similarity as S
+from flink_invoice_processor_spark.functions import text as X
+from flink_invoice_processor_spark.functions import windows as W
+from flink_invoice_processor_spark.functions.multimodal import (
+    attach_fake_media,
+    decode_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a bb  ccc"), (2, ""), (3, "  x  ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in X.token_count(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[2].n_tokens == 0
+    assert rows[3].n_tokens == 1
+    assert rows[1].n_subword_est >= rows[1].n_tokens
+
+
+def test_quality_score_bounds(docs):
+    rows = X.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(0.0 <= r.punct_ratio <= 1.0 for r in rows)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "el perro y la casa es de los niños por la tarde"),
+            (3, "zzz qqq vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pred_lang for r in X.language_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.fingerprint(df).collect()}
+    assert rows[1].content_md5 == rows[2].content_md5  # case/ws-insensitive
+    assert rows[1].content_md5 != rows[3].content_md5
+    assert isinstance(rows[1].head_fp64, int)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same   TEXT"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    rows = {r.canonical_doc_id: r.n_docs for r in D.exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r.shingle for r in D.shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+    # doc shorter than n produces nothing
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert D.shingles(short, n=3).count() == 0
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated words appear right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in D.jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    # 7 shingles each, 6 shared → 6/8
+    assert pairs[(1, 2)] == pytest.approx(0.75)
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs, spark):
+    # seed two near-duplicate docs on top of the real corpus
+    extra = spark.createDataFrame(
+        [
+            (100001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (100002, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    pairs = D.minhash_lsh_pairs(corpus, k=16, bands=4).collect()
+    assert any(
+        (r.doc_id_a, r.doc_id_b) == (100001, 100002) for r in pairs
+    ), f"expected seeded near-dup pair, got {pairs[:10]}"
+
+
+def test_simhash_stability_and_closeness(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),
+            (2, "one two three four five six seven nine"),
+            (3, "totally different content in every way possible"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    # deterministic across runs
+    sigs2 = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert sigs == sigs2
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.cosine_topk(df, df.where(F.col("vec_id") == 1), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].score == pytest.approx(
+        0.9 / math.sqrt(0.81 + 0.01), abs=1e-3
+    )
+
+
+def test_cosine_topk_on_real_embeddings(emb):
+    out = S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    assert all(-1.0001 <= r.score <= 1.0001 for r in rows)
+
+
+def test_lsh_topk_agrees_reasonably(emb):
+    exact = S.cosine_topk(emb, emb.where(F.col("vec_id") < 2), k=3)
+    approx = S.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 2), dims=64, k=3, n_planes=4)
+    # LSH returns a subset of plausible neighbors with valid scores
+    a = approx.collect()
+    assert all(r.rank <= 3 for r in a)
+    assert len(a) >= 1
+
+
+def test_multimodal_plumbing(docs):
+    media = attach_fake_media(docs.limit(30))
+    feats = decode_images(media).collect()
+    assert len(feats) == 30 // 3 or len(feats) > 0
+    for r in feats:
+        assert 64 <= r.width <= 2048 and 1 <= r.n_channels <= 3
+        assert len(r.features) == 8
+        assert len(r.sha256) == 64
+    frames = sample_frames(media).collect()
+    assert all(f.frame_idx % 10 == 0 for f in frames)
+    # real backend is explicitly gated
+    with pytest.raises(NotImplementedError):
+        decode_images(media, backend="real")
+
+
+def test_windows_tumbling_and_session(spark, sf_dir):
+    from flink_invoice_processor_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    t = W.tumbling_counts(events, "1 hour")
+    total = t.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    s = W.session_counts(events.limit(200), gap="10 minutes")
+    assert s.agg(F.sum("n_events")).collect()[0][0] == 200
