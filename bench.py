@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() over the result — rows are
+materialized but not shipped to the driver), timed wall-clock after a
+warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-surface dataflows
+    "request_parse_explode",
+    "request_validation_split",
+    "retry_backoff_schedule",
+    "response_status_derivation",
+    "response_batch_envelope",
+    "response_dedup",
+    # relational analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_parts_per_brand",
+    # event windows
+    "events_tumbling",
+    "events_sessionization",
+    # training-data pipeline
+    "exact_dedup_docs",
+    "ngram_jaccard_docs",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "doc_quality",
+    "embedding_cosine_topk",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from flink_invoice_processor_spark.session import get_spark
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    spark = get_spark("bench")
+    # warm up the JVM + parquet footers so per-query timings measure the
+    # queries, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,992 @@
+"""Query inventory for the driver's correctness gate.
+
+Every operator from SURVEY.md §2 (and every training-data-pipeline
+extension) is exercised by at least one named query over the driver's
+synthetic tables, paired with an ANSI-SQL oracle that DuckDB executes on
+the same parquet.  Rules that keep the hash-compare honest:
+
+- every computed column is aliased identically on both sides;
+- floating aggregations over many rows go through exact DECIMAL sums and
+  only then cast to double (double partial-agg order is nondeterministic);
+- per-row double arithmetic uses the identical expression shape in both
+  engines (IEEE ops are bit-stable), rounded to 4 decimals at the edge;
+- every hash is md5-derived (identical in both engines);
+- deterministic stand-ins replace ``uuid()``/``current_timestamp()``.
+
+Invoice-domain queries synthesize packets/envelopes deterministically from
+``orders``/``events`` (the synthesis is part of the *query*, shared with
+the oracle via plain arithmetic on keys) and then run the REAL operator
+pipeline (``parse_request_packets``, ``process_response_batch``, ...) over
+them — the oracle recomputes the expected output directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import EngineConfig
+from ..functions import dedup as DD
+from ..functions import similarity as SIM
+from ..functions import text as TX
+from ..functions import windows as WIN
+from ..functions.multimodal import attach_fake_media, decode_images
+from ..operators.request import parse_request_packets, transform_retry_records
+from ..operators.response import (
+    assign_batch_seq,
+    build_response_items,
+    dedup_records,
+    make_response_envelope,
+    process_response_batch,
+    topic_for_api_type,
+)
+from ..tables import load_table
+
+CFG = EngineConfig()
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared synthesis: deterministic request packets from `orders`
+# (element variants keyed on o_orderkey: %11 → stax-under-inv missing [E1],
+#  %13 → sid missing [E2], %17 → api_type missing [E3], else valid)
+# ---------------------------------------------------------------------------
+
+def _synth_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = (F.lit(10) + k % 5).cast("string")
+    elem = (
+        F.when(
+            k % 11 == 0,
+            F.concat(F.lit('{"api_type":'), a, F.lit(',"sid":"S-'), k,
+                     F.lit('","inv":{"note":1}}')),
+        )
+        .when(
+            k % 13 == 0,
+            F.concat(F.lit('{"api_type":'), a, F.lit(',"stax":"'),
+                     F.col("o_custkey"), F.lit('"}')),
+        )
+        .when(
+            k % 17 == 0,
+            F.concat(F.lit('{"sid":"S-'), k, F.lit('","stax":"'),
+                     F.col("o_custkey"), F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"api_type":'), a, F.lit(',"sid":"S-'), k,
+                     F.lit('","stax":"'), F.col("o_custkey"),
+                     F.lit('","syncid":"Y-'), k, F.lit('"}')),
+        )
+    )
+    w = Window.orderBy("o_orderkey")
+    rows = orders.select(
+        elem.alias("elem"), (F.row_number().over(w) - 1).alias("rn")
+    ).select(
+        "elem", (F.col("rn") / 10).cast("long").alias("pack_id"),
+        (F.col("rn") % 10).alias("pos"),
+    )
+    return rows.groupBy("pack_id").agg(
+        F.concat(
+            F.lit('{"inv_pack":['),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "elem"))),
+                    lambda x: x["elem"],
+                ),
+            ),
+            F.lit("]}"),
+        ).alias("value")
+    )
+
+
+_SYNTH_CLS_SQL = """
+    SELECT o_orderkey AS k, o_custkey AS c,
+           (row_number() OVER (ORDER BY o_orderkey) - 1) AS rn,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'E1'
+                WHEN o_orderkey % 13 = 0 THEN 'E2'
+                WHEN o_orderkey % 17 = 0 THEN 'E3'
+                ELSE 'V' END AS v
+    FROM orders
+"""
+
+
+@register(
+    "request_parse_explode",
+    f"""
+    WITH cls AS ({_SYNTH_CLS_SQL})
+    SELECT 'S-' || k AS sid, 'Y-' || k AS syncid,
+           CAST(c AS VARCHAR) AS tax_schema,
+           CAST(10 + k % 5 AS INT) AS api_type,
+           CAST((rn % 10) % 5 AS INT) AS group_id
+    FROM cls WHERE v = 'V'
+    """,
+)
+def request_parse_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T3: packet JSON → explode → validate/derive (valid rows).
+
+    Reference: process/request/InvoiceRequestTransformer.java:34-110."""
+    packets = _synth_packets(spark, sf_dir)
+    valid, _ = parse_request_packets(
+        packets, CFG, uuid_expr=F.lit("uuid-stub"),
+        now_expr=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    return valid.select(
+        "sid", "syncid", "tax_schema",
+        F.col("api_type").cast("int").alias("api_type"),
+        F.col("group_id").cast("int").alias("group_id"),
+    )
+
+
+@register(
+    "request_validation_split",
+    f"""
+    WITH cls AS ({_SYNTH_CLS_SQL})
+    SELECT CASE v WHEN 'E1' THEN 'stax is null'
+                  WHEN 'E2' THEN 'sid is null'
+                  ELSE 'api_type is null' END AS error_message,
+           'Exception' AS error_code,
+           COUNT(*) AS n
+    FROM cls WHERE v <> 'V' GROUP BY 1, 2
+    """,
+)
+def request_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 error routing: per-element failures become typed retry rows.
+
+    Reference: InvoiceRequestTransformer.java:62-96,157-168."""
+    packets = _synth_packets(spark, sf_dir)
+    _, retry = parse_request_packets(packets, CFG)
+    return retry.groupBy("error_message", "error_code").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "retry_backoff_schedule",
+    """
+    SELECT event_id AS queue_id,
+           CASE WHEN event_id % 6 > 3 THEN 'MAX_RETRY'
+                WHEN event_type = 'error' THEN 'UPDATE'
+                ELSE 'DELETE' END AS tag,
+           CAST(CASE WHEN event_id % 6 > 3 THEN event_id % 6
+                     WHEN event_type = 'error' THEN event_id % 6 + 1
+                     ELSE event_id % 6 END AS INT) AS retry_count,
+           CASE WHEN event_id % 6 <= 3 AND event_type = 'error'
+                THEN CAST(10 * power(2, event_id % 6 + 1) AS BIGINT)
+                ELSE NULL END AS next_retry_delay_s,
+           CASE WHEN event_id % 6 > 3 THEN 'PrevErr'
+                WHEN event_type = 'error' THEN 'JsonParseException'
+                ELSE 'PrevErr' END AS error_code
+    FROM events
+    """,
+)
+def retry_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: retry re-processing state machine — dead-letter cutoff,
+    exponential backoff on re-failure, delete-on-success.
+
+    Reference: InvoiceRequestTransformer.java:113-136."""
+    events = load_table(spark, sf_dir, "events")
+    queue = events.select(
+        F.col("event_id").alias("id"),
+        F.lit("S").alias("sid"), F.lit("Y").alias("syncid"),
+        F.lit("REQUEST").alias("job"),
+        F.when(F.col("event_type") == "error", F.lit("{broken"))
+        .otherwise(F.lit('{"api_type":10,"sid":"S","stax":"1","syncid":"Y"}'))
+        .alias("payload"),
+        F.lit("prev").alias("error_message"),
+        F.lit("PrevErr").alias("error_code"),
+        (F.col("event_id") % 6).cast("int").alias("retry_count"),
+        F.lit("PROCESSING").alias("state"),
+    )
+    _, retry = transform_retry_records(queue, CFG)
+    return retry.select(
+        F.col("queue_id"),
+        "tag",
+        F.col("retry_count").cast("int").alias("retry_count"),
+        "next_retry_delay_s",
+        "error_code",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Response side: envelope synthesized from orders (inv_in) / lineitem (inv_out)
+# ---------------------------------------------------------------------------
+
+def _synth_inv_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    null_s = F.lit(None).cast("string")
+    return orders.select(
+        k.alias("id"),
+        F.col("o_custkey").cast("string").alias("tax_schema"),
+        F.lit("{}").alias("inv"),
+        (F.lit(10) + k % 5).cast("byte").alias("api_type"),
+        F.lit(2).cast("byte").alias("res_type"),
+        F.lit("200").alias("fpt_einvoice_res_code"),
+        F.when(F.col("o_orderstatus") == "F", null_s)
+        .otherwise(F.concat(F.lit("ERR-"), F.col("o_orderpriority")))
+        .alias("fpt_einvoice_res_msg"),
+        F.lit('{"t":1}').alias("fpt_einvoice_res_json"),
+        F.lit(0).cast("byte").alias("retry"),
+        F.lit(4).cast("byte").alias("state"),
+        F.lit(0).cast("byte").alias("group_id"),
+        F.lit(None).cast("timestamp").alias("created_date"),
+        F.lit(None).cast("timestamp").alias("updated_date"),
+        null_s.alias("callback_res_code"),
+        null_s.alias("callback_res_msg"),
+        null_s.alias("callback_res_json"),
+        F.concat(F.lit("S-"), k).alias("sid"),
+        F.concat(F.lit("Y-"), k).alias("syncid"),
+        null_s.alias("process_kafka"),
+    )
+
+
+def _synth_inv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id")
+    return li.select(
+        lid,
+        F.col("l_partkey").cast("string").alias("tax_schema"),
+        F.lit('{"g":1}').alias("gdt_res"),
+        F.concat(F.lit("SO-"), F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sid"),
+        F.concat(F.lit("YO-"), F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("syncid"),
+        F.lit(0).cast("byte").alias("retry"),
+        F.lit(0).cast("byte").alias("state"),
+        F.lit(0).cast("byte").alias("group_id"),
+        F.lit(2).cast("byte").alias("res_type"),
+        (F.lit(10) + F.col("l_orderkey") % 5).cast("byte").alias("api_type"),
+        F.lit(None).cast("timestamp").alias("created_date"),
+        F.lit(None).cast("timestamp").alias("updated_date"),
+        F.lit(None).cast("string").alias("process_kafka"),
+    )
+
+
+@register(
+    "response_status_derivation",
+    """
+    SELECT 'S-' || o_orderkey AS sid,
+           CASE WHEN o_orderstatus = 'F' THEN 'success' ELSE 'error' END AS status,
+           CASE WHEN o_orderstatus = 'F' THEN 'Tạo mới thành công'
+                ELSE 'ERR-' || o_orderpriority END AS message,
+           '200' AS res_code, 'fpt' AS res_resource
+    FROM orders
+    """,
+)
+def response_status_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: item projection — status/message derived from null-ness of
+    fpt_einvoice_res_msg.  Reference: InvoiceResponseItemFactory.java:25-47."""
+    env = make_response_envelope(
+        _synth_inv_in(spark, sf_dir),
+        _synth_inv_out(spark, sf_dir).limit(0),
+    )
+    items = build_response_items(env)
+    return items.where(F.col("_error_code").isNull()).select(
+        F.col("item.sid").alias("sid"),
+        F.col("item.status").alias("status"),
+        F.col("item.message").alias("message"),
+        F.col("item.res_code").alias("res_code"),
+        F.col("item.res_resource").alias("res_resource"),
+    )
+
+
+@register(
+    "response_batch_envelope",
+    """
+    WITH ranked AS (
+        SELECT 10 + o_orderkey % 5 AS api_type, 'S-' || o_orderkey AS sid,
+               row_number() OVER (PARTITION BY 10 + o_orderkey % 5
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT CAST(api_type AS INT) AS api_type,
+           CAST((rn - 1) // 100 AS BIGINT) AS batch_seq,
+           COUNT(*) AS item_count,
+           string_agg(sid, ',' ORDER BY sid) AS sids
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def response_batch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 (count cap): deterministic ≤100-item batch envelopes per api_type.
+
+    Reference: InvoiceResponseBatchProcessor.java:130 (batchSize)."""
+    env = make_response_envelope(
+        _synth_inv_in(spark, sf_dir), _synth_inv_out(spark, sf_dir).limit(0)
+    )
+    batched = assign_batch_seq(env, CFG)
+    return batched.groupBy(
+        F.col("api_type").cast("int").alias("api_type"), F.col("batch_seq")
+    ).agg(
+        F.count("*").alias("item_count"),
+        F.concat_ws(",", F.array_sort(F.collect_list("sid"))).alias("sids"),
+    )
+
+
+@register(
+    "response_topic_routing",
+    """
+    SELECT CASE 10 + event_id % 5
+             WHEN 10 THEN 'mtt.crt.response' WHEN 11 THEN 'mtt.upd.response'
+             WHEN 12 THEN 'mtt.del.response' WHEN 13 THEN 'mtt.rep.response'
+             WHEN 14 THEN 'mtt.adj.response' END AS topic,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def response_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: api_type → Kafka response topic fan-out.
+
+    Reference: InvoiceResponseKafkaRouter.java:52-70."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        ((F.lit(10) + F.col("event_id") % 5)).cast("byte").alias("api_type")
+    )
+    return df.select(topic_for_api_type(CFG).alias("topic")).groupBy("topic").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "response_dedup",
+    """
+    SELECT CAST(10 + o_orderkey % 5 AS INT) AS api_type, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: composite-key dedup — redelivered rows collapse.
+
+    Reference: InvoiceResponseBatchProcessor.java:110-121 +
+    InvoiceResponseRecordKeyGenerator.java:9-18."""
+    inv_in = _synth_inv_in(spark, sf_dir)
+    env = make_response_envelope(inv_in, _synth_inv_out(spark, sf_dir).limit(0))
+    doubled = env.unionByName(env)  # simulate redelivery
+    return dedup_records(doubled).groupBy(
+        F.col("api_type").cast("int").alias("api_type")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "heterogeneous_union",
+    """
+    SELECT record_type, COUNT(*) AS n,
+           SUM(CASE WHEN fpt_code IS NULL THEN 1 ELSE 0 END) AS n_null_fpt,
+           SUM(CASE WHEN gdt IS NULL THEN 1 ELSE 0 END) AS n_null_gdt
+    FROM (
+        SELECT 'inv_in' AS record_type, '200' AS fpt_code, NULL AS gdt FROM orders
+        UNION ALL
+        SELECT 'inv_out', NULL, '{"g":1}' FROM lineitem
+    ) GROUP BY 1
+    """,
+)
+def heterogeneous_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3: heterogeneous streams unify under the envelope schema with a
+    record_type discriminator (replacing Object-union + instanceof).
+
+    Reference: job/InvoiceResponse.java:87-92."""
+    env = make_response_envelope(
+        _synth_inv_in(spark, sf_dir), _synth_inv_out(spark, sf_dir)
+    )
+    return env.groupBy("record_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("fpt_einvoice_res_code").isNull(), 1).otherwise(0)
+        ).alias("n_null_fpt"),
+        F.sum(F.when(F.col("gdt_res").isNull(), 1).otherwise(0)).alias("n_null_gdt"),
+    )
+
+
+@register(
+    "json_extract_keying",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS key_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: JSON key extraction for stream keying (api_type from payload,
+    default 0 on failure).  Reference: job/InvoiceResponse.java:98-118."""
+    events = load_table(spark, sf_dir, "events")
+    key = F.coalesce(
+        F.get_json_object(F.col("props"), "$.k").cast("int"), F.lit(0)
+    )
+    return events.select((key % 5).alias("key_mod")).groupBy("key_mod").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (headline bench queries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).cast("double").alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast(dec)
+            ).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-10.
+    The customer dimension broadcasts; lineitem never shuffles twice."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with dimension broadcast chain."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        t["lineitem"]
+        .join(t["orders"].where(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"],
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    """
+    WITH rev AS (
+        SELECT p_brand, p_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY revenue DESC, p_partkey) AS rnk
+        FROM rev
+    ) WHERE rnk <= 3
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-K per group (rank on exact decimal revenue)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream windowed aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (Spark-native extension; the reference
+    has processing-time timers only)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sliding",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - k * INTERVAL '30 minutes' AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h duration, 30 min slide)."""
+    events = load_table(spark, sf_dir, "events")
+    return WIN.sliding_counts(events, "1 hour", "30 minutes").select(
+        "window_start", "event_type", "n_events"
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '5 minutes'
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT min(ts) AS session_start, max(ts) + INTERVAL '5 minutes' AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (5-minute gap), Spark ``session_window``."""
+    events = load_table(spark, sf_dir, "events")
+    return WIN.session_counts(events, gap="5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+@register(
+    "token_count_docs",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           greatest(
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END,
+               CAST(ceil(length(text) / 4.0) AS INT)
+           ) AS n_subword_est
+    FROM documents
+    """,
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.token_count(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_subword_est").cast("int").alias("n_subword_est"),
+    )
+
+
+_EN_STOP_SQL = "['the','a','of','and','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are','or']"
+
+@register(
+    "doc_quality",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS_SQL}) END AS n_toks,
+               len(list_filter(list_transform({_TOKENS_SQL}, t -> lower(t)),
+                               t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop,
+               length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_alnum_sp
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_toks,
+               n_chars / greatest(n_toks, 1) AS awl,
+               (n_chars - n_alnum_sp) * 1.0 / greatest(n_chars, 1) AS pr,
+               n_stop * 1.0 / greatest(n_toks, 1) AS sr
+        FROM m
+    )
+    SELECT doc_id, CAST(n_toks AS INT) AS n_tokens,
+           round(CAST(awl AS DOUBLE), 4) AS avg_word_len,
+           round(CAST(pr AS DOUBLE), 4) AS punct_ratio,
+           round(CAST(sr AS DOUBLE), 4) AS stopword_ratio,
+           round(CAST(greatest(0.0, 1.0 - abs(awl - 6.0) / 6.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+                 + greatest(0.0, 1.0 - abs(sr - 0.4) / 0.4) * 0.4 AS DOUBLE), 4) AS quality
+    FROM r
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/punctuation/stopword components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.quality_score(docs)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        "avg_word_len", "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+def _lang_hits_sql() -> str:
+    parts = []
+    for lang, words in sorted(TX.STOPWORDS.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter(list_transform({_TOKENS_SQL}, t -> lower(t)), "
+            f"t -> list_contains({arr}, t))) AS hits_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "language_id_docs",
+    f"""
+    WITH h AS (SELECT doc_id, {_lang_hits_sql()} FROM documents),
+    b AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best FROM h)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN hits_de = best THEN 'de'
+                WHEN hits_en = best THEN 'en'
+                WHEN hits_es = best THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(hits_de AS INT) AS hits_de, CAST(hits_en AS INT) AS hits_en,
+           CAST(hits_es AS INT) AS hits_es, CAST(hits_fr AS INT) AS hits_fr
+    FROM b
+    """,
+)
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language identification."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.language_id(docs)
+    return out.select(
+        "doc_id", "pred_lang",
+        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}")
+          for lang in sorted(TX.STOPWORDS)],
+    )
+
+
+_NORM_SQL = f"array_to_string(list_transform({_TOKENS_SQL}, t -> lower(t)), ' ')"
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS content_md5,
+           ('0x' || substr(md5(array_to_string(
+               list_transform({_TOKENS_SQL}, t -> lower(t))[1:8], ' ')), 1, 15)
+           )::BIGINT AS head_fp64
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint + 64-bit head fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family over `documents`
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    f"""
+    SELECT min(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs,
+           md5({_NORM_SQL}) AS content_md5
+    FROM documents GROUP BY 3
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}) - 1, 1)),
+               i -> array_to_string(list_transform({_TOKENS_SQL}, t -> lower(t))[i:i+2], ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len({_TOKENS_SQL}) >= 3
+"""
+
+@register(
+    "ngram_jaccard_docs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
+               JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def _mh_sql(j: int) -> str:
+    return f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT)"
+
+@register(
+    "minhash_signatures_docs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signatures (md5-derived hash family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, k=8)
+
+
+@register(
+    "minhash_lsh_docs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(16))}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {" UNION ALL ".join(
+            f'''SELECT doc_id, {b} AS band_id,
+                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
+                FROM sig'''
+            for b in range(4)
+        )}
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           COUNT(*) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=16, 4 bands of 4 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, k=16, bands=4)
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS v
+        FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (bitwise token-hash majority)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     4) AS score
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) cosine top-5 — the 100 TB scale path.
+    No SQL oracle (bucketing recall is approximate by design); the driver
+    records a rows-only check and pytest cross-validates against the exact
+    path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), dims=64, k=5, n_planes=4
+    )
+
+
+QUERIES["ann_lsh_topk"] = ann_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over `documents` (binary media columns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           64 + ('0x' || substr(md5(text), 1, 2))::INT % 1984 AS width,
+           64 + ('0x' || substr(md5(text), 3, 2))::INT % 1984 AS height,
+           1 + ('0x' || substr(md5(text), 5, 2))::INT % 3 AS n_channels,
+           sha256(text) AS sha256
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: attach binary payloads, decode via the
+    Arrow-batched mapInPandas path (deterministic fake backend — codecs are
+    stubbed, the plumbing is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return decode_images(media).select(
+        "media_id", "width", "height", "n_channels", "sha256"
+    )
