@@ -72,25 +72,22 @@ def decode_images(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                data = row["media"]
-                w, h, c = _fake_dims(data)
-                d = hashlib.md5((data or b"") + b"features").digest()
-                feats = [
-                    (d[i % len(d)] - 128) / 128.0 for i in range(n_features)
-                ]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": w,
-                        "height": h,
-                        "n_channels": c,
-                        "sha256": _digest(data),
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(out)
+            media = pdf["media"].tolist()  # columnar access — iterrows is
+            dims = [_fake_dims(b) for b in media]  # ~10× slower per batch
+            fdig = [hashlib.md5((b or b"") + b"features").digest() for b in media]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                    "sha256": [_digest(b) for b in media],
+                    "features": [
+                        [(d[i % len(d)] - 128) / 128.0 for i in range(n_features)]
+                        for d in fdig
+                    ],
+                }
+            )
 
     return (
         df.where(F.col("media_type") == "image")

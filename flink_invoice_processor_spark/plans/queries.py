@@ -89,12 +89,13 @@ def _synth_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit('","syncid":"Y-'), k, F.lit('"}')),
         )
     )
-    w = Window.orderBy("o_orderkey")
+    # o_orderkey is dense 0..N-1 in the synthetic data, so it IS the row
+    # number — packet grouping needs no global window (which would funnel
+    # every row through one partition; the original row_number() version
+    # was the slowest stage of the whole bench suite)
     rows = orders.select(
-        elem.alias("elem"), (F.row_number().over(w) - 1).alias("rn")
-    ).select(
-        "elem", (F.col("rn") / 10).cast("long").alias("pack_id"),
-        (F.col("rn") % 10).alias("pos"),
+        elem.alias("elem"), (k / 10).cast("long").alias("pack_id"),
+        (k % 10).alias("pos"),
     )
     return rows.groupBy("pack_id").agg(
         F.concat(
@@ -113,7 +114,7 @@ def _synth_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SYNTH_CLS_SQL = """
     SELECT o_orderkey AS k, o_custkey AS c,
-           (row_number() OVER (ORDER BY o_orderkey) - 1) AS rn,
+           o_orderkey AS rn,
            CASE WHEN o_orderkey % 11 = 0 THEN 'E1'
                 WHEN o_orderkey % 13 = 0 THEN 'E2'
                 WHEN o_orderkey % 17 = 0 THEN 'E3'
@@ -849,7 +850,11 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_sql(j: int) -> str:
-    return f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT)"
+    a, b = DD.minhash_coeff(j)
+    return (
+        f"min(({a} * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483648)"
+        f" + {b}) % 2147483647)"
+    )
 
 @register(
     "minhash_signatures_docs",
