@@ -280,17 +280,30 @@ def simhash_pairs(
     sig = simhash(df, bits, text_col)
     n_bands = 4
     width = bits // n_bands
-    band_rows = None
-    for bnd in range(n_bands):
-        part = sig.select(
+    # one pass: explode (band_id, band_val) structs instead of a bands-way
+    # union (which recomputes the signature aggregation per branch per join
+    # side); persist because both self-join sides read it
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band_id"),
+                F.shiftright(F.col("simhash"), bnd * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for bnd in range(n_bands)
+        ]
+    )
+    band_rows = (
+        sig.select("doc_id", "simhash", F.explode(bands).alias("bb"))
+        .select(
             "doc_id",
             "simhash",
-            F.lit(bnd).alias("band_id"),
-            F.shiftright(F.col("simhash"), bnd * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("band_val"),
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.band_val").alias("band_val"),
         )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+        .persist()
+    )
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")

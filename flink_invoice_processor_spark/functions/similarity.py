@@ -105,6 +105,73 @@ def lsh_signature(vec: Column, dims: int, n_planes: int = 8) -> Column:
     return sig
 
 
+def neardup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline.
+
+    Output: (vec_id_a, vec_id_b, score) with a < b and 4-decimal-rounded
+    cosine ≥ threshold.  O(n²·d) — the correctness oracle for
+    :func:`neardup_pairs_lsh`; at 100 TB use the LSH-blocked variant (the
+    all-pairs product on 10⁹ vectors is not a job anyone runs).
+    """
+    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    dims: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked scale path.
+
+    Candidate pairs must share the full ``n_planes``-bit random-hyperplane
+    signature; exact cosine then filters on the threshold, so every returned
+    pair is a true ≥-threshold pair (precision 1, recall < 1 — the standard
+    ANN trade).  The self-join keys on the signature: a shuffle-hash join on
+    ~2^n_planes buckets instead of an all-pairs product.  Signatures are
+    md5-derived and deterministic, so the result is exactly reproducible by
+    a SQL oracle with the same literal hyperplanes.
+    """
+    sig = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

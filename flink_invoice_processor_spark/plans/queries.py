@@ -971,6 +971,122 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_lsh_topk"] = ann_lsh_topk
 
 
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs_exact(emb, threshold=0.4)
+
+
+def _hyperplane_val(plane: int, dim: int) -> float:
+    """Python twin of similarity._plane_component — identical md5-derived
+    value, used to inline literal hyperplanes into the DuckDB oracle."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{plane}_dim{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _lsh_sig_sql(vec: str, n_planes: int, dims: int) -> str:
+    # explicit left-to-right sums: same fp addition order as the Spark side,
+    # so the sign of near-zero dots can't diverge the signatures
+    planes = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * ({_hyperplane_val(p, d)!r})"
+            for d in range(dims)
+        )
+        planes.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(planes)
+
+
+@register(
+    "embedding_neardup_lsh",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, embedding AS v,
+               {_lsh_sig_sql("embedding", 4, 64)} AS s
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
+                 / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                    * sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))),
+                 4) AS score
+    FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
+                / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                   * sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))),
+                4) >= 0.3
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-duplicate pairs — the 100 TB scale path (signature
+    bucket join instead of the all-pairs product), deterministic and
+    oracle-reproducible because the hyperplanes are md5-derived."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs_lsh(emb, dims=64, threshold=0.3, n_planes=4)
+
+
+@register(
+    "simhash_pairs_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS v
+        FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+        GROUP BY doc_id, bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, band_id,
+               (simhash >> (band_id * 8)) & 255 AS band_val
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 16
+    """,
+)
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 8-bit band blocking + exact Hamming
+    filter (threshold 16 of 32 bits — the synthetic docs have no true
+    near-dups, so a permissive cut keeps the banding + Hamming path
+    exercised end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, bits=32, max_hamming=16)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing over `documents` (binary media columns)
 # ---------------------------------------------------------------------------

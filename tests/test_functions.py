@@ -173,6 +173,54 @@ def test_lsh_topk_agrees_reasonably(emb):
     assert len(a) >= 1
 
 
+def test_neardup_pairs_exact_and_lsh(emb, spark):
+    # seed two true near-duplicates on top of the real corpus
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    twin = list(base)
+    twin[0] += 0.01
+    extra = spark.createDataFrame(
+        [(900001, base), (900002, twin)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(extra)
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.score
+        for r in S.neardup_pairs_exact(corpus, threshold=0.9).collect()
+    }
+    assert (900001, 900002) in exact
+    assert exact[(900001, 900002)] >= 0.999
+    # identical vectors share every LSH bucket → blocked variant finds them
+    lsh = {
+        (r.vec_id_a, r.vec_id_b): r.score
+        for r in S.neardup_pairs_lsh(corpus, dims=64, threshold=0.9).collect()
+    }
+    assert (900001, 900002) in lsh
+    # precision 1: every LSH pair is a true ≥-threshold pair
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
+
+
+def test_simhash_pairs_blocking(spark):
+    # long docs + one substituted token → small Hamming distance, so the
+    # 8-bit-band pigeonhole must surface the pair
+    words = [f"w{i}" for i in range(30)]
+    doc1 = " ".join(words)
+    doc2 = " ".join(words[:-1] + ["changed"])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2),
+         (3, "totally different content in every way possible indeed")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    assert ham12 <= 3, f"seeded near-dup drifted: hamming={ham12}"
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in D.simhash_pairs(df, bits=32, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == ham12
+    assert not any(3 in p for p in pairs)
+
+
 def test_multimodal_plumbing(docs):
     media = attach_fake_media(docs.limit(30))
     feats = decode_images(media).collect()
