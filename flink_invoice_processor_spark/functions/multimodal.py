@@ -117,8 +117,11 @@ def sample_frames(
                         {
                             "media_id": row["media_id"],
                             "frame_idx": i * every_n,
+                            # ascii index suffix: valid for arbitrary binary
+                            # payloads AND reproducible by a SQL oracle as
+                            # sha256(payload || CAST(i AS VARCHAR))
                             "frame_sha256": _digest(
-                                data + i.to_bytes(4, "big")
+                                data + str(i).encode("ascii")
                             ),
                         }
                     )

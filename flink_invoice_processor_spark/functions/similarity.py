@@ -105,6 +105,73 @@ def lsh_signature(vec: Column, dims: int, n_planes: int = 8) -> Column:
     return sig
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus to the nearest
+    of ``n_cells`` centroids, probe only the query's ``nprobe`` closest
+    cells, exact-rank inside them.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors (train-free,
+    deterministic — the integration point for real k-means centroids is the
+    ``cent`` DataFrame).  Assignment is a broadcast cross-join against the
+    tiny centroid set (no shuffle of the corpus); the probe→cell join is the
+    only shuffle, keyed on cell id.  At 100 TB this is the classic ANN
+    layout: ~n/n_cells of the corpus scanned per query instead of all of it.
+    All ranking uses (4-decimal-rounded score DESC, id ASC), so the result
+    is exactly reproducible by the SQL oracle.
+    """
+    cent = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
+    )
+
+    def assign(df: DataFrame, out_id: str, keep_vec: str, rank_cap: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec)
+        ).crossJoin(F.broadcast(cent)).select(
+            out_id,
+            keep_vec,
+            "cent_id",
+            F.round(cosine(F.col(keep_vec), F.col("_cent")), 4).alias("_cscore"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_cscore").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= rank_cap)
+            .select(out_id, keep_vec, "cent_id")
+        )
+
+    cells = assign(corpus, "neighbor_id", "_cv", 1)
+    probes = assign(queries, "query_id", "_qv", nprobe)
+    cand = (
+        probes.join(cells, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def neardup_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -29,7 +29,7 @@ from ..functions import dedup as DD
 from ..functions import similarity as SIM
 from ..functions import text as TX
 from ..functions import windows as WIN
-from ..functions.multimodal import attach_fake_media, decode_images
+from ..functions.multimodal import attach_fake_media, decode_images, sample_frames
 from ..operators.request import parse_request_packets, transform_retry_records
 from ..operators.response import (
     assign_batch_seq,
@@ -969,6 +969,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_lsh_topk"] = ann_lsh_topk
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="cent.cv")} DESC, cent.cent_id
+               ) AS crank
+        FROM e, cent
+    ),
+    cells AS (SELECT vec_id AS neighbor_id, v AS cv2 FROM assign WHERE crank = 1),
+    cell_of AS (SELECT vec_id AS neighbor_id, cent_id FROM assign WHERE crank = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id
+        FROM assign WHERE vec_id < 10 AND crank <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, c.neighbor_id,
+               {_COS_SQL.format(a="p.qv", b="v.cv2")} AS score
+        FROM probes p
+        JOIN cell_of c ON p.cent_id = c.cent_id
+        JOIN cells v ON v.neighbor_id = c.neighbor_id
+        WHERE p.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 (16 cells, 2 probes) for the first 10 vectors —
+    deterministic train-free centroids make it oracle-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), n_cells=16, nprobe=2, k=5
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+        SELECT doc_id AS media_id, text AS data
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    idx AS (SELECT unnest(range(0, 4)) AS i)
+    SELECT media_id, CAST(i * 10 AS INT) AS frame_idx,
+           sha256(data || CAST(i AS VARCHAR)) AS frame_sha256
+    FROM v, idx
+    WHERE i < least(4, 1 + octet_length(encode(data)) // 10)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: generator mapInPandas (rows out > rows
+    in) over the binary media column, deterministic fake frame digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return sample_frames(media, every_n=10, max_frames=4)
 
 
 @register(

@@ -173,6 +173,23 @@ def test_lsh_topk_agrees_reasonably(emb):
     assert len(a) >= 1
 
 
+def test_ivf_topk_valid_and_consistent(emb):
+    approx = S.ivf_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 3), n_cells=8, nprobe=2, k=3
+    ).collect()
+    assert {r.query_id for r in approx} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in approx)
+    # every IVF hit carries the true cosine score (search is exact in-cell)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.cosine_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=emb.count()
+        ).collect()
+    }
+    for r in approx:
+        assert exact[(r.query_id, r.neighbor_id)] == r.score
+
+
 def test_neardup_pairs_exact_and_lsh(emb, spark):
     # seed two true near-duplicates on top of the real corpus
     base = [float((i * 37) % 19 - 9) for i in range(64)]
