@@ -38,9 +38,13 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "minhash_lsh_docs",
     "simhash_docs",
+    "simhash_pairs_docs",
     "doc_quality",
     "embedding_cosine_topk",
+    "embedding_neardup_lsh",
+    "ann_ivf_topk",
     "multimodal_decode",
+    "multimodal_frame_sample",
 ]
 
 

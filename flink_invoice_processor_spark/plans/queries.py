@@ -1064,12 +1064,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_val(plane: int, dim: int) -> float:
-    """Python twin of similarity._plane_component — identical md5-derived
-    value, used to inline literal hyperplanes into the DuckDB oracle."""
-    import hashlib
-
-    h = int(hashlib.md5(f"plane{plane}_dim{dim}".encode()).hexdigest()[:15], 16)
-    return (h % 2001 - 1000) / 1000.0
+    """The exact hyperplane literals the Spark side inlines, for the oracle."""
+    return SIM.plane_value(plane, dim)
 
 
 def _lsh_sig_sql(vec: str, n_planes: int, dims: int) -> str:
