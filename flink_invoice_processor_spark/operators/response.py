@@ -120,7 +120,8 @@ def make_response_envelope(inv_in: DataFrame, inv_out: DataFrame) -> DataFrame:
 def dedup_records(df: DataFrame) -> DataFrame:
     """Reference K3: skip records whose composite key was already seen
     (``InvoiceResponseBatchProcessor.java:110-121``).  Batch form: exact
-    dropDuplicates; the streaming wrapper uses dropDuplicatesWithinWatermark
+    dropDuplicates; streaming pipelines use streaming.dedup.streaming_dedup
+    (watermark-bounded dropDuplicatesWithinWatermark)
     so state stays bounded (the reference's Set grows forever — a leak we
     deliberately do not copy)."""
     return df.dropDuplicates(["record_type", "id", "sid", "syncid"])
