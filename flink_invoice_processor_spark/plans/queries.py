@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..config import EngineConfig
+from ..functions import asof as ASOF
 from ..functions import dedup as DD
 from ..functions import similarity as SIM
 from ..functions import text as TX
@@ -671,6 +672,102 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (5-minute gap), Spark ``session_window``."""
     events = load_table(spark, sf_dir, "events")
     return WIN.session_counts(events, gap="5 minutes")
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS last_click_ts, event_id AS last_click_id
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.last_click_ts, c.last_click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.last_click_ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's latest click
+    at-or-before it (union-window strategy — one shuffle on the key, no
+    range-blowup; see functions/asof.py)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("last_click_ts"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    return ASOF.asof_join(
+        purchases, clicks, by="user_id", left_on="ts",
+        right_on="last_click_ts", value_cols=["last_click_ts", "last_click_id"],
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders since 2000 (left_anti — Spark
+    plans a broadcast/shuffled anti hash join, no subquery re-scan; the
+    date filter pushes to the orders scan)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).alias("acctbal"),
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP grouping sets (nation → segment →
+    grand total); exact DECIMAL sums so the double output is
+    order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "revenue",
+            "n_orders",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -253,6 +253,34 @@ def test_multimodal_plumbing(docs):
         decode_images(media, backend="real")
 
 
+def test_asof_join_semantics(spark):
+    from flink_invoice_processor_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 6, "r6")],
+        "k long, rt long, rv string",
+    )
+    out = {
+        (r.k, r.t): (r.rt, r.rv)
+        for r in asof_join(
+            left, right, by="k", left_on="t", right_on="rt",
+            value_cols=["rt", "rv"],
+        ).collect()
+    }
+    assert out[(1, 10)] == (10, "r10")   # inclusive: rt == t matches
+    assert out[(1, 20)] == (15, "r15")   # latest at-or-before
+    assert out[(2, 5)] == (None, None)   # right row is later → no match
+    assert out[(3, 7)] == (None, None)   # key absent on the right
+    # collision guard
+    with pytest.raises(ValueError):
+        asof_join(left, right.withColumnRenamed("rv", "tag"),
+                  by="k", left_on="t", right_on="rt", value_cols=["tag"])
+
+
 def test_windows_tumbling_and_session(spark, sf_dir):
     from flink_invoice_processor_spark.tables import load_table
 
