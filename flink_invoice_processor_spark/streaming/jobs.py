@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig, RETRY_JOB_REQUEST, RETRY_JOB_RESPONSE
 from ..operators.request import parse_request_packets, transform_retry_records
@@ -127,6 +127,74 @@ def response_cycle(
     retry = result.retry if retry_emits is None else result.retry.unionByName(retry_emits)
     write_retry_emissions(retry, conn_factory, cfg)
     return last_in_id, last_out_id
+
+
+def run_invoice_response_stream_job(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    db_path: str,
+    conn_factory: ConnFactory,
+    packet_sink: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    trigger_ms: int | None = None,
+    dedup_delay: str = "10 minutes",
+):
+    """The response job as ONE Structured Streaming query: both queue
+    tables via the ``table_queue`` streaming source (offsets in the
+    checkpoint), watermark-bounded cross-batch dedup, then per micro-batch
+    the envelope pipeline + Kafka-then-DB sink ordering inside
+    ``foreachBatch``.
+
+    This is the fully-streaming alternative to the ``response_cycle``
+    driver loop: same operators, but high-water marks and dedup state are
+    durable in the checkpoint, and the trigger interval plays the
+    reference's batch-timeout role (``InvoiceResponseBatchProcessor
+    .java:56``).  Returns the started ``StreamingQuery``.
+    """
+    from ..operators.response import (
+        RECORD_TYPE_INV_IN,
+        RECORD_TYPE_INV_OUT,
+        make_response_envelope,
+    )
+    from ..sources.stream import TableQueueDataSource
+    from .dedup import streaming_dedup
+
+    spark.dataSource.register(TableQueueDataSource)
+
+    def queue_stream(table: str) -> DataFrame:
+        return (
+            spark.readStream.format("table_queue")
+            .option("db_path", db_path)
+            .option("table", table)
+            .option("fetch_size", str(cfg.mysql_fetch_size))
+            .load()
+        )
+
+    envelope = make_response_envelope(
+        queue_stream("async_inv_in"), queue_stream("async_inv_out")
+    )
+    # watermark needs a non-null event time; polled rows always carry
+    # created_date in practice — guard anyway so none are silently dropped
+    envelope = envelope.withColumn(
+        "created_date",
+        F.coalesce(F.col("created_date"), F.current_timestamp()),
+    )
+    deduped = streaming_dedup(envelope, "created_date", dedup_delay)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        result = process_response_batch(batch_df, cfg)
+        # Step 1 Kafka, Step 2 DB transaction — the reference's ordering
+        packet_sink(result.packets)
+        write_log_and_delete(result.db_ops, conn_factory, cfg)
+        write_retry_emissions(result.retry, conn_factory, cfg)
+
+    trigger_ms = trigger_ms or cfg.response_batch_timeout_ms
+    return (
+        deduped.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
 
 
 def run_invoice_response_job(
