@@ -30,9 +30,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_parts_per_brand",
-    # event windows
+    "customers_without_orders",
+    "revenue_rollup",
+    # event windows + temporal joins
     "events_tumbling",
+    "events_sliding",
     "events_sessionization",
+    "events_asof_join",
     # training-data pipeline
     "exact_dedup_docs",
     "ngram_jaccard_docs",

@@ -108,24 +108,21 @@ def sample_frames(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                data = row["media"] or b""
+            ids, idxs, digests = [], [], []
+            # columnar batch walk (iterrows is ~10× slower per batch)
+            for mid, data in zip(pdf["media_id"].tolist(), pdf["media"].tolist()):
+                data = data or b""
                 n = min(max_frames, 1 + len(data) // max(every_n, 1))
                 for i in range(n):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": i * every_n,
-                            # ascii index suffix: valid for arbitrary binary
-                            # payloads AND reproducible by a SQL oracle as
-                            # sha256(payload || CAST(i AS VARCHAR))
-                            "frame_sha256": _digest(
-                                data + str(i).encode("ascii")
-                            ),
-                        }
-                    )
-            yield pd.DataFrame(out)
+                    ids.append(mid)
+                    idxs.append(i * every_n)
+                    # ascii index suffix: valid for arbitrary binary
+                    # payloads AND reproducible by a SQL oracle as
+                    # sha256(payload || CAST(i AS VARCHAR))
+                    digests.append(_digest(data + str(i).encode("ascii")))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+            )
 
     return (
         df.where(F.col("media_type") == "video")
