@@ -131,6 +131,88 @@ def sample_frames(
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_ms int, sample_rate int, sha256 string, "
+    "mfcc array<float>"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, backend: str = "fake", n_mfcc: int = 4
+) -> DataFrame:
+    """Audio binaries → duration/sample-rate/MFCC-shaped features
+    (AUDIO_FEATURES_SCHEMA).  ``backend="real"`` is the librosa/torchaudio
+    integration point; the fake backend derives deterministic values
+    (1 byte ≙ 1 ms, fixed 16 kHz) so the Arrow plumbing is testable and
+    oracle-reproducible."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real audio features need librosa/torchaudio; wire them here"
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"].tolist()
+            digs = [hashlib.md5((b or b"") + b"mfcc").digest() for b in media]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "duration_ms": [len(b or b"") for b in media],
+                    "sample_rate": [16000] * len(media),
+                    "sha256": [_digest(b) for b in media],
+                    "mfcc": [
+                        [(d[i] - 128) / 128.0 for i in range(n_mfcc)]
+                        for d in digs
+                    ],
+                }
+            )
+
+    return (
+        df.where(F.col("media_type") == "audio")
+        .select("media_id", "media")
+        .mapInPandas(process, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, backend: str = "fake"
+) -> DataFrame:
+    """Resize image binaries → MEDIA_SCHEMA rows with the target dims in
+    ``meta`` (generator-preserving: one row per input image).  The fake
+    backend emits a deterministic digest-derived payload with the real
+    schema and batch shape; ``backend="real"`` is the PIL resize point."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real resize needs Pillow; implement with PIL.Image.resize here"
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media": [
+                        hashlib.sha256(
+                            (b or b"") + f"{width}x{height}".encode()
+                        ).digest()
+                        for b in media
+                    ],
+                    "media_type": ["image"] * len(media),
+                    "meta": [
+                        {"width": str(width), "height": str(height),
+                         "resized": "true"}
+                    ] * len(media),
+                }
+            )
+
+    return (
+        df.where(F.col("media_type") == "image")
+        .select("media_id", "media")
+        .mapInPandas(process, MEDIA_SCHEMA)
+    )
+
+
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Test/bench helper: synthesize a MEDIA_SCHEMA frame from a text table
     (binary = utf-8 bytes; type round-robins image/audio/video)."""

@@ -30,7 +30,12 @@ from ..functions import dedup as DD
 from ..functions import similarity as SIM
 from ..functions import text as TX
 from ..functions import windows as WIN
-from ..functions.multimodal import attach_fake_media, decode_images, sample_frames
+from ..functions.multimodal import (
+    attach_fake_media,
+    decode_images,
+    extract_audio_features,
+    sample_frames,
+)
 from ..operators.request import parse_request_packets, transform_retry_records
 from ..operators.response import (
     assign_batch_seq,
@@ -1138,6 +1143,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
     return sample_frames(media, every_n=10, max_frames=4)
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS duration_ms,
+           16000 AS sample_rate,
+           sha256(text) AS sha256
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (fake deterministic backend; the
+    mfcc column is checked by pytest — md5-derived floats aren't worth a
+    SQL reimplementation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return extract_audio_features(media).select(
+        "media_id", "duration_ms", "sample_rate", "sha256"
+    )
 
 
 @register(

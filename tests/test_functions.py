@@ -253,6 +253,36 @@ def test_multimodal_plumbing(docs):
         decode_images(media, backend="real")
 
 
+def test_multimodal_audio_and_resize(docs):
+    from flink_invoice_processor_spark.functions.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    media = attach_fake_media(docs.limit(30))
+    audio = extract_audio_features(media).collect()
+    assert len(audio) > 0
+    for r in audio:
+        assert r.sample_rate == 16000 and r.duration_ms >= 0
+        assert len(r.mfcc) == 4 and all(-1.0 <= x <= 1.0 for x in r.mfcc)
+    # deterministic across runs
+    again = extract_audio_features(media).collect()
+    assert sorted((r.media_id, r.sha256) for r in again) == sorted(
+        (r.media_id, r.sha256) for r in audio
+    )
+
+    resized = resize_images(media, 224, 224).collect()
+    assert len(resized) > 0
+    for r in resized:
+        assert r.media_type == "image"
+        assert r.meta["width"] == "224" and r.meta["resized"] == "true"
+        assert len(r.media) == 32  # sha256-derived fake payload
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 2, 2, backend="real")
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(media, backend="real")
+
+
 def test_asof_join_semantics(spark):
     from flink_invoice_processor_spark.functions.asof import asof_join
 
