@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..config import EngineConfig
 from ..functions import asof as ASOF
 from ..functions import dedup as DD
+from ..functions import skew as SKEW
 from ..functions import similarity as SIM
 from ..functions import text as TX
 from ..functions import windows as WIN
@@ -677,6 +678,33 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (5-minute gap), Spark ``session_window``."""
     events = load_table(spark, sf_dir, "events")
     return WIN.session_counts(events, gap="5 minutes")
+
+
+@register(
+    "events_salted_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-stage salting (functions/skew.py):
+    5 event types over the whole table is the canonical skewed-groupBy
+    shape.  Results are identical to the plain GROUP BY — salting is a
+    physical rewrite, which is exactly what the oracle checks."""
+    events = load_table(spark, sf_dir, "events")
+    out = SKEW.salted_aggregate(
+        events.withColumn("value_dec", F.col("value").cast("decimal(18,6)")),
+        ["event_type"],
+        {"n_events": ("count", "*"), "sum_value_dec": ("sum", "value_dec")},
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value_dec").cast("double"), 4).alias("sum_value"),
+    )
 
 
 @register(

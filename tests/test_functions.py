@@ -283,6 +283,44 @@ def test_multimodal_audio_and_resize(docs):
         extract_audio_features(media, backend="real")
 
 
+def test_salted_join_and_aggregate_match_plain(spark, sf_dir):
+    from flink_invoice_processor_spark.functions.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+    from flink_invoice_processor_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").limit(400)
+    plain = {
+        (r.event_type): (r.n, r.mx)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, r.mx)
+        for r in salted_aggregate(
+            events, ["event_type"], {"n": ("count", "*"), "mx": ("max", "event_id")}
+        ).collect()
+    }
+    assert salted == plain
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)], "event_type string, w int"
+    )
+    plain_j = sorted(
+        (r.event_id, r.w) for r in events.join(dim, ["event_type"]).collect()
+    )
+    salted_j = sorted(
+        (r.event_id, r.w)
+        for r in salted_join(events, dim, ["event_type"], salt_buckets=8).collect()
+    )
+    assert salted_j == plain_j
+    # left join keeps unmatched left rows exactly once
+    plain_l = events.join(dim, ["event_type"], "left").count()
+    assert salted_join(events, dim, ["event_type"], how="left").count() == plain_l
+
+
 def test_asof_join_semantics(spark):
     from flink_invoice_processor_spark.functions.asof import asof_join
 
