@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -60,9 +62,17 @@ def main() -> None:
     from flink_invoice_processor_spark.plans.queries import QUERIES
 
     spark = get_spark("bench")
-    # warm up the JVM + parquet footers so per-query timings measure the
-    # queries, not session startup
+    # warm up the JVM, the Python/Arrow UDF workers, and parquet footers so
+    # per-query timings measure the queries, not process startup
     spark.range(1).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

