@@ -102,10 +102,10 @@ def cosine_topk(
     Output: (query_id, neighbor_id, score, rank), rank 1..k by
     (score DESC, neighbor_id ASC) on the 4-decimal-rounded score.
     """
-    q = queries.select(
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -181,6 +181,8 @@ def ivf_cosine_topk(
     All ranking uses (4-decimal-rounded score DESC, id ASC), so the result
     is exactly reproducible by the SQL oracle.
     """
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cent = (
         corpus.orderBy(F.col(id_col))
         .limit(n_cells)
@@ -239,8 +241,9 @@ def neardup_pairs_exact(
     :func:`neardup_pairs_lsh`; at 100 TB use the LSH-blocked variant (the
     all-pairs product on 10⁹ vectors is not a job anyone runs).
     """
-    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"))
+    nn = emb.where(F.col(vec_col).isNotNull())
+    a = nn.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"))
+    b = nn.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -271,7 +274,7 @@ def neardup_pairs_lsh(
     md5-derived and deterministic, so the result is exactly reproducible by
     a SQL oracle with the same literal hyperplanes.
     """
-    sig = emb.select(
+    sig = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
@@ -305,12 +308,12 @@ def lsh_cosine_topk(
     """Approximate top-k: candidates must share the LSH signature bucket,
     exact cosine re-ranks inside the bucket.  Vectors in sparse buckets may
     return fewer than k neighbors — the standard ANN recall trade."""
-    c = corpus.select(
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
     )
-    q = queries.select(
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
