@@ -708,6 +708,66 @@ def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "users_click_no_purchase",
+    """
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+    FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id, date_trunc('hour', ts)
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT user_id, date_trunc('hour', ts)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: user-hours with clicks AND views but no purchase
+    (`intersect` / `except` — Catalyst plans both as aggregates + joins,
+    no driver-side sets)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def user_hours(t: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == t)
+            .select("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .distinct()
+        )
+
+    return user_hours("click").intersect(user_hours("view")).exceptAll(
+        user_hours("purchase")
+    ).distinct()
+
+
+@register(
+    "events_cube_counts",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_bucket,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 4)
+    """,
+)
+def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets over (event_type, user bucket) — all four
+    grouping combinations in one shuffle."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket_raw", F.pmod(F.col("user_id"), F.lit(4))
+    )
+    return (
+        events.cube("event_type", "user_bucket_raw")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(
+                F.col("user_bucket_raw").cast("string"), F.lit("ALL")
+            ).alias("user_bucket"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_asof_join",
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
