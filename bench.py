@@ -34,6 +34,9 @@ HEADLINE = [
     "top_parts_per_brand",
     "customers_without_orders",
     "revenue_rollup",
+    "events_cube_counts",
+    "users_click_no_purchase",
+    "events_salted_counts",
     # event windows + temporal joins
     "events_tumbling",
     "events_sliding",
@@ -51,6 +54,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_decode",
     "multimodal_frame_sample",
+    "multimodal_audio_features",
 ]
 
 
