@@ -708,6 +708,71 @@ def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_quantity_stats",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.9) AS q90,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + distinct counts per group.
+    ``l_quantity`` is small integers, so the linearly-interpolated quantile
+    is an exact rational both engines represent identically.  At scale,
+    exact percentile is a sort-based aggregate; swap in
+    ``approx_percentile`` when an ε-error is acceptable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("q25"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median"),
+        F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("q90"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_date
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+    FROM seq WHERE prev_date IS NOT NULL
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gaps via lag() — sequential window
+    functions partitioned by a well-distributed key (no global window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            .cast("int")
+            .alias("gap_days"),
+        )
+    )
+
+
+@register(
     "users_click_no_purchase",
     """
     SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
