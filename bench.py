@@ -35,6 +35,8 @@ HEADLINE = [
     "customers_without_orders",
     "revenue_rollup",
     "events_cube_counts",
+    "lineitem_quantity_stats",
+    "customer_order_gaps",
     "users_click_no_purchase",
     "events_salted_counts",
     # event windows + temporal joins
