@@ -57,6 +57,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "corpus_curation",
 ]
 
 

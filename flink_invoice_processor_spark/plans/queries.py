@@ -1455,3 +1455,37 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media).select(
         "media_id", "width", "height", "n_channels", "sha256"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data pipeline: quality gate + language gate + dedup
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+    WITH q AS ({ORACLES["doc_quality"]}),
+    l AS ({ORACLES["language_id_docs"]}),
+    d AS ({ORACLES["exact_dedup_docs"]})
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM q
+    JOIN l ON q.doc_id = l.doc_id
+    JOIN d ON q.doc_id = d.canonical_doc_id
+    WHERE q.quality >= 0.63 AND l.pred_lang = 'en'
+"""
+
+
+@register("corpus_curation", _CURATION_SQL)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data run actually executes:
+    quality floor + language gate + exact-dedup canonical filter, chained as
+    three doc_id-keyed joins (co-partitioned after the first shuffle — the
+    whole pipeline is one scan of `documents` per feature family plus
+    doc_id-local joins; no driver-side collects anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = TX.quality_score(docs).where(F.col("quality") >= 0.63).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    english = TX.language_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
+    canonical = DD.exact_dedup(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    return quality.join(english, "doc_id").join(canonical, "doc_id")
