@@ -39,11 +39,16 @@ HEADLINE = [
     "customer_order_gaps",
     "users_click_no_purchase",
     "events_salted_counts",
+    "q4_order_priority",
+    "orders_above_customer_avg",
+    "top_orders_global",
+    "events_approx_stats",
     # event windows + temporal joins
     "events_tumbling",
     "events_sliding",
     "events_sessionization",
     "events_asof_join",
+    "events_purchase_click_window",
     # training-data pipeline
     "exact_dedup_docs",
     "ngram_jaccard_docs",

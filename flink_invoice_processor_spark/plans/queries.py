@@ -1489,3 +1489,156 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_doc_id").alias("doc_id")
     )
     return quality.join(english, "doc_id").join(canonical, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes: semi join (EXISTS), correlated aggregate, global top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate).  The semi join never
+    materializes lineitem columns, so at 100 TB the probe side ships only
+    (l_orderkey, l_shipdate) and the date filter prunes orders first."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    WITH cents AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    s AS (
+        SELECT o_custkey, SUM(price_cents) AS sum_cents, COUNT(*) AS cnt
+        FROM cents GROUP BY o_custkey
+    )
+    SELECT o_orderkey, c.o_custkey, o_totalprice
+    FROM cents c JOIN s ON c.o_custkey = s.o_custkey
+    WHERE 2 * price_cents * cnt > 3 * sum_cents
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (orders > 1.5x their customer's average
+    order value), decorrelated to a window aggregate: one shuffle on
+    o_custkey, no self-join, no subquery re-scan.  The comparison runs in
+    exact integer cents (floor is IEEE-identical in both engines) so the
+    membership set is bit-stable across engines and partition orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", cents.alias("price_cents")
+        )
+        .withColumn("sum_cents", F.sum("price_cents").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(2 * F.col("price_cents") * F.col("cnt") > 3 * F.col("sum_cents"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "top_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k without a global sort: Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heap of k, then a k*nPartitions
+    merge on the driver) — O(n) scan, no shuffle of the full table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "events_purchase_click_window",
+    """
+    SELECT p.event_id, CAST(count(c.c_ts) AS BIGINT) AS clicks_before
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events
+               WHERE event_type = 'click') c
+      ON c.c_user = p.user_id
+     AND c.c_ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.c_ts <  p.ts
+    GROUP BY p.event_id
+    """,
+)
+def events_purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range self-join: for every purchase, how many clicks the same
+    user made in the preceding 30 minutes.  The equi key (user_id) carries
+    the shuffle; the range predicate is a residual filter inside each
+    user's partition, so state per key is bounded by that user's events —
+    the standard scale-out shape for point-in-interval correlation."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") < F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("c_ts").alias("clicks_before"))
+    )
+
+
+@register("events_approx_stats")  # rows-only: sketch outputs are engine-specific
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct/
+    percentile: HyperLogLog++ distinct users and an approximate median per
+    event_type.  Both are single-pass, mergeable, fixed-size state (no
+    sort, no per-key set), so they scale where `lineitem_quantity_stats`'s
+    exact percentile would sort.  No SQL oracle: sketch estimates are
+    engine-specific; `tests/test_relational.py` bounds the error vs the
+    exact answers instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_value"
+        ),
+        F.count("*").alias("n_rows"),
+    )

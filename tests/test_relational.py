@@ -1,0 +1,81 @@
+"""Subquery-shape and sketch-aggregate queries.
+
+Value correctness for the oracle-backed queries is enforced by the driver's
+DuckDB hash-compare (and `tools/check_oracles.py`); these tests pin the
+*plan shapes* that make them scale — semi join, TakeOrderedAndProject, a
+single window shuffle — and bound the sketch estimates against exact
+answers (sketches have no SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.plans.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_plans_semi_join(spark, sf_dir):
+    df = QUERIES["q4_order_priority"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    counts = {r["o_orderpriority"]: r["order_count"] for r in df.collect()}
+    assert counts and all(c > 0 for c in counts.values())
+
+
+def test_top_orders_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["top_orders_global"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    assert len(rows) == 10
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_orders_above_customer_avg_single_window(spark, sf_dir):
+    df = QUERIES["orders_above_customer_avg"](spark, sf_dir)
+    plan = _plan(df)
+    # one window over o_custkey computes both sum and count: exactly one
+    # exchange introduced by the window, no self-join
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    out = df.limit(5).collect()
+    assert {"o_orderkey", "o_custkey", "o_totalprice"} == set(df.columns)
+    assert out  # sf0.001 has above-average orders
+
+
+def test_purchase_click_window_counts(spark, sf_dir):
+    df = QUERIES["events_purchase_click_window"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchases  # LEFT join keeps zero-click purchases
+    assert df.where(F.col("clicks_before") < 0).count() == 0
+
+
+def test_approx_stats_bounded_error(spark, sf_dir):
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["events_approx_stats"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_rows"] == e["n_rows"]
+        # HLL++ default rsd is 5%; allow 3x margin on tiny test data
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.15 * e["users"])
+        spread = abs(e["median_value"]) + 1.0
+        assert abs(a["approx_median_value"] - e["median_value"]) <= 0.1 * spread
