@@ -48,6 +48,31 @@ def write_bucketed(
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Persist ``df`` as a directory-partitioned parquet dataset.
+
+    Directory partitioning is the other half of the ingest-time layout
+    story (bucketing handles join keys; this handles range predicates):
+    a date/hour-partitioned 100 TB event table turns every time-bounded
+    query into a scan of only the matching directories — the planner
+    resolves ``PartitionFilters`` against directory names without opening
+    a single file footer.  ``maxRecordsPerFile`` bounds file size so a
+    skewed partition becomes many splittable files, not one giant one.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
