@@ -43,6 +43,7 @@ HEADLINE = [
     "orders_above_customer_avg",
     "top_orders_global",
     "events_approx_stats",
+    "events_pivot_counts",
     # event windows + temporal joins
     "events_tumbling",
     "events_sliding",
