@@ -69,3 +69,40 @@ def asof_join(
         *[F.col(c) for c in left_cols],
         *[F.col(f"_m_{c}").alias(c) for c in value_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    equal_keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    lookahead: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: pair each left row with the right rows of the
+    same key whose ``right_ts`` lies in
+    ``[left_ts - lookback, left_ts + lookahead)``.
+
+    The equality keys carry the shuffle; the time bounds are a residual
+    predicate evaluated inside each key's partition, so state per key is
+    bounded by that key's rows.  Column names must be disjoint between the
+    two sides (pre-alias the right side).
+
+    Works unchanged on streams: with ``withWatermark`` on both sides the
+    bounded time condition lets Spark expire join state once the watermark
+    passes ``left_ts + lookback`` — the standard scalable shape for
+    stream-stream correlation.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, both sides have: {overlap}")
+    cond = None
+    for lk, rk in equal_keys:
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    lo = right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}")
+    hi = right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {lookahead}")
+    cond = (cond & lo & hi) if cond is not None else (lo & hi)
+    return left.join(right, cond, how)

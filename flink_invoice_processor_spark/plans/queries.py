@@ -1613,12 +1613,9 @@ def events_purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
     return (
-        p.join(
-            c,
-            (F.col("c_user") == F.col("user_id"))
-            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
-            & (F.col("c_ts") < F.col("ts")),
-            "left",
+        ASOF.interval_join(
+            p, c, [("user_id", "c_user")], "ts", "c_ts",
+            lookback="30 MINUTES", how="left",
         )
         .groupBy("event_id")
         .agg(F.count("c_ts").alias("clicks_before"))
