@@ -65,3 +65,44 @@ def test_watermarked_tumbling_window_drops_late_data(spark, tmp_path):
         assert table() == {"2026-01-01 10:00:00": 2}
     finally:
         q.stop()
+
+
+def test_watermarked_session_window_merges_and_finalizes(spark, tmp_path):
+    """`session_counts` (native session_window) in append-mode streaming:
+    events within the gap merge into one session, which only emits once the
+    watermark passes its end."""
+    from flink_invoice_processor_spark.functions.windows import session_counts
+
+    src = tmp_path / "in"
+    _write(src, "a.jsonl", [
+        {"user_id": 1, "ts": "2026-01-01T10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2026-01-01T10:03:00", "value": 1.0},
+        {"user_id": 1, "ts": "2026-01-01T11:00:00", "value": 1.0},
+    ])
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_counts(stream, gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spark.table("wm_sessions").count():
+            time.sleep(0.5)
+        rows = spark.table("wm_sessions").collect()
+        # the 10:00+10:03 events merged (session 10:00-10:08, finalized by
+        # the 11:00 event's watermark); the 11:00 session is still open
+        assert [(str(r.session_start), str(r.session_end), r.user_id, r.n_events)
+                for r in rows] == [
+            ("2026-01-01 10:00:00", "2026-01-01 10:08:00", 1, 2)
+        ]
+    finally:
+        q.stop()
