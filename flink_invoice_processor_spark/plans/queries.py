@@ -388,8 +388,8 @@ def response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heterogeneous_union",
     """
     SELECT record_type, COUNT(*) AS n,
-           SUM(CASE WHEN fpt_code IS NULL THEN 1 ELSE 0 END) AS n_null_fpt,
-           SUM(CASE WHEN gdt IS NULL THEN 1 ELSE 0 END) AS n_null_gdt
+           CAST(SUM(CASE WHEN fpt_code IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fpt,
+           CAST(SUM(CASE WHEN gdt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_gdt
     FROM (
         SELECT 'inv_in' AS record_type, '200' AS fpt_code, NULL AS gdt FROM orders
         UNION ALL
@@ -442,10 +442,10 @@ def json_extract_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_qty,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_base_price,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -453,25 +453,37 @@ def json_extract_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums."""
+    """TPC-H Q1 shape: scan-filter-aggregate.
+
+    Float discipline: per-row ``floor(expr * 10000)`` → exact BIGINT units,
+    summed exactly, divided back to double only at the edge.  Every per-row
+    double expression has the identical IEEE shape in the oracle SQL, so
+    floor() lands on the same integer in both engines; DECIMAL rounding
+    (Spark half-up vs DuckDB half-even ties) never enters the plan."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(18,4)"
+
+    def units(col):  # exact integer 1/10000ths of the given double expression
+        return F.floor(col * 10000)
+
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            ).cast("double").alias("sum_disc_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ).cast(dec)
-            ).cast("double").alias("sum_charge"),
+            (F.sum(units(F.col("l_quantity"))).cast("double") / 10000).alias("sum_qty"),
+            (F.sum(units(F.col("l_extendedprice"))).cast("double") / 10000).alias("sum_base_price"),
+            (
+                F.sum(units(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double") / 10000
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    units(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    )
+                ).cast("double") / 10000
+            ).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -865,7 +877,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customers_without_orders",
     """
-    SELECT c_custkey, c_name, round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS acctbal
+    SELECT c_custkey, c_name,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -874,7 +887,11 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers with no orders since 2000 (left_anti — Spark
     plans a broadcast/shuffled anti hash join, no subquery re-scan; the
-    date filter pushes to the orders scan)."""
+    date filter pushes to the orders scan).
+
+    acctbal is emitted as exact integer cents (floor of the identical IEEE
+    double expression in both engines) — DECIMAL round() representation
+    differs between Spark and DuckDB and is banned from oracle surfaces."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= "2000-01-01"
@@ -884,7 +901,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey",
         "c_name",
-        F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).alias("acctbal"),
+        F.floor(F.col("c_acctbal") * 100).alias("acctbal_cents"),
     )
 
 
@@ -1084,24 +1101,37 @@ _SHINGLES_SQL = f"""
 @register(
     "ngram_jaccard_docs",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+    ),
+    freq AS (SELECT shingle_h, COUNT(*) AS sdf FROM shh GROUP BY 1),
+    sh AS (
+        SELECT shh.doc_id, shh.shingle_h
+        FROM shh JOIN freq USING (shingle_h) WHERE sdf <= 100
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b,
            round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
                JOIN sizes sb ON sb.doc_id = doc_id_b
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
     """,
 )
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5."""
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, with the
+    stop-shingle guard SET (shingles in > 100 docs are dropped pre-join —
+    mandatory at scale: one corpus-frequent shingle makes the self-join
+    quadratic).  The oracle mirrors the cut on the identical md5-derived
+    63-bit shingle hash, with per-doc sizes computed post-filter."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_doc_freq=100)
 
 
 def _mh_sql(j: int) -> str:
@@ -1171,7 +1201,7 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -1214,16 +1244,14 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH-bucketed) cosine top-5 — the 100 TB scale path.
-    No SQL oracle (bucketing recall is approximate by design); the driver
-    records a rows-only check and pytest cross-validates against the exact
-    path."""
+    Fully deterministic (md5-derived literal hyperplanes, rounded-score
+    ranking), so it IS oracle-checkable: the SQL oracle below reproduces
+    the signature bucketing and the in-bucket exact re-rank verbatim.
+    Registered after ``_lsh_sig_sql`` is defined (see below)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_cosine_topk(
         emb, emb.where(F.col("vec_id") < 10), dims=64, k=5, n_planes=4
     )
-
-
-QUERIES["ann_lsh_topk"] = ann_lsh_topk
 
 
 _COS_SQL = (
@@ -1383,6 +1411,35 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-reproducible because the hyperplanes are md5-derived."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.neardup_pairs_lsh(emb, dims=64, threshold=0.3, n_planes=4)
+
+
+# ann_lsh_topk is defined above (next to the other ANN queries) but its
+# oracle needs _lsh_sig_sql, so the registration lives here.  Deterministic:
+# identical literal hyperplanes, explicit left-to-right dot sums, and
+# (rounded score DESC, neighbor_id ASC) ranking on both sides.
+QUERIES["ann_lsh_topk"] = ann_lsh_topk
+ORACLES["ann_lsh_topk"] = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding AS v,
+               {_lsh_sig_sql("embedding", 4, 64)} AS s
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v::DOUBLE[], c.v::DOUBLE[])
+                     / (sqrt(list_dot_product(q.v::DOUBLE[], q.v::DOUBLE[]))
+                        * sqrt(list_dot_product(c.v::DOUBLE[], c.v::DOUBLE[]))),
+                     4) AS score
+        FROM sig q JOIN sig c ON q.s = c.s AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
 
 
 @register(

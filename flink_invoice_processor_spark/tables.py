@@ -3,7 +3,8 @@
 ``load_table`` normalizes physical-type quirks so every downstream operator
 sees clean Spark types — notably ``events.ts`` is stored as
 ``timestamp[ns]``, which Spark reads as nanosecond longs under
-``spark.sql.legacy.parquet.nanosAsLong`` (set in the session factory) and is
+``spark.sql.legacy.parquet.nanosAsLong`` (set at runtime here, so any
+SparkSession works — not only the repo's session factory) and is
 converted here to a microsecond timestamp, matching what DuckDB reads.
 """
 
@@ -18,6 +19,11 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); without this conf a
+    # plain SparkSession (e.g. the driver's harness, which does NOT go through
+    # our session factory) throws PARQUET_TYPE_ILLEGAL before the plan runs.
+    # The conf is runtime-settable, so set it here at the only read site.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division of ns-epoch longs (~1e18) loses

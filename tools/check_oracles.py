@@ -18,6 +18,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    # Driver-strength normalization: full-precision float repr (any ULP
+    # difference between Spark and DuckDB is a mismatch) and NO
+    # Decimal→float collapse (a DECIMAL on one side vs DOUBLE on the other
+    # must fail here, because it fails the driver's hash).  Local green
+    # must imply driver green — looser normalization lied in round 1.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -25,14 +30,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    try:
-        import decimal
+        return repr(v)
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
@@ -54,11 +56,20 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from flink_invoice_processor_spark.session import get_spark
+    # Replicate the driver: a PLAIN SparkSession, NOT the repo session
+    # factory.  Round 1 shipped a conf that lived only in the factory and 13
+    # queries died in the driver's harness while local checks stayed green.
+    from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("check_oracles")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("check_oracles")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
