@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() over the result — rows are
 materialized but not shipped to the driver), timed wall-clock after a
 warm-up of the session.
+
+Set ``SPARK_GRAFT_WARM=1`` (or pass ``--warm``) to run every query once
+untimed before the timed pass: first-run timings are dominated by
+whole-stage-codegen JIT (~2-3 s per novel plan shape); warm timings
+measure the steady-state plan, which is what matters when comparing
+rounds or judging a plan change.
 """
 
 from __future__ import annotations
@@ -87,6 +93,11 @@ def main() -> None:
     spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(col("id"))).count()
 
+    warm = os.environ.get("SPARK_GRAFT_WARM") == "1" or "--warm" in sys.argv
+    if warm:
+        for name in HEADLINE:
+            QUERIES[name](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -95,17 +106,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if warm:
+        out["warm"] = True
+    print(json.dumps(out))
     spark.stop()
 
 

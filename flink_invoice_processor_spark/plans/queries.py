@@ -1679,22 +1679,47 @@ def events_purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_approx_stats")  # rows-only: sketch outputs are engine-specific
+@register(
+    "events_approx_stats",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS hll_within_5pct, TRUE AS median_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct/
-    percentile: HyperLogLog++ distinct users and an approximate median per
-    event_type.  Both are single-pass, mergeable, fixed-size state (no
-    sort, no per-key set), so they scale where `lineitem_quantity_stats`'s
-    exact percentile would sort.  No SQL oracle: sketch estimates are
-    engine-specific; `tests/test_relational.py` bounds the error vs the
-    exact answers instead."""
+    percentile: HyperLogLog++ distinct users (rsd 0.01) and an approximate
+    median per event_type.  Both are single-pass, mergeable, fixed-size
+    state (no sort, no per-key set), so they scale where
+    `lineitem_quantity_stats`'s exact percentile would sort.
+
+    Sketch estimates are engine-specific, so the raw values can't be
+    hash-compared; instead the query ALSO computes the exact answers and
+    emits deterministic within-5%-tolerance booleans, which the oracle
+    asserts (the exact companions are the verification harness — at 100 TB
+    you'd ship only the sketch half)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_value"
+            "approx_median"
         ),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
         F.count("*").alias("n_rows"),
+    )
+    tol = lambda a, e: (  # noqa: E731 — |approx-exact| ≤ 5% of exact (+eps)
+        F.abs(a - e) <= 0.05 * F.abs(e) + F.lit(1e-9)
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        tol(F.col("approx_users").cast("double"),
+            F.col("exact_users").cast("double")).alias("hll_within_5pct"),
+        tol(F.col("approx_median"), F.col("exact_median")).alias(
+            "median_within_5pct"
+        ),
     )
 
 

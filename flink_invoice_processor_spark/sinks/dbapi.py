@@ -10,13 +10,17 @@ function usable standalone (batch) or inside ``foreachBatch`` (streaming):
 - W4 transactional log-and-delete
   (``sink/TransactionalLogAndDeleteSink.java:26-183``).
 
-Portability: the reference embeds MySQL-only SQL
-(``CURRENT_TIMESTAMP + INTERVAL ? SECOND``); here the absolute
-``next_retry_time`` is computed driver/executor-side and bound as a plain
-timestamp parameter, which is semantically identical and runs on MySQL,
-SQLite and DuckDB alike (tests use SQLite as the reference's-MySQL
-stand-in).  ``conn_factory`` must be a picklable zero-arg callable
-returning a DBAPI connection — executors open their own connections.
+Portability: SQL is rendered per-:class:`~..dbdialect.Dialect`.  The
+default :data:`~..dbdialect.SQLITE` dialect computes the absolute
+``next_retry_time`` executor-side and binds it as a plain timestamp
+parameter (SQLite has no ``INTERVAL``); the :data:`~..dbdialect.MYSQL`
+dialect emits the reference's exact server-side DML
+(``CURRENT_TIMESTAMP + INTERVAL %s SECOND``,
+``sink/InvoiceRetrySink.java:33,36``) with ``%s`` parameters, binding the
+delay seconds instead.  ``conn_factory`` must be a picklable zero-arg
+callable returning a DBAPI connection — executors open their own
+connections (``SqliteConnFactory`` here, ``dbdialect.MySQLConnFactory``
+for production).
 
 Delivery semantics: all three writers are idempotent-or-conditioned the
 same way the reference is — inserts are append-only logs, UPDATE/DELETE are
@@ -45,6 +49,7 @@ from ..config import (
     TAG_MAX_RETRY,
     TAG_UPDATE,
 )
+from ..dbdialect import Dialect, SQLITE
 
 ConnFactory = Callable[[], object]
 
@@ -110,7 +115,7 @@ def write_invoice_records(
     conn_factory: ConnFactory,
     cfg: EngineConfig | None = None,
     table: str = "async_inv_in",
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
 ) -> None:
     """W1: batched insert of INVOICE_MYSQL_RECORD rows.
 
@@ -121,10 +126,7 @@ def write_invoice_records(
     """
     cfg = cfg or EngineConfig()
     cols = INVOICE_INSERT_COLUMNS
-    sql = (
-        f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"VALUES ({', '.join([placeholder] * len(cols))})"
-    )
+    sql = dialect.insert_sql(table, cols)
     batch_size = cfg.mysql_batch_size
     max_retries = cfg.mysql_max_retries
 
@@ -159,7 +161,7 @@ def write_retry_emissions(
     df: DataFrame,
     conn_factory: ConnFactory,
     cfg: EngineConfig | None = None,
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
     now: datetime | None = None,
 ) -> None:
     """W3: tag-dispatched retry-queue DML (``sink/InvoiceRetrySink.java``).
@@ -172,24 +174,17 @@ def write_retry_emissions(
     - MAX_RETRY → INSERT dead-letter with ``attempt = retry_count - 1``
                   (the reference's off-by-design at ``:119``) + DELETE the
                   queue row in the same transaction (``:115-124``).
+
+    Under a ``server_side_interval`` dialect (MySQL) the bound parameter is
+    the delay in seconds and the DB clock defines "now" — exactly the
+    reference; otherwise the absolute timestamp ``now + delay`` is bound.
     """
     cfg = cfg or EngineConfig()
-    q = placeholder
-    insert_sql = (
-        "INSERT INTO invoice_retry (sid, syncid, job, payload, next_retry_time, "
-        "error_message, error_code, retry_count, state) "
-        f"VALUES ({q}, {q}, {q}, {q}, {q}, {q}, {q}, 0, 'PENDING')"
-    )
-    update_sql = (
-        f"UPDATE invoice_retry SET error_message = {q}, error_code = {q}, "
-        f"next_retry_time = {q}, retry_count = {q}, state = 'PENDING' "
-        f"WHERE id = {q} AND state = 'PROCESSING'"
-    )
-    delete_sql = f"DELETE FROM invoice_retry WHERE id = {q} AND state = 'PROCESSING'"
-    error_sql = (
-        "INSERT INTO invoice_error_log (payload, error_message, error_code, "
-        f"attempt, sid, syncid) VALUES ({q}, {q}, {q}, {q}, {q}, {q})"
-    )
+    insert_sql = dialect.retry_insert_sql()
+    update_sql = dialect.retry_update_sql()
+    delete_sql = dialect.retry_delete_sql()
+    error_sql = dialect.error_log_insert_sql()
+    server_side = dialect.server_side_interval
     max_retries = cfg.mysql_max_retries
     fixed_now = now
 
@@ -200,9 +195,12 @@ def write_retry_emissions(
             base = fixed_now or _utcnow()
             creates, updates, deletes, dead = [], [], [], []
             for r in rows:
+                delay = r["next_retry_delay_s"]
                 when = (
-                    base + timedelta(seconds=r["next_retry_delay_s"])
-                    if r["next_retry_delay_s"] is not None
+                    delay
+                    if server_side
+                    else base + timedelta(seconds=delay)
+                    if delay is not None
                     else None
                 )
                 if r["tag"] == TAG_CREATE:
@@ -247,7 +245,7 @@ def write_log_and_delete(
     df: DataFrame,
     conn_factory: ConnFactory,
     cfg: EngineConfig | None = None,
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
     now: datetime | None = None,
 ) -> None:
     """W4: transactional success-log + source-row delete
@@ -260,13 +258,9 @@ def write_log_and_delete(
     by id.  Idempotent under replay because the delete is by primary key.
     """
     cfg = cfg or EngineConfig()
-    q = placeholder
-    insert_sql = (
-        f"INSERT INTO async_inv_succ_log ({', '.join(SUCC_LOG_COLUMNS)}) "
-        f"VALUES ({', '.join([q] * len(SUCC_LOG_COLUMNS))})"
-    )
-    delete_in_sql = f"DELETE FROM async_inv_in WHERE id = {q}"
-    delete_out_sql = f"DELETE FROM async_inv_out WHERE id = {q}"
+    insert_sql = dialect.insert_sql("async_inv_succ_log", SUCC_LOG_COLUMNS)
+    delete_in_sql = dialect.delete_by_id_sql("async_inv_in")
+    delete_out_sql = dialect.delete_by_id_sql("async_inv_out")
     max_retries = cfg.mysql_max_retries
     fixed_now = now
 

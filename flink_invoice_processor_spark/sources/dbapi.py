@@ -40,6 +40,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import EngineConfig, RETRY_STATE_PENDING, RETRY_STATE_PROCESSING
+from ..dbdialect import Dialect, SQLITE
 from ..schemas import ASYNC_INV_IN_RECORD, ASYNC_INV_OUT_RECORD, INVOICE_RETRY_RECORD
 
 ConnFactory = Callable[[], object]
@@ -95,7 +96,7 @@ def poll_async_inv_in(
     conn_factory: ConnFactory,
     cfg: EngineConfig | None = None,
     last_id: int = 0,
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
 ) -> tuple[DataFrame, int]:
     """One poll of ``async_inv_in`` past the id high-water mark.
 
@@ -105,7 +106,7 @@ def poll_async_inv_in(
     cfg = cfg or EngineConfig()
     sql = (
         f"SELECT {', '.join(_INV_IN_COLS)} FROM async_inv_in "
-        f"WHERE res_type = 2 AND state = 4 AND id > {placeholder} "
+        f"WHERE res_type = 2 AND state = 4 AND id > {dialect.placeholder} "
         f"ORDER BY id ASC LIMIT {cfg.mysql_fetch_size}"
     )
     df, rows = _fetch(
@@ -120,14 +121,14 @@ def poll_async_inv_out(
     conn_factory: ConnFactory,
     cfg: EngineConfig | None = None,
     last_id: int = 0,
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
 ) -> tuple[DataFrame, int]:
     """One poll of ``async_inv_out`` (predicate ``res_type=2 AND state=0``,
     ``AsyncInvOutSource.java:55``)."""
     cfg = cfg or EngineConfig()
     sql = (
         f"SELECT {', '.join(_INV_OUT_COLS)} FROM async_inv_out "
-        f"WHERE res_type = 2 AND state = 0 AND id > {placeholder} "
+        f"WHERE res_type = 2 AND state = 0 AND id > {dialect.placeholder} "
         f"ORDER BY id ASC LIMIT {cfg.mysql_fetch_size}"
     )
     df, rows = _fetch(
@@ -142,30 +143,36 @@ def claim_retry_batch(
     conn_factory: ConnFactory,
     job: str,
     cfg: EngineConfig | None = None,
-    placeholder: str = "?",
+    dialect: Dialect = SQLITE,
     now: datetime | None = None,
 ) -> DataFrame:
     """Claim due retry rows: SELECT due PENDING rows for ``job``, flip them
     to PROCESSING in the same transaction, return them as a DataFrame
     (``InvoiceRetrySource.java:44-99``).  Rows stay invisible to other
     pollers until a sink re-arms (UPDATE→PENDING) or removes them.
+
+    Under a ``server_side_interval`` dialect the due check is the
+    reference's ``next_retry_time <= CURRENT_TIMESTAMP`` (DB clock,
+    ``InvoiceRetrySource.java:48``); otherwise "now" is bound client-side.
     """
     cfg = cfg or EngineConfig()
-    q = placeholder
+    q = dialect.placeholder
     when = now or _utcnow()
+    due = "CURRENT_TIMESTAMP" if dialect.server_side_interval else q
     select_sql = (
         f"SELECT {', '.join(_RETRY_COLS)} FROM invoice_retry "
-        f"WHERE state = '{RETRY_STATE_PENDING}' AND next_retry_time <= {q} "
+        f"WHERE state = '{RETRY_STATE_PENDING}' AND next_retry_time <= {due} "
         f"AND job = {q} ORDER BY next_retry_time LIMIT {cfg.retry_fetch_size}"
     )
     claim_sql = (
         f"UPDATE invoice_retry SET state = '{RETRY_STATE_PROCESSING}' "
         f"WHERE id = {q} AND state = '{RETRY_STATE_PENDING}'"
     )
+    select_params = (job,) if dialect.server_side_interval else (when, job)
     conn = conn_factory()
     try:
         cur = conn.cursor()
-        cur.execute(select_sql, (when, job))
+        cur.execute(select_sql, select_params)
         rows = cur.fetchall()
         if rows:
             cur.executemany(claim_sql, [(r[0],) for r in rows])

@@ -29,9 +29,12 @@ Usage::
           .option("fetch_size", "2000")
           .load())
 
-Only the sqlite DBAPI backend is wired in this container (tests run on
-it); a MySQL production backend plugs in at ``_connect`` — same SQL, same
-offsets.
+Backends: ``backend=sqlite`` (default; ``db_path`` option — what tests
+run on) or ``backend=mysql`` (``host``/``port``/``user``/``password``/
+``database`` options via :class:`~..dbdialect.MySQLConnFactory`; the
+driver library is import-gated since no MySQL client ships in this
+container).  Same SQL, same offsets either way — only ``_connect``
+differs.
 """
 
 from __future__ import annotations
@@ -58,7 +61,24 @@ def queue_table_schema(table: str) -> StructType:
 
 class TableQueueStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
-        self.db_path = options["db_path"]
+        self.backend = options.get("backend", "sqlite")
+        if self.backend == "sqlite":
+            self.db_path = options["db_path"]
+            self._factory = None
+            self._param = "?"
+        elif self.backend == "mysql":
+            from ..dbdialect import MYSQL, MySQLConnFactory
+
+            self._factory = MySQLConnFactory(
+                host=options["host"],
+                port=int(options.get("port", "3306")),
+                user=options["user"],
+                password=options.get("password", ""),
+                database=options["database"],
+            )
+            self._param = MYSQL.placeholder
+        else:
+            raise ValueError(f"unknown backend: {self.backend!r}")
         self.table = options.get("table", "async_inv_in")
         if self.table not in _TABLES:
             raise ValueError(f"unknown queue table: {self.table!r}")
@@ -72,6 +92,8 @@ class TableQueueStreamReader(SimpleDataSourceStreamReader):
         ]
 
     def _connect(self):
+        if self._factory is not None:
+            return self._factory()
         return sqlite3.connect(self.db_path)
 
     def _rows(self, where: str, params: tuple, limit: int | None) -> list[tuple]:
@@ -103,14 +125,20 @@ class TableQueueStreamReader(SimpleDataSourceStreamReader):
         return {"last_id": 0}
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        rows = self._rows("id > ?", (start["last_id"],), self.fetch_size)
+        q = self._param
+        rows = self._rows(f"id > {q}", (start["last_id"],), self.fetch_size)
         new_last = max((r[0] for r in rows), default=start["last_id"])
         return iter(rows), {"last_id": new_last}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         # deterministic replay of an uncommitted range after restart
+        q = self._param
         return iter(
-            self._rows("id > ? AND id <= ?", (start["last_id"], end["last_id"]), None)
+            self._rows(
+                f"id > {q} AND id <= {q}",
+                (start["last_id"], end["last_id"]),
+                None,
+            )
         )
 
     def commit(self, end: dict) -> None:

@@ -29,6 +29,9 @@ from ..config import EngineConfig
 def _sasl_options(cfg: EngineConfig) -> dict[str, str]:
     if not cfg.kafka_sasl_user:
         return {}
+    # Same JAAS string the reference formats (FlinkJobUtils.java:37-44);
+    # Spark's Kafka options take the consumer/producer properties with a
+    # "kafka." prefix.
     jaas = (
         "org.apache.kafka.common.security.plain.PlainLoginModule required "
         f'username="{cfg.kafka_sasl_user}" password="{cfg.kafka_sasl_password}";'
@@ -40,24 +43,51 @@ def _sasl_options(cfg: EngineConfig) -> dict[str, str]:
     }
 
 
-def kafka_request_stream(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
-    """readStream over all five request topics; output columns
-    ``value`` (string packet JSON) and ``topic``."""
+def kafka_reader_options(cfg: EngineConfig) -> dict[str, str]:
+    """The full option dict for the request-side reader — the contract
+    artifact mirroring ``FlinkJobUtils.createKafkaSource`` (:28-64): one
+    subscription over all five request topics, startingOffsets mapped from
+    the reference's ``kafka.starting.offsets`` enum, SASL/PLAIN properties
+    when credentials are configured.
+
+    The reference's per-source consumer group ids
+    (``application.properties`` ``kafka.group.id.*``) are deliberately NOT
+    forwarded: Spark's Kafka source tracks offsets in its own checkpoint
+    and fabricates a unique group id per query — setting ``kafka.group.id``
+    would only risk offset-commit collisions between the five collapsed
+    sources.  COMMITTED therefore maps to "resume from checkpoint", with
+    "latest" as the cold-start behavior.
+    """
     starting = {
         "LATEST": "latest",
         "EARLIEST": "earliest",
-        # the reference's COMMITTED mode maps to Spark resuming from its own
-        # checkpointed offsets; "latest" is the cold-start behavior
+        # reference default is committedOffsets (FlinkJobUtils.java:50-53)
         "COMMITTED": "latest",
+        "COMMITTED_OFFSETS": "latest",
     }.get(cfg.kafka_starting_offsets.upper(), "latest")
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
-        .option("subscribe", ",".join(cfg.request_topics.values()))
-        .option("startingOffsets", starting)
-        .option("failOnDataLoss", "false")
-    )
-    for k, v in _sasl_options(cfg).items():
+    opts = {
+        "kafka.bootstrap.servers": cfg.kafka_bootstrap,
+        "subscribe": ",".join(cfg.request_topics.values()),
+        "startingOffsets": starting,
+        "failOnDataLoss": "false",
+    }
+    opts.update(_sasl_options(cfg))
+    return opts
+
+
+def kafka_writer_options(cfg: EngineConfig) -> dict[str, str]:
+    """Writer option dict (``FlinkJobUtils.createKafkaSink``, :66-87).
+    No static topic option: routing is the per-row ``topic`` column."""
+    opts = {"kafka.bootstrap.servers": cfg.kafka_bootstrap}
+    opts.update(_sasl_options(cfg))
+    return opts
+
+
+def kafka_request_stream(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+    """readStream over all five request topics; output columns
+    ``value`` (string packet JSON) and ``topic``."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(cfg).items():
         reader = reader.option(k, v)
     return reader.load().select(
         F.col("value").cast("string").alias("value"), F.col("topic")
@@ -72,10 +102,9 @@ def write_packets_to_kafka(
     writer = (
         packets.selectExpr("topic", "packet_json AS value")
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
         .option("checkpointLocation", checkpoint_dir)
     )
-    for k, v in _sasl_options(cfg).items():
+    for k, v in kafka_writer_options(cfg).items():
         writer = writer.option(k, v)
     return writer.start()
 
@@ -84,11 +113,9 @@ def write_packets_batch_to_kafka(
     packets: DataFrame, cfg: EngineConfig
 ) -> None:
     """Batch-mode Kafka write for use inside foreachBatch."""
-    writer = (
-        packets.selectExpr("topic", "packet_json AS value")
-        .write.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
+    writer = packets.selectExpr("topic", "packet_json AS value").write.format(
+        "kafka"
     )
-    for k, v in _sasl_options(cfg).items():
+    for k, v in kafka_writer_options(cfg).items():
         writer = writer.option(k, v)
     writer.save()
