@@ -35,8 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, column-aliased to match.
-    Entries absent here (e.g. ``ann_lsh_topk``) are approximate-by-design
-    operators recorded as rows-only checks."""
+    Every query in ``queries()`` has an oracle entry."""
     from flink_invoice_processor_spark.plans.queries import ORACLES
 
     return dict(ORACLES)

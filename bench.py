@@ -70,6 +70,13 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "corpus_curation",
+    # curation extensions
+    "dup_clusters_docs",
+    "doc_chunking",
+    "stratified_sample_docs",
+    "gopher_repetition_docs",
+    "pii_redaction_docs",
+    "tfidf_top_terms",
 ]
 
 

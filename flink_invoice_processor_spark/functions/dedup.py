@@ -239,6 +239,72 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the step
+    that turns pairwise dup evidence into dedup decisions (keep one
+    canonical document per cluster).
+
+    ``nodes``: one ``doc_id`` per document (singletons become their own
+    cluster).  ``pairs``: (doc_id_a, doc_id_b) edges from any candidate
+    generator (MinHash-LSH, SimHash bands, embedding LSH).  Returns
+    (doc_id, cluster_id, cluster_size, is_canonical) where ``cluster_id``
+    is the component's minimum doc_id.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes.  Rounds needed = graph diameter, and near-dup
+    graphs are unions of small dense cliques (diameter ~2-3), so this
+    terminates in a handful of rounds; ``max_iter`` is a guard, not a
+    budget.  Each round is one join + one aggregation on doc_id (uniform
+    key, no skew), with ``localCheckpoint`` cutting the lineage so plans
+    don't grow (the classic iterative-DataFrame trap).  The driver loop
+    only ever sees a scalar changed-count — no data is collected.  For
+    adversarial graphs (long paths) swap in the large-star/small-star
+    alternation, which converges in O(log n) rounds with the same
+    join/aggregate primitives.
+    """
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            ).select(F.col("dst").alias("doc_id"), "label")
+            new_labels = (
+                labels.union(prop)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """SimHash signatures: per document, bit i of the signature is the
     majority vote of bit i across the md5-derived hashes of its (lowercased)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..config import EngineConfig
 from ..functions import asof as ASOF
+from ..functions import curation as CUR
 from ..functions import dedup as DD
 from ..functions import skew as SKEW
 from ..functions import similarity as SIM
@@ -1350,7 +1351,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_pairs",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
@@ -1362,8 +1364,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-duplicate pairs — the exact all-pairs
+    CORRECTNESS BASELINE for ``embedding_neardup_lsh`` (the scale path),
+    deliberately bounded to an id range so the registered query can never
+    be mistaken for (or accidentally grow into) an unbounded cartesian
+    product.  Use the LSH twin at scale; use this to validate its recall
+    on a bounded slice."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return SIM.neardup_pairs_exact(emb, threshold=0.4)
 
 
@@ -1748,3 +1755,228 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation family over `documents` (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_clusters_docs",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(16))}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {" UNION ALL ".join(
+            f'''SELECT doc_id, {b} AS band_id,
+                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
+                FROM sig'''
+            for b in range(4)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+    SELECT doc_id, cluster_id, cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lab JOIN sizes USING (cluster_id)
+    """,
+)
+def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → canonical representative
+    per cluster.  The oracle recomputes the identical pair set in SQL and
+    closes it with a recursive CTE — transitive closure is exactly what the
+    distributed label propagation converges to."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, k=16, bands=4)
+    return DD.dup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    ex AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+               AS chunk_text
+    FROM ex
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, stride 48 (16-token
+    overlap) — documents → bounded training sequences, as a pure map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.chunk_documents(docs, chunk_size=64, stride=48)
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, source, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS sample_bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+                      WHEN 'es' THEN 25 ELSE 10 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of English, 25% of
+    de/fr/es, 10% otherwise — hash-gated by doc_id (reproducible across
+    retries, no shuffle; the filter runs at the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.stratified_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        rates={"en": 50, "de": 25, "fr": 25, "es": 25},
+        default_rate=10,
+    )
+
+
+@register(
+    "gopher_repetition_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    arr AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                   AS total_word_chars,
+               greatest(len(toks) - 1, 0) AS n_2grams,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i + 1]))) AS n_distinct_2grams
+        FROM t
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_tok_count FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT arr.doc_id, n_tokens, total_word_chars, n_2grams,
+           n_distinct_2grams,
+           COALESCE(top_tok_count, 0) AS top_tok_count
+    FROM arr LEFT JOIN top ON arr.doc_id = top.doc_id
+    """,
+)
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals as exact integers: token count,
+    total word chars (→ mean word length), 2-gram total vs distinct
+    (→ duplicate-2-gram fraction), most-frequent-token count."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return CUR.repetition_stats(docs)
+
+
+# deterministic PII injection shared by the Spark query and the oracle:
+# every 7th doc gets an e-mail, every 7th+3 a toy NANP phone number
+_PII_CASE_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS STRING)"
+    " || '@mail.example.com today'"
+    " WHEN doc_id % 7 = 3 THEN ' call +1-555-0' ||"
+    " lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || ' now'"
+    " ELSE '' END"
+)
+
+
+@register(
+    "pii_redaction_docs",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, text || {_PII_CASE_SQL} AS text FROM documents
+    ),
+    red AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(text,
+                   '{CUR.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{CUR.PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{CUR.EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '{CUR.PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM red
+    """,
+)
+def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically injected e-mail /
+    phone strings (the synthetic corpus contains none): counts + md5 of the
+    redacted text.  The injection CASE is part of the query, mirrored
+    verbatim in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.expr(_PII_CASE_SQL)).alias("text")
+    )
+    return CUR.redact_pii(aug)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform({_TOKENS_SQL}, x -> lower(x))) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        ) GROUP BY doc_id, tok
+    ),
+    docfreq AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok),
+    scored AS (
+        SELECT doc_id, tok, tf * 1000000 // doc_freq AS score
+        FROM tf JOIN docfreq USING (tok)
+    ),
+    ranked AS (
+        SELECT doc_id, tok, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by integer TF-IDF score
+    (tf * 1e6 div doc_freq — log-free, so the ranking is engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return CUR.tfidf_top_terms(docs, k=3)

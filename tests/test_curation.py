@@ -1,0 +1,205 @@
+"""Unit tests for corpus-curation operators (functions/curation.py and
+dedup.dup_clusters): invariants the DuckDB oracle can't express — chunk
+coverage/overlap, sampling determinism and monotonicity, component
+convergence on hand-built graphs, redaction behavior on crafted text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.functions import curation as CUR
+from flink_invoice_processor_spark.functions.dedup import dup_clusters
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(200))
+    out = CUR.chunk_documents(
+        docs_df(spark, [(1, words)]), chunk_size=64, stride=48
+    ).collect()
+    # ceil(200/48) = 5 chunks; starts 0,48,96,144,192
+    assert [r["chunk_id"] for r in sorted(out, key=lambda r: r["chunk_id"])] == [
+        0, 1, 2, 3, 4
+    ]
+    by_id = {r["chunk_id"]: r for r in out}
+    assert by_id[0]["n_tokens"] == 64
+    assert by_id[4]["n_tokens"] == 200 - 192  # short tail kept
+    # overlap: chunk k starts at token k*48, i.e. 16 tokens shared
+    assert by_id[1]["chunk_text"].split()[0] == "w48"
+    assert by_id[0]["chunk_text"].split()[-1] == "w63"
+    # every token appears in at least one chunk
+    seen = {t for r in out for t in r["chunk_text"].split()}
+    assert seen == {f"w{i}" for i in range(200)}
+
+
+def test_chunking_short_and_empty_docs(spark):
+    out = CUR.chunk_documents(
+        docs_df(spark, [(1, "a b c"), (2, "   "), (3, "")]),
+        chunk_size=64,
+        stride=48,
+    ).collect()
+    assert len(out) == 1  # empty docs emit nothing
+    assert out[0]["doc_id"] == 1 and out[0]["n_tokens"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_chunking_is_a_pure_map(spark):
+    plan = CUR.chunk_documents(
+        docs_df(spark, [(1, "a b")]), 64, 48
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: chunking runs at scan speed
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    rows = [(i, "x", "en" if i % 2 == 0 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = CUR.stratified_sample(df, {"en": 50, "de": 10}).collect()
+    s2 = CUR.stratified_sample(df, {"en": 50, "de": 10}).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    en = [r for r in s1 if r["lang"] == "en"]
+    de = [r for r in s1 if r["lang"] == "de"]
+    # md5 buckets are uniform: expect ~250/50 with generous slack
+    assert 175 <= len(en) <= 325
+    assert 20 <= len(de) <= 90
+    assert all(r["sample_bucket"] < 50 for r in en)
+    assert all(r["sample_bucket"] < 10 for r in de)
+
+
+def test_stratified_sample_is_nested(spark):
+    """Raising a stratum's rate only ADDS rows (hash-gated ⇒ samples nest),
+    which is what makes re-sampling at a new rate resumable at 100 TB."""
+    df = spark.createDataFrame(
+        [(i, "x", "en") for i in range(500)], "doc_id long, text string, lang string"
+    )
+    small = {r["doc_id"] for r in CUR.stratified_sample(df, {"en": 20}).collect()}
+    large = {r["doc_id"] for r in CUR.stratified_sample(df, {"en": 60}).collect()}
+    assert small <= large
+
+
+def test_stratified_sample_default_rate(spark):
+    df = spark.createDataFrame(
+        [(i, "x", "zz") for i in range(200)], "doc_id long, text string, lang string"
+    )
+    out = CUR.stratified_sample(df, {"en": 50}, default_rate=0).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_degenerate_doc(spark):
+    out = {
+        r["doc_id"]: r
+        for r in CUR.repetition_stats(
+            docs_df(spark, [(1, "spam spam spam spam"), (2, "a fresh new doc here")])
+        ).collect()
+    }
+    spammy, fresh = out[1], out[2]
+    assert spammy["n_tokens"] == 4 and spammy["top_tok_count"] == 4
+    assert spammy["n_2grams"] == 3 and spammy["n_distinct_2grams"] == 1
+    assert fresh["top_tok_count"] == 1
+    assert fresh["n_2grams"] == fresh["n_distinct_2grams"] == 4
+    assert fresh["total_word_chars"] == len("afreshnewdochere")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_counts_and_replaces(spark):
+    out = {
+        r["doc_id"]: r
+        for r in CUR.redact_pii(
+            docs_df(
+                spark,
+                [
+                    (1, "mail a.b+c@sub.example.org and d@e.io now"),
+                    (2, "call +1-555-0123 or +1-555-0999"),
+                    (3, "nothing personal here"),
+                ],
+            )
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert out[2]["n_phones"] == 2 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == out[3]["n_phones"] == 0
+    # redacted_len reflects the substitution, and the md5 is over the
+    # redacted text (spot-check via an explicit recomputation)
+    import hashlib
+
+    expected = "call <PHONE> or <PHONE>"
+    assert out[2]["redacted_len"] == len(expected)
+    assert out[2]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_prefers_rare_frequent_terms(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "common common rare rare rare"),
+            (2, "common other words here"),
+            (3, "common unrelated text body"),
+        ],
+    )
+    out = CUR.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["tok"] for r in out}
+    # "rare" (tf=3, df=1) beats "common" (tf=2, df=3) for doc 1
+    assert top[1] == "rare"
+    assert all(r["rank"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
+
+
+def test_dup_clusters_path_graph_converges(spark):
+    """A 6-node path (worst diameter per edge) plus two singletons."""
+    nodes = spark.range(8).withColumnRenamed("id", "doc_id")
+    path = pairs_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {r["doc_id"]: r for r in dup_clusters(nodes, path).collect()}
+    assert all(out[i]["cluster_id"] == 0 for i in range(6))
+    assert all(out[i]["cluster_size"] == 6 for i in range(6))
+    assert out[6]["cluster_id"] == 6 and out[6]["cluster_size"] == 1
+    assert out[7]["is_canonical"] is True
+    canon = [r for r in out.values() if r["is_canonical"]]
+    assert sorted(r["doc_id"] for r in canon) == [0, 6, 7]
+
+
+def test_dup_clusters_two_components_and_edge_direction(spark):
+    nodes = spark.range(7).withColumnRenamed("id", "doc_id")
+    # edges given in arbitrary orientation; component {1,2,5}, {3,6}
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(nodes, pairs_df(spark, [(5, 2), (1, 5), (6, 3)])).collect()
+    }
+    assert out[1] == out[2] == out[5] == 1
+    assert out[3] == out[6] == 3
+    assert out[0] == 0 and out[4] == 4
+
+
+def test_dup_clusters_no_pairs(spark):
+    nodes = spark.range(4).withColumnRenamed("id", "doc_id")
+    empty = pairs_df(spark, []).where(F.lit(False))
+    out = dup_clusters(nodes, empty).collect()
+    assert all(r["cluster_size"] == 1 and r["is_canonical"] for r in out)
+    assert len(out) == 4
