@@ -77,6 +77,11 @@ HEADLINE = [
     "gopher_repetition_docs",
     "pii_redaction_docs",
     "tfidf_top_terms",
+    "decontaminate_docs",
+    "pack_sequences_docs",
+    "q6_revenue_filter",
+    "order_count_distribution",
+    "large_quantity_orders",
 ]
 
 

@@ -185,6 +185,125 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation set (the standard guard against
+    test-set leakage into training corpora; n=5..13 in published
+    pipelines).
+
+    Output: one row per training doc — (doc_id, n_grams,
+    n_contaminated, is_contaminated), where ``n_grams`` counts the doc's
+    distinct n-grams and ``n_contaminated`` how many of them appear
+    anywhere in the eval set.
+
+    Scale shape: the eval side (benchmarks are tiny relative to a 100 TB
+    corpus) collapses to a DISTINCT set of 63-bit n-gram hashes and is
+    **broadcast**, so the training side — the big one — is a shingle
+    explode feeding a broadcast-hash semi-join plus one doc_id-keyed
+    aggregation (map-side combined, unique key, no skew).  Nothing big
+    ever shuffles on the n-gram.
+    """
+    from .dedup import _md5_int63, shingles
+
+    ev = (
+        shingles(eval_df, n=n, text_col=text_col)
+        .select(_md5_int63(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+    tr = shingles(train, n=n, text_col=text_col).select(
+        "doc_id", _md5_int63(F.col("shingle")).alias("gh")
+    )
+    per_doc = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, seq_len: int = 128, text_col: str = "text"
+) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate every document's
+    tokens (plus one end-of-document separator each) in doc_id order into
+    one virtual token stream, then cut the stream into fixed ``seq_len``
+    training sequences.  Emits, per non-empty document, its exact placement:
+    (doc_id, n_tokens, token_offset, first_seq, last_seq, n_seqs) — enough
+    for a writer to materialize any sequence range independently.
+
+    The global token offset is an exact prefix sum over a total order —
+    the textbook distributed formulation, NOT a single-partition window:
+
+    1. ``repartitionByRange(doc_id)`` so partition i holds a contiguous
+       doc_id range (pinned via ``localCheckpoint`` — range partitioning
+       samples, and the two consumers below must see the SAME layout);
+    2. per-partition prefix sums via a window PARTITIONED by the physical
+       partition id (parallel across partitions);
+    3. per-partition totals (one tiny row per partition) cumsum'd into
+       partition start offsets — the only serial step touches ≤ P rows —
+       then **broadcast** back.
+
+    At 100 TB this is one range shuffle + one broadcast join; no stage ever
+    funnels the data through a single task, which a naive
+    ``Window.orderBy(doc_id)`` with no partitionBy would."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    counts = df.select("doc_id", F.size(toks).cast("long").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    ranged = (
+        counts.repartitionByRange("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = ranged.withColumn(
+        "_local_prefix",
+        F.coalesce(
+            F.sum(F.col("n_tokens") + 1).over(w_local), F.lit(0).cast("long")
+        ),
+    )
+    part_sums = ranged.groupBy("_pid").agg(
+        F.sum(F.col("n_tokens") + 1).alias("_psum")
+    )
+    w_part = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    part_offsets = part_sums.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(w_part), F.lit(0).cast("long")).alias(
+            "_part_offset"
+        ),
+    )
+    offset = (F.col("_part_offset") + F.col("_local_prefix")).alias("token_offset")
+    first = F.floor(F.col("token_offset") / seq_len).cast("long")
+    last = F.floor((F.col("token_offset") + F.col("n_tokens")) / seq_len).cast("long")
+    return (
+        with_local.join(F.broadcast(part_offsets), "_pid")
+        .select("doc_id", "n_tokens", offset)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token_offset",
+            first.alias("first_seq"),
+            last.alias("last_seq"),
+            (last - first + 1).alias("n_seqs"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k characteristic terms per document by an integer TF-IDF score:
     ``score = tf * 1_000_000 div doc_freq`` (integer division — no

@@ -1980,3 +1980,198 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     return CUR.tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + sequence packing (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+# 5-gram word shingles, lowercased, distinct per doc — the decontamination
+# granularity (published pipelines use n=5..13)
+_SHINGLES5_SQL = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}) - 3, 1)),
+               i -> array_to_string(
+                   list_transform({_TOKENS_SQL}, t -> lower(t))[i:i+4], ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len({_TOKENS_SQL}) >= 5 AND length(trim(text)) > 0
+"""
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH sh AS ({_SHINGLES5_SQL}),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS gh
+        FROM sh
+    ),
+    ev AS (SELECT DISTINCT gh FROM h WHERE doc_id % 11 = 0),
+    tr AS (SELECT doc_id, gh FROM h WHERE doc_id % 11 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM tr JOIN ev USING (gh) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(n_hits, 0) > 0 AS is_contaminated
+    FROM per_doc LEFT JOIN hits USING (doc_id)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 11 != 0) flagged
+    by 5-gram overlap with the deterministic eval split (doc_id % 11 == 0).
+    The eval n-gram set is broadcast — the 100 TB side never shuffles on
+    the n-gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+    tr = docs.where(F.col("doc_id") % 11 != 0)
+    return CUR.decontaminate(tr, ev, n=5)
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens
+        FROM documents
+        WHERE length(trim(text)) > 0 AND len({_TOKENS_SQL}) > 0
+    ),
+    c AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS token_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           token_offset // 128 AS first_seq,
+           (token_offset + n_tokens) // 128 AS last_seq,
+           (token_offset + n_tokens) // 128 - token_offset // 128 + 1
+               AS n_seqs
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing layout: global token offsets via the two-phase
+    distributed prefix sum (range partition → per-partition window →
+    broadcast partition offsets), then 128-token sequence spans.  The
+    oracle is the single-node window cumsum the distributed plan must
+    agree with."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.pack_sequences(docs, seq_len=128)
+
+
+# ---------------------------------------------------------------------------
+# Additional relational shapes: scan-heavy filter-aggregate (TPC-H Q6),
+# outer-join distribution (Q13), group-having semi-pattern (Q18)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_filter",
+    """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_1e4,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate, zero joins — the query
+    whose whole cost is the scan.  All four predicates push down to the
+    parquet reader (min/max row-group pruning on shipdate), and the
+    aggregate is a single map-side-combined partial.  Revenue uses the
+    floor-based integer-unit discipline (floor of a per-row IEEE product
+    is bit-stable across engines; BIGINT sum is order-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                .cast("long")
+            ).alias("revenue_1e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, including
+    k = 0 (the left join keeps order-less customers; COUNT of the null
+    orderkey yields 0).  One shuffle on custkey for join+first aggregate
+    (same key — AQE coalesces), then a tiny second aggregate on the
+    distinct-count domain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "large_quantity_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer.  The HAVING aggregate runs FIRST and shrinks
+    the fact side by ~50× before any join (sum of integer-valued doubles
+    is exact, so the threshold is engine-stable); the surviving keys then
+    drive two equi-joins that AQE can flip to broadcast once the filtered
+    side is observed to be small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )

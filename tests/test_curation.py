@@ -203,3 +203,91 @@ def test_dup_clusters_no_pairs(spark):
     out = dup_clusters(nodes, empty).collect()
     assert all(r["cluster_size"] == 1 and r["is_canonical"] for r in out)
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    eval_df = docs_df(spark, [(100, "the quick brown fox jumps over it")])
+    train = docs_df(
+        spark,
+        [
+            # shares the 5-gram "the quick brown fox jumps"
+            (1, "intro text the quick brown fox jumps away"),
+            # shares words but never 5 in a row
+            (2, "quick fox brown the jumps over lazy dogs"),
+            (3, "completely unrelated content with many words here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in CUR.decontaminate(train, eval_df, n=5).collect()}
+    assert out[1]["is_contaminated"] is True and out[1]["n_contaminated"] == 1
+    assert out[2]["is_contaminated"] is False
+    assert out[3]["is_contaminated"] is False
+    # n_grams counts the doc's own distinct 5-grams: len(8 tokens) - 4 = 4
+    assert out[1]["n_grams"] == 4
+
+
+def test_decontaminate_short_docs_have_no_grams(spark):
+    eval_df = docs_df(spark, [(9, "a b c d e")])
+    train = docs_df(spark, [(1, "a b c d")])  # < 5 tokens: no 5-grams
+    assert CUR.decontaminate(train, eval_df, n=5).collect() == []
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    eval_df = docs_df(spark, [(9, "a b c d e")])
+    train = docs_df(spark, [(1, "a b c d e f")])
+    df = CUR.decontaminate(train, eval_df, n=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # big side never shuffles on the gram
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_offsets_are_exact_prefix_sums(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i))) for i in range(20)]
+    out = sorted(
+        CUR.pack_sequences(docs_df(spark, rows), seq_len=16).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expected_offset = 0
+    for r in out:
+        assert r["token_offset"] == expected_offset
+        assert r["first_seq"] == r["token_offset"] // 16
+        assert r["last_seq"] == (r["token_offset"] + r["n_tokens"]) // 16
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        expected_offset += r["n_tokens"] + 1  # +1 for the eod separator
+
+
+def test_pack_sequences_independent_of_input_partitioning(spark):
+    rows = [(i, " ".join("x" for _ in range(1 + i % 7))) for i in range(300)]
+    df = docs_df(spark, rows)
+    a = sorted(map(tuple, CUR.pack_sequences(df.repartition(1)).collect()))
+    b = sorted(map(tuple, CUR.pack_sequences(df.repartition(17, "text")).collect()))
+    assert a == b
+
+
+def test_pack_sequences_skips_empty_docs(spark):
+    out = CUR.pack_sequences(
+        docs_df(spark, [(1, "a b"), (2, "   "), (3, "c")]), seq_len=4
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 3}
+    # doc 1: tokens [0,1], eod at 2; doc 3 starts at offset 3
+    assert got[1]["token_offset"] == 0 and got[3]["token_offset"] == 3
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    """The per-row window must be partitioned by the physical partition id —
+    a bare Window.orderBy would funnel 100 TB through one task."""
+    df = docs_df(spark, [(i, "a b c") for i in range(50)])
+    res = CUR.pack_sequences(df)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the per-row prefix window hash-partitions on the physical partition id
+    assert "windowspecdefinition(_pid" in plan
+    assert "hashpartitioning(_pid" in plan
