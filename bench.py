@@ -82,6 +82,9 @@ HEADLINE = [
     "q6_revenue_filter",
     "order_count_distribution",
     "large_quantity_orders",
+    "embedding_quantize",
+    "corpus_top_tokens",
+    "events_user_rolling",
 ]
 
 

@@ -2175,3 +2175,144 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization, corpus heavy hitters, rolling time-range windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+    ),
+    q AS (
+        SELECT vec_id, mn, mx,
+               list_transform(v, x ->
+                   CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)) AS qv
+        FROM s WHERE mx > mn
+    )
+    SELECT vec_id,
+           CAST(floor(mn * 1000000) AS BIGINT) AS mn_1e6,
+           CAST(floor(mx * 1000000) AS BIGINT) AS mx_1e6,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           md5(array_to_string(list_transform(qv, x -> x::VARCHAR), ','))
+               AS q_md5
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization of embeddings: per-vector min/max
+    affine scale to [0, 255] (floor — bit-stable across engines, unlike
+    round's tie rules).  4× storage cut for ANN candidate generation; the
+    full-precision re-rank stays on the original column.  Pure map over
+    the array column — no shuffle, scan-speed at 100 TB.  Emits the scale
+    params (floor-1e6 units), an integer checksum, and the md5 of the
+    quantized codes so the oracle pins every code exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id", v.alias("v"), F.array_min(v).alias("mn"), F.array_max(v).alias("mx")
+    ).where(F.col("mx") > F.col("mn"))
+    mn, mx = F.col("mn"), F.col("mx")
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.floor((x - mn) * 255 / (mx - mn)).cast("long"),
+    )
+    return base.select(
+        "vec_id",
+        F.floor(mn * 1000000).cast("long").alias("mn_1e6"),
+        F.floor(mx * 1000000).cast("long").alias("mx_1e6"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.md5(F.concat_ws(",", F.transform(qv, lambda x: x.cast("string")))).alias(
+            "q_md5"
+        ),
+    )
+
+
+@register(
+    "corpus_top_tokens",
+    f"""
+    SELECT tok, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 tokens by occurrence (tie-broken
+    on the token so the cut is deterministic).  The Zipf-skewed explode is
+    exactly where naive groupBys die at 100 TB — here the count is
+    map-side combined per partition before the shuffle, the shuffled rows
+    are (token, partial-count) pairs bounded by |vocab| × partitions, and
+    the global top-k runs as TakeOrderedAndProject (no full sort)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.transform(TX.tokens(F.col("text")), F.lower)
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "events_user_rolling",
+    """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+               CAST(floor(value * 10000) AS BIGINT) AS v4
+        FROM events
+    )
+    SELECT event_id, user_id, ts_sec,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(v4) OVER w AS BIGINT) AS sum_prev_hour_1e4
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour aggregates via a RANGE window frame (event
+    count + floor-1e4 value sum over the preceding hour, peers included).
+    Partitioned by user_id — the window shuffles once on the user key and
+    every frame scan is partition-local, so it scales with users, unlike
+    any global-order formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.sum("v4").over(w).alias("sum_prev_hour_1e4"),
+    )

@@ -69,3 +69,44 @@ def test_approx_stats_bounded_error(spark, sf_dir):
         assert r["n_rows"] == exact_n[r["event_type"]]
         assert r["hll_within_5pct"] is True
         assert r["median_within_5pct"] is True
+
+
+def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
+    df = QUERIES["q6_revenue_filter"](spark, sf_dir)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in scan or col in scan.split("PushedFilters")[1]
+    # column pruning: only the 4 referenced columns are read
+    read = scan.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in read.split(",")) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }
+
+
+def test_corpus_top_tokens_take_ordered_and_partial_agg(spark, sf_dir):
+    df = QUERIES["corpus_top_tokens"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_events_user_rolling_single_user_shuffle(spark, sf_dir):
+    df = QUERIES["events_user_rolling"](spark, sf_dir)
+    rows = df.where(F.col("user_id") == 1).collect()
+    assert rows
+    # brute-force check the frame semantics for one user
+    base = sorted(
+        (r["ts_sec"], r["event_id"], r["n_prev_hour"], r["sum_prev_hour_1e4"])
+        for r in rows
+    )
+    ts_list = [t for t, *_ in base]
+    for t, _eid, n, _s in base:
+        assert n == sum(1 for u in ts_list if t - 3599 <= u <= t)
+    plan = _plan(df)
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_embedding_quantize_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["embedding_quantize"](spark, sf_dir)
+    assert "Exchange" not in _plan(df)  # pure map at scan speed
