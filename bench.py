@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_quantize",
     "corpus_top_tokens",
     "events_user_rolling",
+    "training_mix_pipeline",
 ]
 
 

@@ -2316,3 +2316,88 @@ def events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_prev_hour"),
         F.sum("v4").over(w).alias("sum_prev_hour_1e4"),
     )
+
+
+@register(
+    "training_mix_pipeline",
+    f"""
+    WITH canon AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents)
+        GROUP BY h
+    ),
+    sh AS ({_SHINGLES5_SQL}),
+    gh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS g
+        FROM sh
+    ),
+    ev AS (SELECT DISTINCT g FROM gh WHERE doc_id % 11 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM gh JOIN ev USING (g)
+        WHERE doc_id % 11 <> 0
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.source, d.text
+        FROM documents d JOIN canon USING (doc_id)
+        WHERE d.doc_id % 11 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100
+              < CASE d.lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                            WHEN 'fr' THEN 25 WHEN 'es' THEN 25 ELSE 10 END
+    ),
+    t AS (
+        SELECT doc_id, lang, source,
+               list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM kept WHERE length(trim(text)) > 0
+    ),
+    ex AS (
+        SELECT doc_id, lang, source, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT)))
+                   AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT lang, source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]))
+                AS BIGINT) AS n_tokens
+    FROM ex GROUP BY lang, source
+    """,
+)
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-mix pipeline, composed end-to-end from the
+    engine's own curation operators: exact-dedup canonical filter →
+    benchmark decontamination (5-gram overlap vs the doc_id % 11 eval
+    split, eval grams broadcast) → deterministic hash-gated stratified
+    sampling → 64/48 context-window chunking → per-(lang, source) mix
+    statistics.  Every stage is a doc_id-keyed filter or a pure map, so
+    the whole pipeline is one documents scan per feature family plus
+    doc_id-local joins and a final small aggregate — the shape that holds
+    at 100 TB (no stage funnels, no driver collects)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+    train = docs.where(F.col("doc_id") % 11 != 0)
+    canon = DD.exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    contaminated = (
+        CUR.decontaminate(train, ev, n=5)
+        .where(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    kept = (
+        train.join(canon, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    sampled = CUR.stratified_sample(
+        kept, rates={"en": 50, "de": 25, "fr": 25, "es": 25}, default_rate=10
+    )
+    chunks = CUR.chunk_documents(sampled, chunk_size=64, stride=48)
+    return (
+        chunks.join(sampled.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
