@@ -86,6 +86,9 @@ HEADLINE = [
     "corpus_top_tokens",
     "events_user_rolling",
     "training_mix_pipeline",
+    "events_gap_fill",
+    "events_funnel",
+    "events_retention_hourly",
 ]
 
 

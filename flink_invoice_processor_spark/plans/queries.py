@@ -2401,3 +2401,149 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: gap filling, funnel conversion, cohort retention
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_gap_fill",
+    """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM c),
+    hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, h.hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hourly counts per event type with
+    missing hours zero-filled over the global [min, max] hour span.  The
+    expensive part (the scan + count) aggregates map-side first; the dense
+    grid is |types| x |hours| — generated from two scalar bounds and a
+    distinct-types dim, both tiny at any corpus scale — and the final
+    left join broadcasts the grid side."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    counts = ev.groupBy(F.col("event_type"), hour).agg(F.count("*").alias("n"))
+    bounds = counts.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    return grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH fc AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT fc.user_id,
+           CAST(floor(epoch(fc.first_click)) AS BIGINT) AS first_click_sec,
+           conv.user_id IS NOT NULL AS converted,
+           CAST(floor(epoch(conv.first_purchase))
+                - floor(epoch(fc.first_click)) AS BIGINT) AS ttc_sec
+    FROM fc LEFT JOIN conv ON fc.user_id = conv.user_id
+    WHERE fc.first_click IS NOT NULL
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: per user, first click and first purchase at
+    or after it (conversion + time-to-convert).  Both aggregates and the
+    joins key on user_id — one shuffle partitioning reused end-to-end
+    (AQE coalesces the co-partitioned joins); no windows, no per-user
+    sorting."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            )
+        )
+        .where(F.col("first_click").isNotNull())
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        purchases.join(fc, "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fc.join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("first_click").cast("long").alias("first_click_sec"),
+            F.col("first_purchase").isNotNull().alias("converted"),
+            (
+                F.col("first_purchase").cast("long")
+                - F.col("first_click").cast("long")
+            ).alias("ttc_sec"),
+        )
+    )
+
+
+@register(
+    "events_retention_hourly",
+    """
+    WITH uh AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+    ),
+    active AS (SELECT hour, COUNT(*) AS n_active FROM uh GROUP BY hour),
+    ret AS (
+        SELECT a.hour, COUNT(*) AS n_retained
+        FROM uh a JOIN uh b
+          ON a.user_id = b.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+        GROUP BY a.hour
+    )
+    SELECT active.hour, n_active,
+           CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained
+    FROM active LEFT JOIN ret ON active.hour = ret.hour
+    """,
+)
+def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour retention cohorts: of the users active in hour h,
+    how many return in h+1.  The distinct (user, hour) set shrinks the
+    fact table before the self-join, and both the join and the counts key
+    on user_id/hour — uniform keys, map-side-combined aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    active = uh.groupBy("hour").agg(F.count("*").alias("n_active"))
+    nxt = uh.select(
+        "user_id", (F.col("hour") - F.expr("interval 1 hour")).alias("hour")
+    )
+    ret = (
+        uh.join(nxt, ["user_id", "hour"])
+        .groupBy("hour")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    return active.join(ret, "hour", "left").select(
+        "hour", "n_active",
+        F.coalesce(F.col("n_retained"), F.lit(0)).cast("long").alias("n_retained"),
+    )
