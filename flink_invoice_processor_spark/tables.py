@@ -86,3 +86,33 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    max_records_per_file: int = 5_000_000,
+    row_group_size: int | None = None,
+) -> None:
+    """Persist parquet with rows sorted on ``sort_cols`` WITHIN each task
+    partition (no global sort — no extra shuffle beyond what the caller
+    already has).
+
+    Sorting makes parquet row-group min/max statistics disjoint along the
+    sort column, so any selective predicate on it skips whole row groups
+    at scan time without reading a page — the single-column complement to
+    directory partitioning (which handles coarse ranges) and bucketing
+    (which handles join keys).  At 100 TB this is the difference between
+    "point lookup touches every row group" and "touches one per file".
+    """
+    writer = (
+        df.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if row_group_size is not None:
+        # per-write row-group sizing (hadoop confs are fixed at session
+        # start; the writer option applies to this write only)
+        writer = writer.option("parquet.block.size", row_group_size)
+    writer.parquet(path)

@@ -47,3 +47,46 @@ def test_partitioned_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     assert back.select(F.sum("event_id")).first()[0] == ev.select(
         F.sum("event_id")
     ).first()[0]
+
+
+def test_sorted_write_makes_row_group_stats_disjoint(spark, tmp_path):
+    """write_sorted exists to make row-group min/max pruning effective:
+    after sortWithinPartitions(user_id), each row group covers a narrow
+    user_id range instead of the whole domain.  Read the parquet footers
+    and compare the average per-row-group span against an unsorted write."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from flink_invoice_processor_spark.tables import write_sorted
+
+    df = (
+        spark.range(200_000)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 1000).alias("user_id"),  # cycles the full domain
+            (F.col("id") * 7 % 97).alias("value"),
+        )
+        .coalesce(2)
+    )
+    sorted_path = str(tmp_path / "sorted")
+    unsorted_path = str(tmp_path / "unsorted")
+    write_sorted(df, sorted_path, ["user_id"], row_group_size=64 * 1024)
+    (df.write.mode("overwrite")
+       .option("parquet.block.size", 64 * 1024).parquet(unsorted_path))
+
+    def spans(path):
+        import glob
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["user_id"]).statistics
+                out.append(st.max - st.min)
+        return out
+
+    s_spans, u_spans = spans(sorted_path), spans(unsorted_path)
+    assert len(s_spans) >= 4, (s_spans, "need several row groups")
+    avg_s = sum(s_spans) / len(s_spans)
+    avg_u = sum(u_spans) / len(u_spans)
+    # unsorted row groups span ~the whole user domain; sorted ones a slice
+    assert avg_s < 0.35 * avg_u, (avg_s, avg_u)
