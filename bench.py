@@ -89,6 +89,7 @@ HEADLINE = [
     "events_gap_fill",
     "events_funnel",
     "events_retention_hourly",
+    "fuzzy_prefix_pairs",
 ]
 
 

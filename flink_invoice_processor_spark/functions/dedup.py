@@ -390,3 +390,66 @@ def simhash_pairs(
         "doc_id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_distance: int = 5,
+    prefix_tokens: int = 12,
+    max_block_doc_freq: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a normalized token prefix,
+    with first-token blocking: candidate pairs must share their first
+    token (equi-join — never an all-pairs comparison), pass a cheap
+    length-difference filter (|len(a)-len(b)| > d implies distance > d),
+    and only then pay the O(len²) levenshtein residual.
+
+    Catches the small-edit near-dups that set-based methods miss (MinHash
+    sees heavily-shared shingles only; one typo in a short title is
+    invisible to it but is distance 1 here).
+
+    ``max_block_doc_freq`` is the stop-block guard, same contract as
+    ``max_shingle_doc_freq`` in :func:`jaccard_pairs`: a first token
+    shared by half the corpus ("the") makes the block join quadratic at
+    scale — ALWAYS cap it at 100 TB; dropped blocks trade recall on the
+    most boilerplate prefixes for a bounded join.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = (
+        df.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("pfx"),
+            F.element_at(toks, 1).alias("blk"),
+        )
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+    )
+    if max_block_doc_freq is not None:
+        keep = (
+            base.groupBy("blk")
+            .agg(F.count("*").alias("_bf"))
+            .where(F.col("_bf") <= max_block_doc_freq)
+            .select("blk")
+        )
+        base = base.join(F.broadcast(keep), "blk")
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.length(F.col("a.pfx")) - F.length(F.col("b.pfx")))
+                <= max_distance
+            ),
+        )
+        .where(F.levenshtein(F.col("a.pfx"), F.col("b.pfx")) <= max_distance)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+            .cast("long")
+            .alias("edit_distance"),
+        )
+    )

@@ -2547,3 +2547,35 @@ def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour", "n_active",
         F.coalesce(F.col("n_retained"), F.lit(0)).cast("long").alias("n_retained"),
     )
+
+
+@register(
+    "fuzzy_prefix_pairs",
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform({_TOKENS_SQL}, t -> lower(t))[1:12], ' ')
+                   AS pfx,
+               list_transform({_TOKENS_SQL}, t -> lower(t))[1] AS blk
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    keep AS (SELECT blk FROM p GROUP BY blk HAVING COUNT(*) <= 100),
+    pb AS (SELECT p.* FROM p JOIN keep USING (blk))
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
+    FROM pb a JOIN pb b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(length(a.pfx) - length(b.pfx)) <= 5
+    WHERE levenshtein(a.pfx, b.pfx) <= 5
+    """,
+)
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on the 12-token normalized prefix:
+    first-token blocking + length filter + levenshtein <= 5 residual,
+    stop-block guard at 100 docs (the skew cap that keeps the block join
+    linear at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.fuzzy_pairs(
+        docs, max_distance=5, prefix_tokens=12, max_block_doc_freq=100
+    )

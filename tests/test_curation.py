@@ -291,3 +291,35 @@ def test_pack_sequences_no_global_single_partition_window(spark):
     # the per-row prefix window hash-partitions on the physical partition id
     assert "windowspecdefinition(_pid" in plan
     assert "hashpartitioning(_pid" in plan
+
+
+# ---------------------------------------------------------------------------
+# fuzzy edit-distance pairs
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_pairs_catches_typo_misses_rewrite(spark):
+    from flink_invoice_processor_spark.functions.dedup import fuzzy_pairs
+
+    df = docs_df(
+        spark,
+        [
+            (1, "spark streaming engine design notes"),
+            (2, "spark streaming engine desing notes"),   # one transposition
+            (3, "spark batch pipeline totally different text"),
+            (4, "flink streaming engine design notes"),   # different block
+        ],
+    )
+    out = {(r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+           for r in fuzzy_pairs(df, max_distance=3).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 2  # transposition = 2 unit edits
+    assert all(3 not in p for p in out)
+    assert all(4 not in p for p in out)  # blocking: first token differs
+
+
+def test_fuzzy_pairs_block_cap_drops_hot_block(spark):
+    from flink_invoice_processor_spark.functions.dedup import fuzzy_pairs
+
+    rows = [(i, f"the common prefix variant {i}") for i in range(30)]
+    df = docs_df(spark, rows)
+    assert fuzzy_pairs(df, max_distance=9, max_block_doc_freq=10).count() == 0
+    assert fuzzy_pairs(df, max_distance=9).count() > 0
