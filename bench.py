@@ -91,6 +91,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention_hourly",
     "fuzzy_prefix_pairs",
+    "label_centroids",
 ]
 
 

@@ -2579,3 +2579,44 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.fuzzy_pairs(
         docs, max_distance=5, prefix_tokens=12, max_block_doc_freq=100
     )
+
+
+@register(
+    "label_centroids",
+    """
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ex AS (
+        SELECT label, i - 1 AS pos,
+               CAST(floor(v[i] * 1000000) AS BIGINT) AS x6
+        FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           COUNT(*) AS n,
+           CAST(SUM(x6) AS BIGINT) AS sum_1e6,
+           CAST(SUM(x6) // COUNT(*) AS BIGINT) AS centroid_1e6
+    FROM ex GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label over the embedding column — the
+    distributed vector mean (the building block of k-means training and
+    class prototypes).  ``posexplode`` flattens to (label, pos, value)
+    rows so the mean is an ordinary map-side-combined hash aggregate on
+    (label, pos): |labels| x dim cells regardless of corpus size, uniform
+    keys, no skew.  Values go through floor-1e6 integer units so the sum
+    is order-free (float partial-agg order is nondeterministic at any
+    parallelism)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "label", "pos", F.floor(F.col("x") * 1000000).cast("long").alias("x6")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").alias("sum_1e6"),
+        F.expr("sum(x6) div count(*)").alias("centroid_1e6"),
+    )
