@@ -92,6 +92,7 @@ HEADLINE = [
     "events_retention_hourly",
     "fuzzy_prefix_pairs",
     "label_centroids",
+    "kmeans_clusters",
 ]
 
 

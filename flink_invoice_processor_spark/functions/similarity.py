@@ -335,3 +335,88 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def kmeans_integer(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means with fully integer arithmetic — every
+    distance, assignment, and centroid update is exact in floor-1e6 units,
+    so the result is bit-identical at any parallelism AND reproducible by
+    a single-node SQL engine (the DuckDB oracle unrolls the same
+    iterations).  Floating-point k-means can't be oracle-checked: partial
+    sums reorder under parallelism and ties flip.
+
+    Layout per iteration (the standard distributed k-means shape):
+
+    - centroids are k arrays — always BROADCAST; the points side never
+      shuffles for assignment (a map-side zip_with + fold per candidate
+      centroid, n x k rows of O(dim) work);
+    - assignment = min over (distance, cid) structs — deterministic
+      tie-break on the lower centroid id;
+    - update = explode assigned points to (cid, pos) cells and hash-
+      aggregate integer means: k x dim cells regardless of corpus size.
+      Empty clusters keep their previous centroid (guarded re-join).
+
+    Init: the k lowest ``id_col`` vectors (deterministic, matching the
+    oracle).  Returns (vec_id, cid, dist) final assignments.
+    """
+    v6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1000000).cast("long"),
+    )
+    pts = emb.select(F.col(id_col).alias("vec_id"), v6.alias("v6")).persist()
+    cents = pts.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    )
+
+    def dist_col() -> Column:
+        return F.aggregate(
+            F.zip_with("v6", "c6", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assign = None
+    for _ in range(iters):
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", dist_col().alias("d")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+        )
+        cells = (
+            assign.join(pts, "vec_id")
+            .select("cid", F.posexplode("v6").alias("pos", "x6"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(x6) div count(*)").alias("m6"))
+        )
+        new_cents = cells.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m6"))),
+                lambda s: s["m6"],
+            ).alias("c6")
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cid", "left")
+            .select("cid", F.coalesce(F.col("n.c6"), F.col("o.c6")).alias("c6"))
+            .localCheckpoint()
+        )
+    # final assignment against the last centroids
+    final = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dist_col().alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("dist"))
+    )
+    pts.unpersist()
+    return final

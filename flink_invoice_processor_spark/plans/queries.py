@@ -2620,3 +2620,72 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x6").alias("sum_1e6"),
         F.expr("sum(x6) div count(*)").alias("centroid_1e6"),
     )
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: score vs c{i-1}, argmin assign,
+    integer-mean update, empty-cluster guard -> c{i}."""
+    prev = f"c{i - 1}"
+    return f"""
+    s{i} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, len(p.v6) + 1),
+                    j -> (p.v6[j] - c.c6[j]) * (p.v6[j] - c.c6[j])))
+                    AS BIGINT) AS d
+        FROM p CROSS JOIN {prev} c
+    ),
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                       AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    ),
+    u{i} AS (
+        SELECT cid, pos, CAST(SUM(x6) // COUNT(*) AS BIGINT) AS m6
+        FROM (
+            SELECT a.cid, j - 1 AS pos, p.v6[j] AS x6
+            FROM a{i} a JOIN p USING (vec_id),
+                 LATERAL (SELECT unnest(range(1, len(p.v6) + 1)) AS j)
+        ) GROUP BY cid, pos
+    ),
+    n{i} AS (SELECT cid, list(m6 ORDER BY pos) AS c6 FROM u{i} GROUP BY cid),
+    c{i} AS (
+        SELECT c.cid, COALESCE(n.c6, c.c6) AS c6
+        FROM {prev} c LEFT JOIN n{i} n USING (cid)
+    )"""
+
+
+@register(
+    "kmeans_clusters",
+    f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
+    {",".join(_kmeans_iter_sql(i) for i in (1, 2, 3))},
+    fs AS (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, len(p.v6) + 1),
+                    j -> (p.v6[j] - c.c6[j]) * (p.v6[j] - c.c6[j])))
+                    AS BIGINT) AS d
+        FROM p CROSS JOIN c3 c
+    )
+    SELECT vec_id, cid, d AS dist FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM fs
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed k-means (k=8, 3 Lloyd iterations,
+    deterministic lowest-id init): final (vec_id, cid, dist) assignments.
+    The oracle unrolls the identical iterations in SQL — possible only
+    because every distance and centroid mean is integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_integer(emb, k=8, iters=3)

@@ -323,3 +323,36 @@ def test_fuzzy_pairs_block_cap_drops_hot_block(spark):
     df = docs_df(spark, rows)
     assert fuzzy_pairs(df, max_distance=9, max_block_doc_freq=10).count() == 0
     assert fuzzy_pairs(df, max_distance=9).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# integer k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from flink_invoice_processor_spark.functions.similarity import kmeans_integer
+
+    # two tight blobs far apart; k=2, init = vec 0 (blob A) and vec 1 (blob B)
+    rows = []
+    for i in range(20):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.01, base[1] - (i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_integer(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in out.collect()}
+    a = {got[i] for i in range(0, 20, 2)}
+    b = {got[i] for i in range(1, 20, 2)}
+    assert a == {0} and b == {1}
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    from flink_invoice_processor_spark.functions.similarity import kmeans_integer
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    res = kmeans_integer(df, k=4, iters=1)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
