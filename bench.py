@@ -93,6 +93,8 @@ HEADLINE = [
     "fuzzy_prefix_pairs",
     "label_centroids",
     "kmeans_clusters",
+    "events_value_histogram",
+    "events_type_transitions",
 ]
 
 

@@ -2689,3 +2689,75 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every distance and centroid mean is integer arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.kmeans_integer(emb, k=8, iters=3)
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH b AS (
+        SELECT CAST(floor(min(value) * 10000) AS BIGINT) AS mn4,
+               CAST(floor(max(value) * 10000) AS BIGINT) AS mx4
+        FROM events
+    ),
+    h AS (
+        SELECT LEAST(CAST(((CAST(floor(e.value * 10000) AS BIGINT) - b.mn4)
+                           * 20) // GREATEST(b.mx4 - b.mn4 + 1, 1) AS BIGINT),
+                     19) AS bucket
+        FROM events e CROSS JOIN b
+    )
+    SELECT bucket, COUNT(*) AS n_events
+    FROM h GROUP BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values: one tiny bounds
+    aggregate (broadcast as a 1-row cross join), then bucketing is pure
+    integer arithmetic at scan speed and the counts are a 20-key hash
+    aggregate.  Two scans total, no sort — the exact-histogram shape that
+    replaces a global ORDER BY at 100 TB.  All arithmetic in floor-1e4
+    units so bucket edges are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v4 = F.floor(F.col("value") * 10000).cast("long")
+    bounds = ev.agg(
+        F.min(v4).alias("mn4"), F.max(v4).alias("mx4")
+    )
+    bucket = F.least(
+        F.expr("((v4 - mn4) * 20) div greatest(mx4 - mn4 + 1, 1)"), F.lit(19)
+    ).cast("long")
+    return (
+        ev.select(v4.alias("v4"))
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "events_type_transitions",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (ORDER BY ts with event_id tie-break — total order, so
+    the lag is deterministic).  One shuffle on user_id for the window,
+    then a |types|^2-key aggregate; the per-user ordering is partition-
+    local, never global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
