@@ -95,6 +95,9 @@ HEADLINE = [
     "kmeans_clusters",
     "events_value_histogram",
     "events_type_transitions",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
 ]
 
 

@@ -2761,3 +2761,140 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS revenue_1e4
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, revenue_1e4
+    FROM rev
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    ORDER BY revenue_1e4 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-20.
+    The returnflag filter pushes to the lineitem scan, the orders join
+    carries only the custkey, the aggregate shrinks to |customers| before
+    the dimension joins (nation broadcast), and the top-20 plans as
+    TakeOrderedAndProject with a deterministic custkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("revenue_1e4")
+        )
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_1e4")
+        .orderBy(F.col("revenue_1e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_rev_1e4,
+        CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS BIGINT) AS total_rev_1e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of revenue in a date window — a
+    conditional aggregate over a fact-dimension join.  The date filter
+    prunes lineitem row groups at the scan; part is the broadcast side;
+    numerator and denominator are exact integer units so the ratio is
+    computed loss-free downstream."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "promo_rev_1e4"
+            ),
+            F.sum(rev).alias("total_rev_1e4"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_1e4,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive brand/size/quantity
+    predicates across the join.  Catalyst extracts the common
+    sub-predicates per side (brand/size reach the part scan, quantity
+    bounds reach lineitem) so neither scan reads rows no branch can
+    accept; the join stays a broadcast on the filtered dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("revenue_1e4"),
+        F.count("*").alias("n_items"),
+    )
