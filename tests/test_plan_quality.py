@@ -85,3 +85,23 @@ def test_events_scan_prunes_props(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         for m in re.finditer(r"ReadSchema: (\S+)", plan):
             assert "props" not in m.group(1), name
+
+
+def test_plan_audit_sample_has_no_hard_flags(spark, sf_dir):
+    """Representative sweep of tools/plan_audit.py's hard flags: no
+    cartesian products, no row-at-a-time Python UDFs.  (The full 75-query
+    sweep is `python tools/plan_audit.py` — kept out of pytest for time.)"""
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    sample = [
+        "training_mix_pipeline", "kmeans_clusters", "fuzzy_prefix_pairs",
+        "q10_returned_items", "minhash_lsh_docs", "embedding_cosine_topk",
+        "events_retention_hourly", "decontaminate_docs",
+    ]
+    for name in sample:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name

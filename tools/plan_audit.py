@@ -1,0 +1,84 @@
+"""Plan-quality audit: sweep EVERY registered query's physical plan for
+scale red flags.  The oracle gate proves values; this proves the plans
+would survive a 1000-executor cluster.
+
+Hard flags (exit 1):
+- ``CartesianProduct``      — a non-broadcast cross join: O(n*m) shuffle work.
+- ``BatchEvalPython``       — a row-at-a-time Python UDF in the plan (the
+                              only sanctioned Python is Arrow-batched:
+                              ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+
+Soft flags (reported, not fatal — legitimate when the input is provably
+tiny, e.g. the <=P-row partition-offset cumsum in sequence packing, a
+bounds aggregate, or a global top-k):
+- ``Exchange SinglePartition`` — a single-task funnel.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Prints one JSON line: {"queries": N, "hard": {...}, "soft": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+HARD = ("CartesianProduct", "BatchEvalPython")
+SOFT = ("Exchange SinglePartition",)
+
+#: Soft flags that are correct-by-construction: the single partition only
+#: ever sees a provably tiny input.  Anything NOT in this list is reported
+#: as "soft_unexpected" and deserves a look.
+ALLOWED_SOFT = {
+    "events_gap_fill": "1-row global min/max bounds aggregate",
+    "events_value_histogram": "1-row global min/max bounds aggregate",
+    "pack_sequences_docs": "<=P-row per-partition offset cumsum (P = shuffle partitions)",
+    "q6_revenue_filter": "single-row global aggregate (final partial merge)",
+    "q14_promo_revenue": "single-row global aggregate (final partial merge)",
+    "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+    from flink_invoice_processor_spark.session import get_spark
+
+    spark = get_spark("plan_audit", master="local[4]", shuffle_partitions=4)
+    hard: dict[str, list[str]] = {}
+    soft: dict[str, list[str]] = {}
+    names = sorted(only or QUERIES)
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        # initial physical plan (pre-AQE) — shows the static strategy;
+        # AQE only ever improves on it (broadcast promotion, coalescing)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        h = [f for f in HARD if f in plan]
+        s = [f for f in SOFT if f in plan]
+        if h:
+            hard[name] = h
+        if s:
+            soft[name] = s
+    unexpected = {n: f for n, f in soft.items() if n not in ALLOWED_SOFT}
+    print(
+        json.dumps(
+            {
+                "queries": len(names),
+                "hard": hard,
+                "soft_allowed": {
+                    n: ALLOWED_SOFT[n] for n in soft if n in ALLOWED_SOFT
+                },
+                "soft_unexpected": unexpected,
+            }
+        )
+    )
+    spark.stop()
+    if hard:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
