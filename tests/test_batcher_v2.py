@@ -1,0 +1,204 @@
+"""State-v2 batcher (transformWithStateInPandas): protocol parity with the
+applyInPandasWithState version.
+
+Two layers:
+- protocol tests drive ``CountOrTimeoutProcessor`` directly with in-memory
+  state doubles (no Spark) — count flush, timeout drain, force flush,
+  timer re-arm, state removal;
+- end-to-end streaming tests over the same file-source harness as
+  ``test_batcher.py`` — these require ``google.protobuf`` (the v2
+  state-server protocol), absent in this container, so they importorskip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+import pytest
+
+from flink_invoice_processor_spark.streaming.batcher import (
+    FLUSH_COUNT,
+    FLUSH_FORCE,
+    FLUSH_TIMEOUT,
+)
+from flink_invoice_processor_spark.streaming.batcher_v2 import (
+    CountOrTimeoutProcessor,
+    count_or_timeout_batches_v2,
+)
+
+
+# ---------------------------------------------------------------------------
+# in-memory doubles for the v2 state API
+# ---------------------------------------------------------------------------
+
+class FakeListState:
+    def __init__(self):
+        self.rows: list[tuple] = []
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, new):
+        self.rows = list(new)
+
+    def clear(self):
+        self.rows = []
+
+
+class FakeValueState:
+    def __init__(self):
+        self.value = None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = tuple(v)
+
+    def clear(self):
+        self.value = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers: set[int] = set()
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeListState())
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+class FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def make(batch_size=5, timeout_ms=1000, max_wait_ms=None, remove_empty=False):
+    p = CountOrTimeoutProcessor(batch_size, timeout_ms, max_wait_ms, remove_empty)
+    h = FakeHandle()
+    p.init(h)
+    return p, h
+
+
+def feed(p, key, payloads, now_ms):
+    out = list(
+        p.handleInputRows(
+            key, iter([pd.DataFrame({"payload": payloads})]), FakeTimerValues(now_ms)
+        )
+    )
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+# ---------------------------------------------------------------------------
+# protocol tests (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_v2_protocol_count_flush_and_buffering():
+    p, h = make(batch_size=5)
+    out = feed(p, (10,), [f"p{i}" for i in range(12)], now_ms=1_000)
+    assert list(out["flush_reason"]) == [FLUSH_COUNT, FLUSH_COUNT]
+    assert list(out["item_count"]) == [5, 5]
+    assert list(out["batch_seq"]) == [0, 1]
+    assert list(out["key"]) == ["10", "10"]
+    # remainder buffered, timer armed at now + timeout
+    assert len(h.states["buffer"].rows) == 2
+    assert h.timers == {2_000}
+
+
+def test_v2_protocol_timer_rearm_and_timeout_drain():
+    p, h = make(batch_size=100, timeout_ms=1000)
+    feed(p, (1,), ["a"], now_ms=1_000)
+    assert h.timers == {2_000}
+    feed(p, (1,), ["b"], now_ms=1_500)  # re-arm: old deleted, new armed
+    assert h.timers == {2_500}
+    out = list(
+        p.handleExpiredTimer((1,), FakeTimerValues(2_500), None)
+    )
+    (df,) = out
+    assert list(df["flush_reason"]) == [FLUSH_TIMEOUT]
+    assert df["payloads"].iloc[0] == ["a", "b"]
+    assert h.states["buffer"].rows == []
+    # empty buffer → no new timer armed (the runtime removes the fired one;
+    # the double keeps it, so just assert nothing NEW was registered)
+    assert 3_500 not in h.timers
+
+
+def test_v2_protocol_force_flush_on_max_wait():
+    p, h = make(batch_size=100, timeout_ms=1000, max_wait_ms=2000)
+    feed(p, (7,), ["x"], now_ms=0)
+    out = feed(p, (7,), ["y"], now_ms=2_500)  # 2.5 s since last flush
+    assert list(out["flush_reason"]) == [FLUSH_FORCE]
+    assert out["payloads"].iloc[0] == ["x", "y"]
+
+
+def test_v2_protocol_remove_state_when_empty():
+    p, h = make(batch_size=2, remove_empty=True)
+    feed(p, (3,), ["a", "b"], now_ms=0)  # exact count flush → buffer empty
+    assert h.states["meta"].value is None
+    assert h.states["buffer"].rows == []
+    assert h.timers == set()
+
+
+def test_v2_protocol_seq_continues_across_invocations():
+    p, _ = make(batch_size=2)
+    a = feed(p, (9,), ["a", "b"], now_ms=0)
+    b = feed(p, (9,), ["c", "d"], now_ms=100)
+    assert list(a["batch_seq"]) == [0] and list(b["batch_seq"]) == [1]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end streaming (needs google.protobuf — absent in this container)
+# ---------------------------------------------------------------------------
+
+def _write_input(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    name = f"in-{time.time_ns()}.jsonl"
+    (path / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+@pytest.fixture
+def _needs_protobuf():
+    pytest.importorskip("google.protobuf")
+
+
+def test_v2_e2e_count_flush(spark, tmp_path, _needs_protobuf):
+    src = tmp_path / "in"
+    _write_input(
+        src, [{"api_type": 10, "payload": f"p{i}"} for i in range(250)]
+    )
+    batches = count_or_timeout_batches_v2(
+        spark.readStream.schema("api_type INT, payload STRING").json(str(src)),
+        ["api_type"], batch_size=100, timeout_ms=600_000, max_wait_ms=None,
+    )
+    q = (
+        batches.writeStream.format("memory")
+        .queryName("k2v2_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and len(rows) < 2:
+            time.sleep(0.5)
+            rows = spark.table("k2v2_e2e").collect()
+    finally:
+        q.stop()
+    flushes = sorted(rows, key=lambda r: r.batch_seq)
+    assert [r.item_count for r in flushes] == [100, 100]
+    assert {r.flush_reason for r in flushes} == {FLUSH_COUNT}
