@@ -98,6 +98,8 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_disjunctive_filter",
+    "feature_hashing_docs",
+    "vocab_index",
 ]
 
 

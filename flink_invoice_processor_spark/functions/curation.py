@@ -335,3 +335,64 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "tok", "score")
     )
+
+
+def feature_hashing(
+    df: DataFrame, n_buckets: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """The hashing trick: map tokens into ``n_buckets`` hashed feature
+    buckets and count per (doc, bucket) — the fixed-width featurization
+    that needs no vocabulary pass.  Output is the sparse form
+    (doc_id, bucket, n): rows = nonzeros, so wide-but-sparse documents
+    stay cheap.  One explode + one map-side-combined aggregate on
+    (doc_id, bucket); md5-derived bucket ids keep the layout engine-exact.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    return (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", (_md5_bucket(F.col("tok"), n_buckets)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def distributed_row_number(
+    df: DataFrame, order_cols: list[Column], out_col: str = "rn"
+) -> DataFrame:
+    """Global 1-based row numbers over a total order WITHOUT the classic
+    scale bug (``Window.orderBy`` with no partitionBy funnels every row
+    through one task).  Same two-phase shape as sequence packing:
+
+    1. ``repartitionByRange`` on the order columns (partition i holds a
+       contiguous slice of the order; pinned via ``localCheckpoint``);
+    2. per-partition local ranks via a window PARTITIONED by the physical
+       partition id;
+    3. per-partition row counts (≤ P rows) cumsum'd into start offsets and
+       broadcast back.
+
+    ``order_cols`` must be a total order (add a unique tie-break column),
+    otherwise numbering within ties is partition-dependent."""
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.count("*").over(w_local), F.lit(0)).cast("long")
+    )
+    part_counts = ranged.groupBy("_pid").agg(F.count("*").alias("_pc"))
+    w_part = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(w_part), F.lit(0).cast("long")).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )

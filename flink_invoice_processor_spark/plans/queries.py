@@ -2898,3 +2898,62 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_1e4"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "feature_hashing_docs",
+    f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
+           COUNT(*) AS n
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: 32 hashed buckets, sparse
+    (doc_id, bucket, n) output — fixed-width features with no vocabulary
+    pass, one map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return CUR.feature_hashing(docs, n_buckets=32)
+
+
+@register(
+    "vocab_index",
+    f"""
+    WITH tc AS (
+        SELECT tok, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        ) GROUP BY tok
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT)
+               AS token_id,
+           tok, n
+    FROM tc
+    """,
+)
+def vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus token counts ranked into a dense
+    1-based token id (count desc, token asc — a total order).  The global
+    numbering uses the two-phase distributed row_number (range partition →
+    partition-local rank → broadcast offsets), never a single-partition
+    window; the oracle is the single-node window it must agree with."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.transform(TX.tokens(F.col("text")), F.lower)
+    tc = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return CUR.distributed_row_number(
+        tc, [F.col("n").desc(), F.col("tok").asc()], out_col="token_id"
+    ).select("token_id", "tok", "n")

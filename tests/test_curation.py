@@ -356,3 +356,39 @@ def test_kmeans_broadcasts_centroids(spark):
     res.collect()
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# distributed row_number + feature hashing
+# ---------------------------------------------------------------------------
+
+def test_distributed_row_number_matches_total_order(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(500)], "k long, v long"
+    )
+    out = CUR.distributed_row_number(
+        df.repartition(13), [F.col("v").desc(), F.col("k").asc()], out_col="rn"
+    ).collect()
+    expected = sorted(((r["v"], r["k"]) for r in out), key=lambda t: (-t[0], t[1]))
+    got = {(r["v"], r["k"]): r["rn"] for r in out}
+    for i, key in enumerate(expected, start=1):
+        assert got[key] == i
+    plan_df = CUR.distributed_row_number(
+        df, [F.col("v").asc(), F.col("k").asc()]
+    )
+    plan_df.collect()
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan  # never a global window
+
+
+def test_feature_hashing_sparse_counts(spark):
+    df = docs_df(spark, [(1, "a a b"), (2, ""), (3, "b")])
+    out = CUR.feature_hashing(df, n_buckets=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["n"]
+    assert sum(by_doc[1].values()) == 3 and len(by_doc[1]) == 2  # a,b buckets
+    assert 2 not in by_doc  # empty doc: no rows
+    # same token → same bucket across docs
+    (b_bucket,) = [b for b, n in by_doc[3].items()]
+    assert by_doc[1][b_bucket] == 1
