@@ -55,10 +55,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality: length / punctuation / stopword-ratio
-    components combined into [0, 1].  The arithmetic is deliberately simple
-    (abs/least/greatest only) so the oracle reproduces it exactly."""
+def quality_columns(text_col: str = "text") -> list:
+    """Quality-score output columns as standalone expressions — composable
+    into a single projection with other per-doc feature families (one scan
+    instead of scan-per-family + doc_id joins; see ``corpus_curation``)."""
     text = F.col(text_col)
     toks = tokens(text)
     n_chars = F.length(text)
@@ -83,19 +83,25 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + punct_component * F.lit(0.3)
         + stop_component * F.lit(0.4)
     )
-    return df.select(
-        "doc_id",
+    return [
         n_toks.alias("n_tokens"),
         F.round(avg_word_len, 4).alias("avg_word_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality"),
-    )
+    ]
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID: the language whose stopword list matches
-    the most tokens wins; ties break alphabetically; zero hits → 'und'."""
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length / punctuation / stopword-ratio
+    components combined into [0, 1].  The arithmetic is deliberately simple
+    (abs/least/greatest only) so the oracle reproduces it exactly."""
+    return df.select("doc_id", *quality_columns(text_col))
+
+
+def language_columns(text_col: str = "text") -> list:
+    """Language-ID output columns as standalone expressions (see
+    ``quality_columns`` for why)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     hits = {}
     for lang, words in sorted(STOPWORDS.items()):
@@ -106,11 +112,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for lang in sorted(hits):  # alphabetical tie-break
         pred = pred.when(hits[lang] == best, F.lit(lang))
-    return df.select(
-        "doc_id",
+    return [
         pred.alias("pred_lang"),
         *[hits[lang].alias(f"hits_{lang}") for lang in sorted(hits)],
-    )
+    ]
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: the language whose stopword list matches
+    the most tokens wins; ties break alphabetically; zero hits → 'und'."""
+    return df.select("doc_id", *language_columns(text_col))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1545,14 +1545,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline is one scan of `documents` per feature family plus
     doc_id-local joins; no driver-side collects anywhere)."""
     docs = load_table(spark, sf_dir, "documents")
-    quality = TX.quality_score(docs).where(F.col("quality") >= 0.63).select(
-        "doc_id", "n_tokens", "quality"
+    # quality + language are pure maps over the same text: ONE projection,
+    # not scan-per-family + doc_id joins (halves the documents scans and
+    # drops a shuffle join vs the naive composition)
+    feats = docs.select(
+        "doc_id", *TX.quality_columns(), *TX.language_columns()
     )
-    english = TX.language_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
+    kept = feats.where(
+        (F.col("quality") >= 0.63) & (F.col("pred_lang") == "en")
+    ).select("doc_id", "n_tokens", "quality")
     canonical = DD.exact_dedup(docs).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    return quality.join(english, "doc_id").join(canonical, "doc_id")
+    return kept.join(canonical, "doc_id")
 
 
 # ---------------------------------------------------------------------------
