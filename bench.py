@@ -100,6 +100,7 @@ HEADLINE = [
     "q19_disjunctive_filter",
     "feature_hashing_docs",
     "vocab_index",
+    "kfold_split_docs",
 ]
 
 

@@ -2962,3 +2962,42 @@ def vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.distributed_row_number(
         tc, [F.col("n").desc(), F.col("tok").asc()], out_col="token_id"
     ).select("token_id", "tok", "n")
+
+
+@register(
+    "kfold_split_docs",
+    """
+    WITH f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 5 AS fold
+        FROM documents
+    )
+    SELECT fold, lang, COUNT(*) AS n_docs
+    FROM f GROUP BY fold, lang
+    """,
+)
+def kfold_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 5-fold cross-validation assignment: fold = md5 of a
+    salted key, so the split is stable across retries, machines, and data
+    re-orderings (the property train/eval splits at 100 TB must have —
+    random() would reshuffle on every retry).  The salt ('fold:')
+    decorrelates this split from every other md5-gated decision in the
+    pipeline (sampling buckets, eval splits).  Output is the per-(fold,
+    lang) census used to sanity-check balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

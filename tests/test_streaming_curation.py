@@ -87,3 +87,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         spark.createDataFrame([(10, GOOD)], "doc_id long, text string")
     ).count()
     assert got.count() == one_doc_chunks
+
+
+def test_streaming_curation_restart_no_dupes_no_loss(spark, tmp_path):
+    """Stop the job, add more input, restart from the SAME checkpoint:
+    earlier chunks are not re-emitted, new ones appear exactly once."""
+    from flink_invoice_processor_spark.streaming.curation_job import (
+        run_curation_job as run,
+    )
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(src, [_docs(1, GOOD)])
+    stream = lambda: spark.readStream.schema(DOC_SCHEMA).json(str(src))  # noqa: E731
+    q = run(stream(), str(out), str(ckpt), trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not _count(spark, out):
+            time.sleep(1)
+    finally:
+        q.stop()
+    first = _count(spark, out)
+    assert first > 0
+
+    _write_docs(src, [_docs(2, GOOD + " with different content appended")])
+    q2 = run(stream(), str(out), str(ckpt), trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and _count(spark, out) <= first:
+            time.sleep(1)
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    # no duplicated chunk ids per doc (exactly-once to the file sink)
+    for doc, chunks in per_doc.items():
+        assert len(chunks) == len(set(chunks)), (doc, chunks)
+    assert set(per_doc) == {1, 2}
+
+
+def _count(spark, out):
+    try:
+        return spark.read.parquet(str(out)).count()
+    except Exception:
+        return 0
