@@ -1,0 +1,60 @@
+"""Scaling evidence: run representative queries at two scale factors and
+report the warm-time ratio against the data-size ratio.
+
+A plan that scales linearly shows time ratio ≈ data ratio (10× here);
+a plan with a quadratic join or a single-task funnel shows much worse.
+Constant-ish times at both SFs mean fixed overhead dominates — fine.
+
+Usage: python tools/scaling_check.py [small_sf_dir] [large_sf_dir]
+Prints one JSON line:
+  {"sf_ratio": R, "queries": {name: {"small_s": a, "large_s": b,
+   "ratio": b/a}}}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+# one per family: scan-agg, shuffle join, banded dedup, window, iterative,
+# prefix-sum, explode-agg
+REPRESENTATIVE = [
+    "q6_revenue_filter",
+    "q3_shipping_priority",
+    "minhash_lsh_docs",
+    "events_user_rolling",
+    "dup_clusters_docs",
+    "pack_sequences_docs",
+    "corpus_top_tokens",
+]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    large = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+    from flink_invoice_processor_spark.session import get_spark
+
+    spark = get_spark("scaling_check")
+    out: dict[str, dict[str, float]] = {}
+    for name in REPRESENTATIVE:
+        fn = QUERIES[name]
+        times = {}
+        for label, sf_dir in (("small_s", small), ("large_s", large)):
+            fn(spark, sf_dir).count()  # warm (codegen + footers)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times[label] = round(time.perf_counter() - t0, 3)
+        times["ratio"] = round(times["large_s"] / max(times["small_s"], 1e-9), 2)
+        out[name] = times
+    ratio = 10.0  # sf0.1 / sf0.01
+    print(json.dumps({"sf_ratio": ratio, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
