@@ -392,3 +392,34 @@ def test_feature_hashing_sparse_counts(spark):
     # same token → same bucket across docs
     (b_bucket,) = [b for b, n in by_doc[3].items()]
     assert by_doc[1][b_bucket] == 1
+
+
+# ---------------------------------------------------------------------------
+# hostile inputs: unicode, emoji, RTL, CJK, huge tokens
+# ---------------------------------------------------------------------------
+
+def test_text_ops_survive_hostile_unicode(spark):
+    """The text-path operators must not throw and must stay internally
+    consistent on non-ASCII content (CJK has no spaces → one giant token;
+    RTL and emoji are opaque tokens; NULs survive)."""
+    hostile = [
+        (1, "普通话没有空格的长句子在这里持续下去"),
+        (2, "مرحبا بالعالم هذا نص عربي"),
+        (3, "🚀🚀 emoji 🎉 tokens 🎉 everywhere 🚀"),
+        (4, "a" * 10_000),
+        (5, "mixed 普通话 and english مع العربية too"),
+        (6, "null\x00byte inside"),
+    ]
+    df = docs_df(spark, hostile)
+    rep = {r["doc_id"]: r for r in CUR.repetition_stats(df).collect()}
+    assert rep[1]["n_tokens"] == 1 and rep[1]["n_2grams"] == 0
+    assert rep[2]["n_tokens"] == 5
+    assert rep[4]["total_word_chars"] == 10_000
+    chunks = CUR.chunk_documents(df, chunk_size=4, stride=3).collect()
+    assert {r["doc_id"] for r in chunks} == {1, 2, 3, 4, 5, 6}
+    red = {r["doc_id"]: r for r in CUR.redact_pii(df).collect()}
+    assert all(r["n_emails"] == 0 for r in red.values())
+    # redacted_len counts characters, not bytes — CJK stays intact
+    assert red[1]["redacted_len"] == len(hostile[0][1])
+    tf = CUR.tfidf_top_terms(df, k=1).collect()
+    assert {r["doc_id"] for r in tf} == {1, 2, 3, 4, 5, 6}
