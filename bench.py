@@ -101,6 +101,7 @@ HEADLINE = [
     "feature_hashing_docs",
     "vocab_index",
     "kfold_split_docs",
+    "bigram_lm_counts",
 ]
 
 

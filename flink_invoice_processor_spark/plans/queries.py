@@ -3001,3 +3001,56 @@ def kfold_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "bigram_lm_counts",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i)
+        WHERE len(toks) >= 2
+    ),
+    pair AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(n_pair) AS n_ctx FROM pair GROUP BY w1)
+    SELECT w1, w2, n_pair, CAST(n_ctx AS BIGINT) AS n_ctx,
+           CAST(n_pair * 1000000 // n_ctx AS BIGINT) AS p_1e6
+    FROM pair JOIN ctx USING (w1)
+    """,
+)
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram language-model counts: per (w1, w2) pair count,
+    per-w1 context total, and the integer-scaled conditional probability
+    n(w1,w2) div n(w1) — the count-based LM table (and the smoothing
+    numerators) a data pipeline feeds to tokenizer/LM training.  Bigrams
+    come from a zip of the token array with its shift (O(tokens) map, no
+    per-index slicing); both aggregates are map-side combined and the
+    context join keys on w1 — Zipf skew is absorbed by the partial
+    aggregation, the join output is bounded by |distinct pairs|."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.transform(TX.tokens(F.col("text")), F.lower)
+    t = F.col("_toks")
+    big = 1 << 30
+    grams = F.zip_with(
+        t,
+        F.slice(t, 2, big),
+        lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))),
+    )
+    pair = (
+        docs.select(toks.alias("_toks"))
+        .select(F.explode(F.filter(grams, lambda g: g.isNotNull())).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ctx = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    return pair.join(ctx, "w1").select(
+        "w1", "w2", "n_pair", "n_ctx",
+        F.expr("n_pair * 1000000 div n_ctx").alias("p_1e6"),
+    )
