@@ -274,6 +274,7 @@ def dup_clusters(
         .persist()
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    changed = -1
     try:
         for _ in range(max_iter):
             prop = edges.join(
@@ -296,6 +297,15 @@ def dup_clusters(
                 break
     finally:
         edges.unpersist()
+    if changed != 0:
+        # silently returning intermediate labels would report one true
+        # component as several clusters and let duplicates survive dedup
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the pair graph has "
+            "a longer diameter than expected — raise max_iter or switch to "
+            "large-star/small-star alternation"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",
@@ -444,12 +454,17 @@ def fuzzy_pairs(
                 <= max_distance
             ),
         )
-        .where(F.levenshtein(F.col("a.pfx"), F.col("b.pfx")) <= max_distance)
+        # compute the quadratic residual ONCE: filter and project on the
+        # same column (separate Filter/Project operators do not share the
+        # subexpression across codegen stages)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long"),
+        )
+        .where(F.col("edit_distance") <= max_distance)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
-            .cast("long")
-            .alias("edit_distance"),
+            "edit_distance",
         )
     )

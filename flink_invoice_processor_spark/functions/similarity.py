@@ -343,6 +343,7 @@ def kmeans_integer(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed Lloyd's k-means with fully integer arithmetic — every
     distance, assignment, and centroid update is exact in floor-1e6 units,
@@ -418,5 +419,12 @@ def kmeans_integer(
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("dist"))
     )
-    pts.unpersist()
+    if materialize:
+        # materialize (eager localCheckpoint) BEFORE releasing the points
+        # cache; unpersisting under a still-lazy result would silently
+        # recompute the whole points projection on the caller's first action
+        final = final.localCheckpoint()
+        pts.unpersist()
+    # materialize=False keeps `final` lazy for plan inspection/composition;
+    # the points cache stays alive and is released with the session
     return final

@@ -2986,15 +2986,9 @@ def kfold_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (sampling buckets, eval splits).  Output is the per-(fold,
     lang) census used to sanity-check balance."""
     docs = load_table(spark, sf_dir, "documents")
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long")
-        % 5
+    # reuse the one engine-parity-critical hash recipe (curation._md5_bucket)
+    fold = CUR._md5_bucket(
+        F.concat(F.lit("fold:"), F.col("doc_id").cast("string")), buckets=5
     )
     return (
         docs.select(fold.alias("fold"), "lang")

@@ -105,7 +105,14 @@ class TableQueueStreamReader(SimpleDataSourceStreamReader):
             sql += f" LIMIT {limit}"
         conn = self._connect()
         try:
-            rows = conn.execute(sql, params).fetchall()
+            # portable DBAPI cursor protocol — sqlite3's Connection.execute
+            # shortcut does not exist on pymysql/mysql-connector connections
+            cur = conn.cursor()
+            try:
+                cur.execute(sql, params)
+                rows = cur.fetchall()
+            finally:
+                cur.close()
         finally:
             conn.close()
         if self._ts_idx:

@@ -352,7 +352,7 @@ def test_kmeans_broadcasts_centroids(spark):
         [(i, [float(i), float(-i)]) for i in range(40)],
         "vec_id long, embedding array<float>",
     )
-    res = kmeans_integer(df, k=4, iters=1)
+    res = kmeans_integer(df, k=4, iters=1, materialize=False)
     res.collect()
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -89,7 +89,7 @@ def test_events_scan_prunes_props(spark, sf_dir):
 
 def test_plan_audit_sample_has_no_hard_flags(spark, sf_dir):
     """Representative sweep of tools/plan_audit.py's hard flags: no
-    cartesian products, no row-at-a-time Python UDFs.  (The full 75-query
+    cartesian products, no row-at-a-time Python UDFs.  (The full registry
     sweep is `python tools/plan_audit.py` — kept out of pytest for time.)"""
     from flink_invoice_processor_spark.plans.queries import QUERIES
 

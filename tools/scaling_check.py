@@ -51,7 +51,14 @@ def main() -> None:
             times[label] = round(time.perf_counter() - t0, 3)
         times["ratio"] = round(times["large_s"] / max(times["small_s"], 1e-9), 2)
         out[name] = times
-    ratio = 10.0  # sf0.1 / sf0.01
+
+    def _sf(d: str) -> float:
+        try:
+            return float(d.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            return float("nan")
+
+    ratio = round(_sf(large) / _sf(small), 2)
     print(json.dumps({"sf_ratio": ratio, "queries": out}))
     spark.stop()
 
