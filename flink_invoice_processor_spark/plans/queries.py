@@ -2445,8 +2445,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour")
     )
     types = ev.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
-    return grid.join(counts, ["event_type", "hour"], "left").select(
+    grid = hours.crossJoin(types)
+    # broadcast the RIGHT side: a left join must stream its left (grid)
+    # side, so a broadcast hint there would be ignored by the planner
+    return grid.join(F.broadcast(counts), ["event_type", "hour"], "left").select(
         "event_type", "hour",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
