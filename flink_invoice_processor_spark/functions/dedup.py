@@ -280,8 +280,21 @@ def dup_clusters(
             prop = edges.join(
                 labels.withColumnRenamed("doc_id", "src"), "src"
             ).select(F.col("dst").alias("doc_id"), "label")
+            # pointer doubling (label-of-label): compresses label chains by
+            # half each round, so convergence is O(log diameter) instead of
+            # O(diameter) — a 64-node path settles in ~7 rounds, not 63.
+            # Same fixed point (the component min), one extra equi-join.
+            shortcut = (
+                labels.alias("a")
+                .join(
+                    labels.alias("b"),
+                    F.col("a.label") == F.col("b.doc_id"),
+                )
+                .select(F.col("a.doc_id").alias("doc_id"), F.col("b.label"))
+            )
             new_labels = (
                 labels.union(prop)
+                .union(shortcut)
                 .groupBy("doc_id")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint()

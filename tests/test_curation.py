@@ -423,3 +423,21 @@ def test_text_ops_survive_hostile_unicode(spark):
     assert red[1]["redacted_len"] == len(hostile[0][1])
     tf = CUR.tfidf_top_terms(df, k=1).collect()
     assert {r["doc_id"] for r in tf} == {1, 2, 3, 4, 5, 6}
+
+
+def test_dup_clusters_long_path_converges_in_log_rounds(spark):
+    """Pointer doubling: a 64-node path needs ~log2(64) rounds, not 63 —
+    max_iter=10 must suffice (it would raise without the shortcut step)."""
+    nodes = spark.range(64).withColumnRenamed("id", "doc_id")
+    path = pairs_df(spark, [(i, i + 1) for i in range(63)])
+    out = dup_clusters(nodes, path, max_iter=10).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert all(r["cluster_size"] == 64 for r in out)
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    nodes = spark.range(8).withColumnRenamed("id", "doc_id")
+    path = pairs_df(spark, [(i, i + 1) for i in range(7)])
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(nodes, path, max_iter=1)
