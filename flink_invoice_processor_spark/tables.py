@@ -116,3 +116,27 @@ def write_sorted(
         # start; the writer option applies to this write only)
         writer = writer.option("parquet.block.size", row_group_size)
     writer.parquet(path)
+
+
+def zorder_value(c1, c2, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the multi-dimensional clustering key for :func:`write_sorted`.
+
+    Sorting on one column makes its row-group stats disjoint but leaves
+    the other column's spans full-domain; sorting on the Morton code gives
+    BOTH columns locality (each row group covers a rectangle of the 2-D
+    space), so selective predicates on either dimension skip row groups.
+    This is the layout trick behind Delta/Iceberg Z-ORDER, as a plain
+    column expression: ``write_sorted(df.withColumn("z", zorder_value(
+    F.col("a"), F.col("b"))), path, ["z"])``.
+
+    Columns must fit in ``bits`` bits (truncate/bucket upstream if not);
+    the interleave is ~``2*bits`` codegen'd shift/mask ops per row."""
+    z = F.lit(0).cast("long")
+    a = c1.cast("long")
+    b = c2.cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return z

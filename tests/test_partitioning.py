@@ -90,3 +90,61 @@ def test_sorted_write_makes_row_group_stats_disjoint(spark, tmp_path):
     avg_u = sum(u_spans) / len(u_spans)
     # unsorted row groups span ~the whole user domain; sorted ones a slice
     assert avg_s < 0.35 * avg_u, (avg_s, avg_u)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Sorting on the Morton code gives BOTH x and y narrow row-group
+    spans; sorting on x alone leaves y at full domain."""
+    import glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from flink_invoice_processor_spark.tables import write_sorted, zorder_value
+
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 1024).alias("x"),
+            ((F.col("id") * 7919) % 1024).alias("y"),
+        )
+        .coalesce(2)
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    write_sorted(
+        df.withColumn("z", zorder_value(F.col("x"), F.col("y"), bits=10)),
+        zpath, ["z"], row_group_size=64 * 1024,
+    )
+    write_sorted(df, xpath, ["x"], row_group_size=64 * 1024)
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                spans.append(st.max - st.min)
+        assert len(spans) >= 4
+        return sum(spans) / len(spans)
+
+    full = 1023
+    # x-sorted: x narrow, y full-domain
+    assert avg_span(xpath, "x") < 0.35 * full
+    assert avg_span(xpath, "y") > 0.9 * full
+    # z-sorted: BOTH dimensions substantially narrowed
+    assert avg_span(zpath, "x") < 0.6 * full
+    assert avg_span(zpath, "y") < 0.6 * full
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Parquet datasets evolve: later batches add columns.  mergeSchema
+    reads the union; old rows surface NULLs for new columns — the append
+    contract a long-lived 100 TB dataset depends on."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
