@@ -102,6 +102,7 @@ HEADLINE = [
     "vocab_index",
     "kfold_split_docs",
     "bigram_lm_counts",
+    "revenue_grouping_sets",
 ]
 
 

@@ -3050,3 +3050,48 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w1", "w2", "n_pair", "n_ctx",
         F.expr("n_pair * 1000000 div n_ctx").alias("p_1e6"),
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(GROUPING(n_name, year(o_orderdate)) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-nation totals, per-year totals, and the
+    grand total in ONE pass over the join (vs three queries = three scans
+    and three shuffles).  grouping_id disambiguates the stratum; revenue
+    in exact integer cents.  The expansion is map-side: each input row
+    emits one record per grouping set before the partial aggregate, so
+    the shuffle carries pre-combined partials only."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        j.groupingSets([["n_name"], ["o_year"], []], "n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select("n_name", "o_year", "gid", "n_orders", "revenue_cents")
+    )
