@@ -103,6 +103,9 @@ HEADLINE = [
     "kfold_split_docs",
     "bigram_lm_counts",
     "revenue_grouping_sets",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "q22_idle_wealthy_customers",
 ]
 
 

@@ -3095,3 +3095,141 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "o_year", "gid", "n_orders", "revenue_cents")
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pa.cnt < pa.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: items below 20% of their part's average quantity.
+    The correlated AVG decorrelates to one partkey aggregate joined back
+    (one shuffle on the natural key).  The threshold is compared in pure
+    integers — ``5 * qty * cnt < sum_qty`` ⟺ ``qty < 0.2 * avg`` — so no
+    float division can diverge between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS total_rev_1e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_1e4
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev_1e4 = (SELECT MAX(total_rev_1e4) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    a scalar aggregate subquery over a derived aggregate.  The scalar max
+    is a 1-row broadcast cross join (never a sort); integer revenue makes
+    the equality engine-exact (a float revenue tie would be undefined)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("total_rev_1e4")
+    )
+    mx = rev.agg(F.max("total_rev_1e4").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_1e4") == F.col("_mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_1e4")
+    )
+
+
+@register(
+    "q22_idle_wealthy_customers",
+    """
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               COUNT(*) AS cnt
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey,
+           CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+                        AND o.o_orderdate <  TIMESTAMP '2000-01-01')
+    """,
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no
+    orders in 1999 (every customer has SOME order in this data, so the
+    anti join is windowed).  The scalar average is a 1-row broadcast; the
+    comparison is integer cross-multiplication (cents*cnt > sum_cents ⟺
+    bal > avg) so no division; NOT EXISTS plans as a left-anti join on
+    custkey with the date filter pushed to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1999-01-01")
+            & (F.col("o_orderdate") < "2000-01-01")
+        )
+        .select("o_custkey")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    return (
+        c.select("c_custkey", cents.alias("acctbal_cents"))
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("acctbal_cents") * F.col("cnt") > F.col("sum_cents"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .select("c_custkey", "acctbal_cents")
+    )
