@@ -106,6 +106,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "q22_idle_wealthy_customers",
+    "events_unpivot_counts",
+    "events_approx_topk",
 ]
 
 

@@ -3233,3 +3233,71 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
         .select("c_custkey", "acctbal_cents")
     )
+
+
+@register(
+    "events_unpivot_counts",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events
+        GROUP BY user_id, event_type
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT DISTINCT event_type FROM events)
+    SELECT u.user_id, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+def events_unpivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: pivot per-user event counts to columns, then
+    UNPIVOT back to (user_id, event_type, n) rows — the pair of reshaping
+    operators ETL round-trips through.  Zero-filled cells survive the
+    round trip (the oracle is the dense user × type grid).  The pivot
+    aggregates on user_id (one shuffle); UNPIVOT is a pure map."""
+    ev = load_table(spark, sf_dir, "events")
+    # pinned value list, same contract as events_pivot_counts: no
+    # values-discovery job, no data-dependent schema
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count().select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+    return wide.unpivot("user_id", types, "event_type", "n").select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@register(
+    "events_approx_topk",
+    """
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_n AS est_n, exact_n, TRUE AS sketch_exact
+    FROM c ORDER BY exact_n DESC, event_type LIMIT 3
+    """,
+)
+def events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k): single-pass mergeable
+    heavy-hitters — at 100 TB the substitute for an exact global top-k
+    over high-cardinality keys.  Here the key domain fits the sketch's
+    tracked-items budget, so the estimate must BE exact: the query joins
+    the sketch output against exact counts and emits the equality as
+    ``sketch_exact``, which the oracle asserts TRUE (the same
+    sketch-vs-exact discipline as ``events_approx_stats``)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("est_n"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    return sk.join(exact, "event_type").select(
+        "event_type", "est_n", "exact_n",
+        (F.col("est_n") == F.col("exact_n")).alias("sketch_exact"),
+    )
