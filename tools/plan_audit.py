@@ -38,6 +38,10 @@ ALLOWED_SOFT = {
     "q6_revenue_filter": "single-row global aggregate (final partial merge)",
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
+    "q17_small_quantity_revenue": "single-row global aggregate (final partial merge)",
+    "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",
+    "q22_idle_wealthy_customers": "1-row scalar sum/count aggregate, broadcast back",
+    "events_approx_topk": "single-row merge of mergeable sketch partials",
 }
 
 
