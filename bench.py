@@ -108,6 +108,7 @@ HEADLINE = [
     "q22_idle_wealthy_customers",
     "events_unpivot_counts",
     "events_approx_topk",
+    "bm25_topk_docs",
 ]
 
 

@@ -28,6 +28,7 @@ from ..config import EngineConfig
 from ..functions import asof as ASOF
 from ..functions import curation as CUR
 from ..functions import dedup as DD
+from ..functions import retrieval as RET
 from ..functions import skew as SKEW
 from ..functions import similarity as SIM
 from ..functions import text as TX
@@ -3301,3 +3302,48 @@ def events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "est_n", "exact_n",
         (F.col("est_n") == F.col("exact_n")).alias("sketch_exact"),
     )
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH tokr AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokr GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tokr
+        WHERE tok IN ('table', 'hash', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    sc AS (
+        SELECT tf.tok, tf.doc_id, tf.tf, dl.dl,
+               round(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        * stats.n_docs / stats.sum_dl))),
+                   4) AS score
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT tok AS term,
+           CAST(row_number() OVER (PARTITION BY tok
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, tf, dl, score
+    FROM sc
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for each of three query terms.
+    All formula inputs (tf, df, dl, N, sum_dl) are exact integers, so both
+    engines evaluate the identical IEEE expression on identical operands
+    (the cosine-score discipline); ranking ties break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return RET.bm25_topk(docs, terms=["table", "hash", "window"], k=10)

@@ -441,3 +441,28 @@ def test_dup_clusters_raises_when_unconverged(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(nodes, path, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_relevance_ordering(spark):
+    from flink_invoice_processor_spark.functions.retrieval import bm25_topk
+
+    df = docs_df(
+        spark,
+        [
+            (1, "cat cat cat dog bird"),          # high tf for 'cat'
+            (2, "cat dog bird fish mouse"),        # tf 1
+            (3, "cat " + "filler " * 50),          # tf 1, long doc → penalized
+            (4, "dog bird fish mouse rat"),        # no 'cat'
+        ],
+    )
+    out = [r for r in bm25_topk(df, ["cat"], k=10).collect()]
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1              # highest term frequency wins
+    assert 4 not in ranked             # no match, no row
+    assert ranked.index(2) < ranked.index(3)  # length normalization
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[2] > scores[3] > 0
