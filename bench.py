@@ -109,6 +109,7 @@ HEADLINE = [
     "events_unpivot_counts",
     "events_approx_topk",
     "bm25_topk_docs",
+    "tfidf_doc_similarity",
 ]
 
 

@@ -3347,3 +3347,74 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cosine-score discipline); ranking ties break on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     return RET.bm25_topk(docs, terms=["table", "hash", "window"], k=10)
+
+
+@register(
+    "tfidf_doc_similarity",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform({_TOKENS_SQL}, x -> lower(x))) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        ) GROUP BY doc_id, tok
+    ),
+    docfreq AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok),
+    scored AS (
+        SELECT doc_id, tok, tf * 1000000 // doc_freq AS score
+        FROM tf JOIN docfreq USING (tok)
+    ),
+    top AS (
+        SELECT doc_id, tok, score FROM (
+            SELECT doc_id, tok, score,
+                   row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, tok ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(SUM(a.score * b.score) AS BIGINT) AS dot,
+               COUNT(*) AS n_shared_terms
+        FROM top a JOIN top b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, dot, n_shared_terms
+    FROM dots
+    ORDER BY dot DESC, doc_id_a, doc_id_b
+    LIMIT 20
+    """,
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-blocked document similarity: each doc is reduced to its
+    top-3 characteristic terms (integer TF-IDF), candidate pairs must
+    share one of those terms, similarity = the exact integer dot product
+    of the shared-term weights.  The blocking bounds the self-join at
+    3 terms per doc regardless of corpus size — the same discipline as
+    the stop-shingle cap, built from ranking instead of frequency — and
+    the integer weights make the global top-20 engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    top = CUR.tfidf_top_terms(docs, k=3).select("doc_id", "tok", "score")
+    a, b = top.alias("a"), top.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(
+            F.sum(F.col("a.score") * F.col("b.score")).alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    return dots.orderBy(
+        F.col("dot").desc(), F.col("doc_id_a"), F.col("doc_id_b")
+    ).limit(20)
