@@ -110,6 +110,7 @@ HEADLINE = [
     "events_approx_topk",
     "bm25_topk_docs",
     "tfidf_doc_similarity",
+    "ann_ivf_kmeans_topk",
 ]
 
 

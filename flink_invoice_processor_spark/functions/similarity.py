@@ -337,6 +337,61 @@ def lsh_cosine_topk(
     )
 
 
+def _int_points(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(vec_id, v6): the embedding in floor-1e6 integer units."""
+    v6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1000000).cast("long"),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), v6.alias("v6"))
+
+
+def _int_dist() -> Column:
+    """Exact integer squared L2 between columns ``v6`` and ``c6``."""
+    return F.aggregate(
+        F.zip_with("v6", "c6", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _train_centroids(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd iterations over integer points (see :func:`kmeans_integer` for
+    the full layout discussion).  Returns (cid, c6), localCheckpointed."""
+    cents = pts.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    )
+    for _ in range(iters):
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", _int_dist().alias("d")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+        )
+        cells = (
+            assign.join(pts, "vec_id")
+            .select("cid", F.posexplode("v6").alias("pos", "x6"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(x6) div count(*)").alias("m6"))
+        )
+        new_cents = cells.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m6"))),
+                lambda s: s["m6"],
+            ).alias("c6")
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cid", "left")
+            .select("cid", F.coalesce(F.col("n.c6"), F.col("o.c6")).alias("c6"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def kmeans_integer(
     emb: DataFrame,
     k: int = 8,
@@ -366,55 +421,12 @@ def kmeans_integer(
     Init: the k lowest ``id_col`` vectors (deterministic, matching the
     oracle).  Returns (vec_id, cid, dist) final assignments.
     """
-    v6 = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * 1000000).cast("long"),
-    )
-    pts = emb.select(F.col(id_col).alias("vec_id"), v6.alias("v6")).persist()
-    cents = pts.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
-    )
-
-    def dist_col() -> Column:
-        return F.aggregate(
-            F.zip_with("v6", "c6", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    assign = None
-    for _ in range(iters):
-        scored = pts.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", dist_col().alias("d")
-        )
-        assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
-        )
-        cells = (
-            assign.join(pts, "vec_id")
-            .select("cid", F.posexplode("v6").alias("pos", "x6"))
-            .groupBy("cid", "pos")
-            .agg(F.expr("sum(x6) div count(*)").alias("m6"))
-        )
-        new_cents = cells.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m6"))),
-                lambda s: s["m6"],
-            ).alias("c6")
-        )
-        # empty clusters keep their previous centroid
-        cents = (
-            cents.alias("o")
-            .join(new_cents.alias("n"), "cid", "left")
-            .select("cid", F.coalesce(F.col("n.c6"), F.col("o.c6")).alias("c6"))
-            .localCheckpoint()
-        )
+    pts = _int_points(emb, vec_col, id_col).persist()
+    cents = _train_centroids(pts, k, iters)
     # final assignment against the last centroids
     final = (
         pts.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", dist_col().alias("d"))
+        .select("vec_id", "cid", _int_dist().alias("d"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("dist"))
@@ -428,3 +440,77 @@ def kmeans_integer(
     # materialize=False keeps `final` lazy for plan inspection/composition;
     # the points cache stays alive and is released with the session
     return final
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN with LEARNED centroids: train integer-exact k-means
+    (:func:`_train_centroids`) on the corpus, coarse-quantize corpus and
+    queries to the trained cells by exact integer L2, probe ``nprobe``
+    cells per query, exact-cosine-rank within them — "train the index,
+    then search it", end to end deterministic (integer training + integer
+    assignment + rounded-cosine re-rank), so the whole composition is
+    reproducible by a single SQL oracle.
+
+    Same scale layout as :func:`ivf_cosine_topk` (broadcast centroids for
+    assignment, the probe→cell equi-join is the only data shuffle) with
+    k-means cells instead of arbitrary seed vectors — learned cells track
+    the data distribution, so cell populations are balanced and recall
+    per probe is higher."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    pts = _int_points(corpus, vec_col, id_col).persist()
+    cents = _train_centroids(pts, n_cells, iters)
+
+    def assign(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
+        scored = (
+            _int_points(df, vec_col, id_col)
+            .withColumnRenamed("vec_id", out_id)
+            .crossJoin(F.broadcast(cents))
+            .select(out_id, "cid", _int_dist().alias("d"))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("d").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= rank_cap)
+            .select(out_id, "cid")
+        )
+
+    cells = assign(corpus, "neighbor_id", 1)
+    probes = assign(queries, "query_id", nprobe)
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(qvec, "query_id")
+        .join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .localCheckpoint()
+    )
+    pts.unpersist()
+    return out

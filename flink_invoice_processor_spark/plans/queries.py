@@ -3418,3 +3418,64 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.orderBy(
         F.col("dot").desc(), F.col("doc_id_a"), F.col("doc_id_b")
     ).limit(20)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
+    {",".join(_kmeans_iter_sql(i) for i in (1, 2))},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sa AS (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, len(p.v6) + 1),
+                    j -> (p.v6[j] - c.c6[j]) * (p.v6[j] - c.c6[j])))
+                    AS BIGINT) AS d
+        FROM p CROSS JOIN c2 c
+    ),
+    ar AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                   AS crank
+        FROM sa
+    ),
+    cell_of AS (SELECT vec_id, cid FROM ar WHERE crank = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM ar
+        WHERE vec_id < 10 AND crank <= 2
+    ),
+    cand AS (
+        SELECT pr.query_id, co.vec_id AS neighbor_id,
+               {_COS_SQL.format(a="eq.v", b="en.v")} AS score
+        FROM probes pr
+        JOIN cell_of co ON pr.cid = co.cid
+        JOIN e eq ON eq.vec_id = pr.query_id
+        JOIN e en ON en.vec_id = co.vec_id
+        WHERE pr.query_id <> co.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN over a LEARNED index: integer-exact k-means (8 cells, 2
+    Lloyd iterations) trains the coarse quantizer, then the standard IVF
+    probe (2 cells) + exact-cosine re-rank answers top-5 for the first 10
+    vectors.  The oracle re-derives the trained centroids with the same
+    unrolled-iteration SQL as ``kmeans_clusters`` and replays the whole
+    search — training and serving verified as one composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_kmeans_topk(
+        emb, emb.where(F.col("vec_id") < 10),
+        n_cells=8, iters=2, nprobe=2, k=5,
+    )
