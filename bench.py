@@ -111,6 +111,7 @@ HEADLINE = [
     "bm25_topk_docs",
     "tfidf_doc_similarity",
     "ann_ivf_kmeans_topk",
+    "ann_recall_report",
 ]
 
 

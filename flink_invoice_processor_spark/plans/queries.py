@@ -3479,3 +3479,49 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 10),
         n_cells=8, iters=2, nprobe=2, k=5,
     )
+
+
+# recall report: compose the two registered oracles verbatim — the approx
+# and exact definitions can never drift from the queries they measure
+_RECALL_SQL = f"""
+    WITH approx AS ({ORACLES["ann_ivf_kmeans_topk"]}),
+    exact AS ({ORACLES["embedding_cosine_topk"]}),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    ),
+    q AS (SELECT DISTINCT query_id FROM exact)
+    SELECT q.query_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           5 AS k,
+           CAST(COALESCE(n_hits, 0) * 100 // 5 AS BIGINT) AS recall_pct
+    FROM q LEFT JOIN hits USING (query_id)
+"""
+
+
+@register("ann_recall_report", _RECALL_SQL)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the learned-IVF ANN against
+    the exact brute-force top-5, per query — the measurement loop every
+    ANN deployment needs ("measure, don't guess" applied to the index
+    itself).  Pure composition of two registered queries plus a semi-join
+    count; integer outputs.  The oracle embeds BOTH queries' oracle SQL
+    verbatim, so the report can never measure a stale definition."""
+    approx = ann_ivf_kmeans_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    q = exact.select("query_id").distinct()
+    return q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(5).alias("k"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 100 / 5).cast("long").alias(
+            "recall_pct"
+        ),
+    )
