@@ -112,6 +112,7 @@ HEADLINE = [
     "tfidf_doc_similarity",
     "ann_ivf_kmeans_topk",
     "ann_recall_report",
+    "pq_codes_embeddings",
 ]
 
 

@@ -514,3 +514,56 @@ def ivf_kmeans_topk(
     )
     pts.unpersist()
     return out
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` subvectors,
+    quantize every subvector to the nearest of ``ksub`` sub-centroids by
+    exact integer L2, and pack the ``m`` sub-cell ids into one integer code
+    (``sum cid_s * ksub^s``).  PQ is the memory side of large-scale vector
+    search: a 64-dim float vector compresses to ``m * log2(ksub)`` bits
+    (here 24), and asymmetric distance scans run over codes, not floats.
+
+    Sub-centroids are the ``ksub`` lowest-id vectors' slices (train-free,
+    deterministic — swap in per-subspace ``_train_centroids`` output for
+    learned codebooks; the assignment machinery is identical).  The plan is
+    one broadcast of the tiny codebook and one argmin per subspace — a pure
+    map over the corpus, no shuffle at all."""
+    pts = _int_points(emb, vec_col, id_col)
+    dim_df = pts.select(F.size("v6").alias("d")).limit(1)
+    # subvector width from the first row — deterministic, metadata-sized
+    d = dim_df.first()["d"] // m
+    cents = pts.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    )
+    out = pts
+    for s in range(m):
+        sub_d = (
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v6"), s * d + 1, d),
+                    F.slice(F.col("c6"), s * d + 1, d),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        code_s = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", sub_d.alias("dd"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dd", "cid")).alias("mm"))
+            .select("vec_id", F.col("mm.cid").alias(f"_c{s}"))
+        )
+        out = out.join(code_s, "vec_id")
+    code = F.lit(0).cast("long")
+    for s in range(m):
+        code = code + F.col(f"_c{s}") * (ksub ** s)
+    return out.select("vec_id", code.alias("pq_code"))

@@ -3525,3 +3525,50 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_pct"
         ),
     )
+
+
+def _pq_sub_sql(s: int, d: int = 8) -> str:
+    off = s * d
+    return f"""
+    sub{s} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, {d} + 1),
+                    j -> (p.v6[{off} + j] - c.c6[{off} + j])
+                         * (p.v6[{off} + j] - c.c6[{off} + j])))
+                    AS BIGINT) AS dd
+        FROM p CROSS JOIN cc c
+    ),
+    code{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid)
+                       AS rn
+            FROM sub{s}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ),
+    cc AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
+    {",".join(_pq_sub_sql(s) for s in range(8))}
+    SELECT p.vec_id,
+           CAST({" + ".join(f"code{s}.cid * {8 ** s}" for s in range(8))}
+                AS BIGINT) AS pq_code
+    FROM p
+    {" ".join(f"JOIN code{s} ON code{s}.vec_id = p.vec_id" for s in range(8))}
+    """,
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (8 subspaces x 8 cells = 24-bit codes)
+    over the embeddings table — 64 floats compress to 3 bytes per vector.
+    Integer sub-distances make every code engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_codes(emb, m=8, ksub=8)
