@@ -536,34 +536,36 @@ def pq_codes(
     one broadcast of the tiny codebook and one argmin per subspace — a pure
     map over the corpus, no shuffle at all."""
     pts = _int_points(emb, vec_col, id_col)
-    dim_df = pts.select(F.size("v6").alias("d")).limit(1)
-    # subvector width from the first row — deterministic, metadata-sized
-    d = dim_df.first()["d"] // m
+    # subvector width from one row — deterministic, metadata-sized read
+    d = pts.select(F.size("v6").alias("d")).limit(1).first()["d"] // m
+
+    def sub_dist(s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v6"), s * d + 1, d),
+                F.slice(F.col("c6"), s * d + 1, d),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     cents = pts.where(F.col("vec_id") < ksub).select(
         F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
     )
-    out = pts
-    for s in range(m):
-        sub_d = (
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("v6"), s * d + 1, d),
-                    F.slice(F.col("c6"), s * d + 1, d),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        )
-        code_s = (
-            pts.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", sub_d.alias("dd"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dd", "cid")).alias("mm"))
-            .select("vec_id", F.col("mm.cid").alias(f"_c{s}"))
-        )
-        out = out.join(code_s, "vec_id")
+    # ONE corpus scan, ONE broadcast join, ONE aggregate: all m subspace
+    # distances are computed per (vector, centroid) row, and the m argmins
+    # are m min-structs in a single groupBy — not m passes over the data
+    joined = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id", *[sub_dist(s).alias(f"dd{s}") for s in range(m)], "cid"
+    )
+    mins = joined.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"dd{s}"), F.col("cid"))).alias(f"mm{s}")
+            for s in range(m)
+        ]
+    )
     code = F.lit(0).cast("long")
     for s in range(m):
-        code = code + F.col(f"_c{s}") * (ksub ** s)
-    return out.select("vec_id", code.alias("pq_code"))
+        code = code + F.col(f"mm{s}.cid") * (ksub ** s)
+    return mins.select("vec_id", code.alias("pq_code"))
