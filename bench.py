@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",
     "ann_recall_report",
     "pq_codes_embeddings",
+    "pq_adq_topk_embeddings",
 ]
 
 

@@ -569,3 +569,77 @@ def pq_codes(
     for s in range(m):
         code = code + F.col(f"mm{s}.cid") * (ksub ** s)
     return mins.select("vec_id", code.alias("pq_code"))
+
+
+def pq_adq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: rank the COMPRESSED corpus against
+    full-precision queries.  Per query, precompute the tiny lookup table
+    of (subspace, sub-centroid) → integer distance (``m * ksub`` entries);
+    a corpus vector's distance is then m table lookups keyed by the digits
+    of its PQ code — the scan never touches the original floats.
+
+    This is the serving path of billion-scale vector search: the corpus
+    lives as ``m*log2(ksub)``-bit codes (24 bits here), the per-query LUT
+    is broadcast, and distance evaluation is integer adds at memory-scan
+    speed.  All distances are exact integers (floor-1e6 units), so ranking
+    (adq_dist ASC, vec_id ASC) is engine-exact."""
+    codes = pq_codes(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    pts = _int_points(corpus, vec_col, id_col)
+    d = pts.select(F.size("v6").alias("d")).limit(1).first()["d"] // m
+    cents = pts.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    )
+    qpts = _int_points(queries, vec_col, id_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    def sub_dist(s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v6"), s * d + 1, d),
+                F.slice(F.col("c6"), s * d + 1, d),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    lut = qpts.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cid", *[sub_dist(s).alias(f"dd{s}") for s in range(m)]
+    )
+    cand = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
+    total = F.lit(0).cast("long")
+    for s in range(m):
+        cid_s = F.expr(f"pq_code div {ksub ** s}") % ksub
+        lut_s = lut.select(
+            F.col("query_id").alias(f"_q{s}"),
+            F.col("cid").alias(f"_cid{s}"),
+            F.col(f"dd{s}").alias(f"_d{s}"),
+        )
+        cand = cand.join(
+            F.broadcast(lut_s),
+            (F.col("query_id") == F.col(f"_q{s}"))
+            & (cid_s == F.col(f"_cid{s}")),
+        )
+        total = total + F.col(f"_d{s}")
+    scored = cand.where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        total.alias("adq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adq_dist", "rank")
+    )

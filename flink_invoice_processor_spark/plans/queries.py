@@ -3572,3 +3572,55 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer sub-distances make every code engine-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_codes(emb, m=8, ksub=8)
+
+
+_PQ_ADQ_ORACLE = f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ),
+    cc AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
+    qq AS (SELECT vec_id, v6 FROM p WHERE vec_id < 10),
+    {",".join(_pq_sub_sql(s) for s in range(8))},
+    lut0 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[0 + j] - c.c6[0 + j]) * (q.v6[0 + j] - c.c6[0 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut1 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[8 + j] - c.c6[8 + j]) * (q.v6[8 + j] - c.c6[8 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut2 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[16 + j] - c.c6[16 + j]) * (q.v6[16 + j] - c.c6[16 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut3 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[24 + j] - c.c6[24 + j]) * (q.v6[24 + j] - c.c6[24 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut4 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[32 + j] - c.c6[32 + j]) * (q.v6[32 + j] - c.c6[32 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut5 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[40 + j] - c.c6[40 + j]) * (q.v6[40 + j] - c.c6[40 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut6 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[48 + j] - c.c6[48 + j]) * (q.v6[48 + j] - c.c6[48 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    lut7 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[56 + j] - c.c6[56 + j]) * (q.v6[56 + j] - c.c6[56 + j]))) AS BIGINT) AS dd
+              FROM qq q CROSS JOIN cc c),
+    cand AS (
+        SELECT l0.query_id, p.vec_id AS neighbor_id,
+               CAST(l0.dd + l1.dd + l2.dd + l3.dd + l4.dd + l5.dd + l6.dd + l7.dd AS BIGINT) AS adq_dist
+        FROM p JOIN code0 ON code0.vec_id = p.vec_id JOIN code1 ON code1.vec_id = p.vec_id JOIN code2 ON code2.vec_id = p.vec_id JOIN code3 ON code3.vec_id = p.vec_id JOIN code4 ON code4.vec_id = p.vec_id JOIN code5 ON code5.vec_id = p.vec_id JOIN code6 ON code6.vec_id = p.vec_id JOIN code7 ON code7.vec_id = p.vec_id JOIN lut0 l0 ON l0.cid = code0.cid JOIN lut1 l1 ON l1.cid = code1.cid AND l1.query_id = l0.query_id JOIN lut2 l2 ON l2.cid = code2.cid AND l2.query_id = l0.query_id JOIN lut3 l3 ON l3.cid = code3.cid AND l3.query_id = l0.query_id JOIN lut4 l4 ON l4.cid = code4.cid AND l4.query_id = l0.query_id JOIN lut5 l5 ON l5.cid = code5.cid AND l5.query_id = l0.query_id JOIN lut6 l6 ON l6.cid = code6.cid AND l6.query_id = l0.query_id JOIN lut7 l7 ON l7.cid = code7.cid AND l7.query_id = l0.query_id
+        WHERE l0.query_id <> p.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adq_dist ASC, neighbor_id ASC) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, adq_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("pq_adq_topk_embeddings", _PQ_ADQ_ORACLE)
+def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: top-5 by asymmetric PQ distance for the
+    first 10 query vectors — corpus scanned as 24-bit codes, distances
+    from a broadcast per-query lookup table, everything integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_adq_topk(
+        emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5
+    )
