@@ -3624,3 +3624,34 @@ def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adq_topk(
         emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5
     )
+
+
+@register(
+    "corpus_shuffle_positions",
+    """
+    SELECT doc_id,
+           md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+               ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: position =
+    rank in salted-md5 order.  Reproducible across retries (a random()
+    shuffle re-deals on every retry — fatal for resumable epoch state) and
+    computed with the two-phase distributed row_number, so the global
+    ordering never funnels through one task.  The salt decorrelates the
+    shuffle from every other hash-gated decision (folds, samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return CUR.distributed_row_number(
+        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        out_col="position",
+    ).select("doc_id", "shuffle_key", "position")
