@@ -516,6 +516,40 @@ def ivf_kmeans_topk(
     return out
 
 
+def _pq_codebook(
+    corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str
+):
+    """Shared PQ codebook derivation — the ONE place the sub-centroid
+    recipe lives, so codes and ADQ lookup tables can never desynchronize.
+    Returns (pts, d, cents, sub_dist) where ``sub_dist(s)`` is the exact
+    integer L2 over subspace ``s`` between columns ``v6`` and ``c6``."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    pts = _int_points(corpus, vec_col, id_col)
+    first = pts.select(F.size("v6").alias("d")).limit(1).first()
+    if first is None:
+        raise ValueError("pq: corpus has no non-null vectors")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq: vector dim {dim} is not divisible by m={m}")
+    d = dim // m
+    cents = pts.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    )
+
+    def sub_dist(s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v6"), s * d + 1, d),
+                F.slice(F.col("c6"), s * d + 1, d),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return pts, d, cents, sub_dist
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 8,
@@ -535,24 +569,7 @@ def pq_codes(
     learned codebooks; the assignment machinery is identical).  The plan is
     one broadcast of the tiny codebook and one argmin per subspace — a pure
     map over the corpus, no shuffle at all."""
-    pts = _int_points(emb, vec_col, id_col)
-    # subvector width from one row — deterministic, metadata-sized read
-    d = pts.select(F.size("v6").alias("d")).limit(1).first()["d"] // m
-
-    def sub_dist(s: int):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("v6"), s * d + 1, d),
-                F.slice(F.col("c6"), s * d + 1, d),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    cents = pts.where(F.col("vec_id") < ksub).select(
-        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
-    )
+    pts, d, cents, sub_dist = _pq_codebook(emb, m, ksub, id_col, vec_col)
     # ONE corpus scan, ONE broadcast join, ONE aggregate: all m subspace
     # distances are computed per (vector, centroid) row, and the m argmins
     # are m min-structs in a single groupBy — not m passes over the data
@@ -592,28 +609,19 @@ def pq_adq_topk(
     speed.  All distances are exact integers (floor-1e6 units), so ranking
     (adq_dist ASC, vec_id ASC) is engine-exact."""
     codes = pq_codes(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
-    pts = _int_points(corpus, vec_col, id_col)
-    d = pts.select(F.size("v6").alias("d")).limit(1).first()["d"] // m
-    cents = pts.where(F.col("vec_id") < ksub).select(
-        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
-    )
-    qpts = _int_points(queries, vec_col, id_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-
-    def sub_dist(s: int):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("v6"), s * d + 1, d),
-                F.slice(F.col("c6"), s * d + 1, d),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    _, _, cents, sub_dist = _pq_codebook(corpus, m, ksub, id_col, vec_col)
+    qpts = _int_points(
+        queries.where(F.col(vec_col).isNotNull()), vec_col, id_col
+    ).withColumnRenamed("vec_id", "query_id")
+    # materialized: the tiny LUT feeds m broadcast joins — without the
+    # checkpoint each join would re-run the qpts x cents aggregation
+    lut = (
+        qpts.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "cid",
+            *[sub_dist(s).alias(f"dd{s}") for s in range(m)],
         )
-
-    lut = qpts.crossJoin(F.broadcast(cents)).select(
-        "query_id", "cid", *[sub_dist(s).alias(f"dd{s}") for s in range(m)]
+        .localCheckpoint()
     )
     cand = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
     total = F.lit(0).cast("long")

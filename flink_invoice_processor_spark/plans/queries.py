@@ -3244,7 +3244,11 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, event_type
     ),
     u AS (SELECT DISTINCT user_id FROM events),
-    t AS (SELECT DISTINCT event_type FROM events)
+    -- the SAME pinned value list as the Spark pivot: a type present in
+    -- the data but not the list must be dropped on BOTH sides, and a
+    -- pinned type absent from the data must zero-fill on BOTH sides
+    t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+              AS event_type)
     SELECT u.user_id, t.event_type,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n
     FROM u CROSS JOIN t
@@ -3289,8 +3293,12 @@ def events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sketch_exact``, which the oracle asserts TRUE (the same
     sketch-vs-exact discipline as ``events_approx_stats``)."""
     ev = load_table(spark, sf_dir, "events")
+    # ask the sketch for MORE than we keep (k=10 >= |type domain|) and do
+    # the top-3 cut ourselves with a deterministic (count, type) tie-break:
+    # approx_top_k's own ordering of equal counts is unspecified, and two
+    # types in this data differ by as little as one event
     sk = (
-        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        ev.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("event_type"),
@@ -3298,9 +3306,14 @@ def events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
-    return sk.join(exact, "event_type").select(
-        "event_type", "est_n", "exact_n",
-        (F.col("est_n") == F.col("exact_n")).alias("sketch_exact"),
+    joined = sk.join(exact, "event_type")
+    return (
+        joined.orderBy(F.col("est_n").desc(), F.col("event_type").asc())
+        .limit(3)
+        .select(
+            "event_type", "est_n", "exact_n",
+            (F.col("est_n") == F.col("exact_n")).alias("sketch_exact"),
+        )
     )
 
 
@@ -3322,12 +3335,19 @@ def events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
     sc AS (
         SELECT tf.tok, tf.doc_id, tf.tf, dl.dl,
+               -- every operand forced to DOUBLE in the same spot Spark
+               -- promotes it: DuckDB otherwise keeps (1.2+1), 0.5-offsets
+               -- and the 0.75*... chain in DECIMAL, producing doubles up
+               -- to 1 ulp off Spark's IEEE products (verified for tf=3)
                round(
-                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
-                            / (dfreq.df + 0.5))
-                   * (tf.tf * (1.2 + 1)
-                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
-                                        * stats.n_docs / stats.sum_dl))),
+                   ln(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                            / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (1 - 0.75
+                                  + 0.75 * CAST(dl.dl AS DOUBLE)
+                                    * CAST(stats.n_docs AS DOUBLE)
+                                    / CAST(stats.sum_dl AS DOUBLE)))),
                    4) AS score
         FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
         CROSS JOIN stats
@@ -3574,6 +3594,21 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_codes(emb, m=8, ksub=8)
 
 
+def _pq_lut_sql(s: int, d: int = 8) -> str:
+    """Per-query ADQ lookup table for subspace ``s`` — the same slice
+    distance as ``_pq_sub_sql``, query-side vs the shared codebook."""
+    off = s * d
+    return f"""
+    lut{s} AS (
+        SELECT q.vec_id AS query_id, c.cid,
+               CAST(list_sum(list_transform(range(1, {d} + 1),
+                    j -> (q.v6[{off} + j] - c.c6[{off} + j])
+                         * (q.v6[{off} + j] - c.c6[{off} + j])))
+                    AS BIGINT) AS dd
+        FROM qq q CROSS JOIN cc c
+    )"""
+
+
 _PQ_ADQ_ORACLE = f"""
     WITH p AS (
         SELECT vec_id,
@@ -3584,22 +3619,7 @@ _PQ_ADQ_ORACLE = f"""
     cc AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
     qq AS (SELECT vec_id, v6 FROM p WHERE vec_id < 10),
     {",".join(_pq_sub_sql(s) for s in range(8))},
-    lut0 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[0 + j] - c.c6[0 + j]) * (q.v6[0 + j] - c.c6[0 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut1 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[8 + j] - c.c6[8 + j]) * (q.v6[8 + j] - c.c6[8 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut2 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[16 + j] - c.c6[16 + j]) * (q.v6[16 + j] - c.c6[16 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut3 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[24 + j] - c.c6[24 + j]) * (q.v6[24 + j] - c.c6[24 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut4 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[32 + j] - c.c6[32 + j]) * (q.v6[32 + j] - c.c6[32 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut5 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[40 + j] - c.c6[40 + j]) * (q.v6[40 + j] - c.c6[40 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut6 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[48 + j] - c.c6[48 + j]) * (q.v6[48 + j] - c.c6[48 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
-    lut7 AS (SELECT q.vec_id AS query_id, c.cid, CAST(list_sum(list_transform(range(1, 8 + 1), j -> (q.v6[56 + j] - c.c6[56 + j]) * (q.v6[56 + j] - c.c6[56 + j]))) AS BIGINT) AS dd
-              FROM qq q CROSS JOIN cc c),
+    {",".join(_pq_lut_sql(sp) for sp in range(8))},
     cand AS (
         SELECT l0.query_id, p.vec_id AS neighbor_id,
                CAST(l0.dd + l1.dd + l2.dd + l3.dd + l4.dd + l5.dd + l6.dd + l7.dd AS BIGINT) AS adq_dist

@@ -3,9 +3,15 @@
 Pattern: a streaming source feeds ``foreachBatch``; each micro-batch
 recomputes ONLY the (hour, event_type) partitions it touches and rewrites
 exactly those partitions of a parquet "view" table via dynamic partition
-overwrite.  Readers always see a consistent per-partition snapshot, and a
-restart replays the last uncommitted batch idempotently (overwriting a
-partition with the same recomputed content is a no-op).
+overwrite.  Readers always see a consistent per-partition snapshot.
+
+Replay safety: a plain append of the raw batch would NOT be idempotent —
+if the job dies after the append commits but before the streaming
+checkpoint commits the epoch, the replayed batch would double-count the
+base forever.  So the base table is partitioned by (hour, epoch) and
+written with dynamic partition OVERWRITE: replaying epoch E rewrites the
+same (hour, epoch=E) partitions with identical content instead of
+appending a second copy.
 
 Why this instead of streaming ``update`` mode into a sink: parquet (and
 object stores generally) can't update rows in place, but they CAN swap
@@ -30,10 +36,14 @@ def upsert_hourly_counts(
     batch_df: DataFrame,
     base_path: str,
     view_path: str,
+    epoch_id: int = 0,
 ) -> None:
     """One micro-batch of incremental maintenance:
 
-    1. append the raw batch to the base table (the replayable log);
+    1. write the raw batch into the base table's (hour, epoch=epoch_id)
+       partitions via dynamic OVERWRITE — a replayed epoch rewrites its
+       own partitions with identical content (idempotent), never appends
+       a second copy;
     2. recompute aggregates for ONLY the hours present in this batch,
        reading the base table with a partition-pruning filter;
     3. dynamic-partition-overwrite those hours in the view.
@@ -42,9 +52,18 @@ def upsert_hourly_counts(
         return
     with_hour = batch_df.withColumn(
         "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd-HH")
-    )
-    with_hour.write.mode("append").partitionBy("hour").parquet(base_path)
-    touched = [r["hour"] for r in with_hour.select("hour").distinct().collect()]
+    ).persist()  # consumed twice: base write + touched-hours scan
+    try:
+        (
+            with_hour.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour", "epoch")
+            .parquet(base_path)
+        )
+        touched = [r["hour"] for r in with_hour.select("hour").distinct().collect()]
+    finally:
+        with_hour.unpersist()
     base = spark.read.parquet(base_path).where(F.col("hour").isin(touched))
     agg = base.groupBy("hour", "event_type").agg(
         F.count("*").alias("n_events"),
@@ -70,7 +89,7 @@ def run_hourly_matview_job(
     spark = events.sparkSession
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_hourly_counts(spark, batch_df, base_path, view_path)
+        upsert_hourly_counts(spark, batch_df, base_path, view_path, epoch_id)
 
     return (
         events.writeStream.foreachBatch(on_batch)

@@ -33,8 +33,8 @@ def test_upsert_converges_to_batch_aggregate(spark, tmp_path):
     b2 = spark.createDataFrame(
         [_ev(0, 50, "click", 5.0), _ev(2, 0, "view", 7.0)], SCHEMA
     )
-    upsert_hourly_counts(spark, b1, base, view)
-    upsert_hourly_counts(spark, b2, base, view)
+    upsert_hourly_counts(spark, b1, base, view, epoch_id=1)
+    upsert_hourly_counts(spark, b2, base, view, epoch_id=2)
 
     got = {
         (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_1e4"])
@@ -64,11 +64,13 @@ def test_upsert_only_rewrites_touched_partitions(spark, tmp_path):
 
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     upsert_hourly_counts(
-        spark, spark.createDataFrame([_ev(0, 1, "click", 1.0)], SCHEMA), base, view
+        spark, spark.createDataFrame([_ev(0, 1, "click", 1.0)], SCHEMA), base, view,
+        epoch_id=1,
     )
     h0_files = set(glob.glob(os.path.join(view, "hour=2026-01-01-00", "*.parquet")))
     upsert_hourly_counts(
-        spark, spark.createDataFrame([_ev(3, 1, "view", 1.0)], SCHEMA), base, view
+        spark, spark.createDataFrame([_ev(3, 1, "view", 1.0)], SCHEMA), base, view,
+        epoch_id=2,
     )
     # untouched hour-0 partition files are byte-identical (not rewritten)
     assert set(
@@ -106,3 +108,14 @@ def test_streaming_matview_end_to_end(spark, tmp_path):
         q.stop()
     (r,) = got
     assert (r["event_type"], r["n_events"], r["sum_value_1e4"]) == ("click", 2, 40000)
+
+
+def test_upsert_replay_of_same_epoch_is_idempotent(spark, tmp_path):
+    """Crash-replay: foreachBatch re-delivers an epoch whose base write
+    already committed — the rewrite must not double-count the view."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    b = spark.createDataFrame([_ev(0, 5, "click", 1.0)], SCHEMA)
+    upsert_hourly_counts(spark, b, base, view, epoch_id=7)
+    upsert_hourly_counts(spark, b, base, view, epoch_id=7)  # replay
+    (r,) = spark.read.parquet(view).collect()
+    assert (r["event_type"], r["n_events"], r["sum_value_1e4"]) == ("click", 1, 10000)
