@@ -1,18 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+COMPACT JSON line as its very last stdout line:
+{"metric": ..., "value": cold_total_sec, "value_warm": warm_total_sec,
+ "unit": "sec", "sf": ..., "queries": {<10 slowest cold>: sec, ...}}.
+
+The full cold+warm per-query breakdown goes to BENCH_DETAIL.json next to
+this script — the round-2 single-line dump of 80×2 per-query dicts
+overflowed the driver's tail capture (BENCH_r02.json: parsed=null), so
+the final line now stays small no matter how many queries the suite has.
 
 Each query is executed to completion (count() over the result — rows are
 materialized but not shipped to the driver), timed wall-clock after a
 warm-up of the session.
 
-Two timed passes are reported: the cold pass (``value`` / ``queries`` —
-directly comparable across rounds, dominated by whole-stage-codegen JIT
-of ~2-3 s per novel plan shape) and a warm pass (``value_warm`` /
-``queries_warm`` — the steady-state plan cost, which is what a
-long-running cluster actually pays per query).  ``SPARK_GRAFT_COLD_ONLY=1``
-skips the warm pass.
+Two passes are timed: the cold pass (``value`` — directly comparable
+across rounds, dominated by whole-stage-codegen JIT of ~2-3 s per novel
+plan shape) and a warm pass (``value_warm`` — the steady-state plan cost,
+which is what a long-running cluster actually pays per query).
+``SPARK_GRAFT_COLD_ONLY=1`` skips the warm pass.  The cache is cleared
+between passes so persisted dedup intermediates from the cold pass don't
+accumulate (and the warm pass measures plan cost, not cache hits).
 """
 
 from __future__ import annotations
@@ -148,7 +155,7 @@ def main() -> None:
         return t
 
     timings = timed_pass()  # cold: first execution of every plan
-    out = {
+    detail = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -156,9 +163,32 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_COLD_ONLY") != "1":
+        # dedup/ANN queries persist() intermediates; clear them so the warm
+        # pass measures plan cost, not cache hits, and cached partitions from
+        # 80+ queries don't accumulate across the double pass
+        spark.catalog.clearCache()
         warm_timings = timed_pass()  # warm: same plans, codegen already JIT'd
-        out["value_warm"] = round(sum(warm_timings.values()), 3)
-        out["queries_warm"] = warm_timings
+        detail["value_warm"] = round(sum(warm_timings.values()), 3)
+        detail["queries_warm"] = warm_timings
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # the driver tail-captures stdout and parses the LAST line as JSON — keep
+    # it compact (totals + the 10 slowest cold queries) no matter how many
+    # queries HEADLINE grows to
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+    }
+    if "value_warm" in detail:
+        out["value_warm"] = detail["value_warm"]
     print(json.dumps(out))
     spark.stop()
 

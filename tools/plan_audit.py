@@ -35,6 +35,7 @@ ALLOWED_SOFT = {
     "events_value_histogram": "1-row global min/max bounds aggregate",
     "pack_sequences_docs": "<=P-row per-partition offset cumsum (P = shuffle partitions)",
     "vocab_index": "<=P-row per-partition offset cumsum (distributed_row_number)",
+    "corpus_shuffle_positions": "<=P-row per-partition offset cumsum (distributed_row_number)",
     "q6_revenue_filter": "single-row global aggregate (final partial merge)",
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
