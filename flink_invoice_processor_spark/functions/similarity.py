@@ -516,13 +516,96 @@ def ivf_kmeans_topk(
     return out
 
 
+def _sub_points(pts: DataFrame, m: int, d: int) -> DataFrame:
+    """(vec_id, s, w6): each integer vector split into its ``m`` subspace
+    slices — one explode, slicing happens once per (vector, subspace), not
+    once per (vector, subspace, centroid)."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("v6"), s * d + 1, d).alias("w6"),
+            )
+            for s in range(m)
+        ]
+    )
+    return pts.select("vec_id", F.explode(slices).alias("_sw")).select(
+        "vec_id", F.col("_sw.s").alias("s"), F.col("_sw.w6").alias("w6")
+    )
+
+
+def _sub_l2() -> Column:
+    """Exact integer squared L2 between subspace columns ``w6`` and ``c6``
+    (a function, not a module constant: Column exprs need a live session)."""
+    return F.aggregate(
+        F.zip_with("w6", "c6", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _train_subspace_centroids(
+    sub_pts: DataFrame, ksub: int, iters: int
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means, all ``m`` subspaces trained
+    SIMULTANEOUSLY: the cluster key is (s, cid), so one assignment join +
+    one update aggregate per iteration trains every sub-codebook — m× fewer
+    passes than looping :func:`_train_centroids` per subspace.  Same
+    integer-exact arithmetic (floor-1e6 units, ``sum div count`` means,
+    (distance, cid) struct-min tie-breaks, empty-cluster guard), so the
+    DuckDB oracle unrolls identical iterations.  Init: subspace slices of
+    the ``ksub`` lowest-id vectors.  Returns (s, cid, c6), materialized via
+    the iteration ``localCheckpoint``.  At 100 TB you would train on a
+    sample (codebooks need ~1e5 points, not the corpus) and keep the
+    full-corpus scan only for the final encode."""
+    cents = sub_pts.where(F.col("vec_id") < ksub).select(
+        "s", F.col("vec_id").alias("cid"), F.col("w6").alias("c6")
+    )
+    for _ in range(iters):
+        scored = sub_pts.join(F.broadcast(cents), "s").select(
+            "vec_id", "s", "cid", _sub_l2().alias("dd")
+        )
+        assign = (
+            scored.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dd", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        )
+        cells = (
+            assign.join(sub_pts, ["vec_id", "s"])
+            .select("s", "cid", F.posexplode("w6").alias("pos", "x6"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.expr("sum(x6) div count(*)").alias("m6"))
+        )
+        new_cents = cells.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m6"))),
+                lambda st: st["m6"],
+            ).alias("c6")
+        )
+        cents = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce(F.col("n.c6"), F.col("o.c6")).alias("c6"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def _pq_codebook(
-    corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
 ):
     """Shared PQ codebook derivation — the ONE place the sub-centroid
     recipe lives, so codes and ADQ lookup tables can never desynchronize.
-    Returns (pts, d, cents, sub_dist) where ``sub_dist(s)`` is the exact
-    integer L2 over subspace ``s`` between columns ``v6`` and ``c6``."""
+    Codebooks are LEARNED: per-subspace integer k-means
+    (:func:`_train_subspace_centroids`, ``iters`` Lloyd iterations from the
+    deterministic lowest-id-slice init).  Returns (pts, d, cents) where
+    ``cents`` is the trained (s, cid, c6) sub-codebook, materialized (tiny:
+    m·ksub rows) so downstream code/LUT builds never re-run training."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     pts = _int_points(corpus, vec_col, id_col)
     first = pts.select(F.size("v6").alias("d")).limit(1).first()
@@ -532,22 +615,37 @@ def _pq_codebook(
     if dim % m != 0:
         raise ValueError(f"pq: vector dim {dim} is not divisible by m={m}")
     d = dim // m
-    cents = pts.where(F.col("vec_id") < ksub).select(
-        F.col("vec_id").alias("cid"), F.col("v6").alias("c6")
+    sub_pts = _sub_points(pts, m, d).persist()
+    cents = _train_subspace_centroids(sub_pts, ksub, iters)
+    # cents is materialized by the training localCheckpoint; the persisted
+    # training input can be released — the final encode re-derives sub
+    # points lazily in a single corpus scan
+    sub_pts.unpersist()
+    return pts, d, cents
+
+
+def _encode(
+    pts: DataFrame, d: int, cents: DataFrame, m: int, ksub: int
+) -> DataFrame:
+    """Encode integer points against a trained sub-codebook: ONE corpus
+    scan (the subspace explode), ONE broadcast join against the m·ksub-row
+    codebook, and ONE aggregate — the m argmins are m null-skipping
+    conditional min-structs in a single groupBy, not m passes."""
+    scored = _sub_points(pts, m, d).join(F.broadcast(cents), "s").select(
+        "vec_id", "s", "cid", _sub_l2().alias("dd")
     )
-
-    def sub_dist(s: int):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("v6"), s * d + 1, d),
-                F.slice(F.col("c6"), s * d + 1, d),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    return pts, d, cents, sub_dist
+    mins = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.when(F.col("s") == s, F.struct(F.col("dd"), F.col("cid")))
+            ).alias(f"mm{s}")
+            for s in range(m)
+        ]
+    )
+    code = F.lit(0).cast("long")
+    for s in range(m):
+        code = code + F.col(f"mm{s}.cid") * (ksub ** s)
+    return mins.select("vec_id", code.alias("pq_code"))
 
 
 def pq_codes(
@@ -556,36 +654,58 @@ def pq_codes(
     ksub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = 2,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``m`` subvectors,
-    quantize every subvector to the nearest of ``ksub`` sub-centroids by
-    exact integer L2, and pack the ``m`` sub-cell ids into one integer code
-    (``sum cid_s * ksub^s``).  PQ is the memory side of large-scale vector
-    search: a 64-dim float vector compresses to ``m * log2(ksub)`` bits
-    (here 24), and asymmetric distance scans run over codes, not floats.
+    quantize every subvector to the nearest of ``ksub`` LEARNED
+    sub-centroids by exact integer L2, and pack the ``m`` sub-cell ids into
+    one integer code (``sum cid_s * ksub^s``).  PQ is the memory side of
+    large-scale vector search: a 64-dim float vector compresses to
+    ``m * log2(ksub)`` bits (here 24), and asymmetric distance scans run
+    over codes, not floats."""
+    pts, d, cents = _pq_codebook(emb, m, ksub, id_col, vec_col, iters)
+    return _encode(pts, d, cents, m, ksub)
 
-    Sub-centroids are the ``ksub`` lowest-id vectors' slices (train-free,
-    deterministic — swap in per-subspace ``_train_centroids`` output for
-    learned codebooks; the assignment machinery is identical).  The plan is
-    one broadcast of the tiny codebook and one argmin per subspace — a pure
-    map over the corpus, no shuffle at all."""
-    pts, d, cents, sub_dist = _pq_codebook(emb, m, ksub, id_col, vec_col)
-    # ONE corpus scan, ONE broadcast join, ONE aggregate: all m subspace
-    # distances are computed per (vector, centroid) row, and the m argmins
-    # are m min-structs in a single groupBy — not m passes over the data
-    joined = pts.crossJoin(F.broadcast(cents)).select(
-        "vec_id", *[sub_dist(s).alias(f"dd{s}") for s in range(m)], "cid"
+
+def _adq_lut(
+    queries: DataFrame, cents: DataFrame, m: int, d: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Per-query ADQ lookup table: (query_id, s, cid, dd) — the exact
+    integer L2 between each query's subspace slice and every trained
+    sub-centroid; |Q|·m·ksub rows.  Materialized (localCheckpoint): the
+    tiny LUT feeds m broadcast joins — without it each join would re-run
+    the query-side slice × codebook scoring."""
+    qpts = _int_points(queries.where(F.col(vec_col).isNotNull()), vec_col, id_col)
+    return (
+        _sub_points(qpts, m, d)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "s")
+        .select("query_id", "s", "cid", _sub_l2().alias("dd"))
+        .localCheckpoint()
     )
-    mins = joined.groupBy("vec_id").agg(
-        *[
-            F.min(F.struct(F.col(f"dd{s}"), F.col("cid"))).alias(f"mm{s}")
-            for s in range(m)
-        ]
-    )
-    code = F.lit(0).cast("long")
+
+
+def _adq_score(cand: DataFrame, lut: DataFrame, m: int, ksub: int):
+    """Add the asymmetric PQ distance to ``cand`` (query_id, …, pq_code):
+    m broadcast LUT joins keyed on (query_id, code digit s) — shuffle-free,
+    the compressed-domain scan never touches the original floats.  Returns
+    (cand_with_joins, adq_dist_column)."""
+    total = F.lit(0).cast("long")
     for s in range(m):
-        code = code + F.col(f"mm{s}.cid") * (ksub ** s)
-    return mins.select("vec_id", code.alias("pq_code"))
+        cid_s = F.expr(f"pq_code div {ksub ** s}") % ksub
+        lut_s = lut.where(F.col("s") == s).select(
+            F.col("query_id").alias(f"_q{s}"),
+            F.col("cid").alias(f"_cid{s}"),
+            F.col("dd").alias(f"_d{s}"),
+        )
+        cand = cand.join(
+            F.broadcast(lut_s),
+            (F.col("query_id") == F.col(f"_q{s}"))
+            & (cid_s == F.col(f"_cid{s}")),
+        )
+        total = total + F.col(f"_d{s}")
+    return cand, total
 
 
 def pq_adq_topk(
@@ -596,6 +716,7 @@ def pq_adq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = 2,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: rank the COMPRESSED corpus against
     full-precision queries.  Per query, precompute the tiny lookup table
@@ -603,41 +724,17 @@ def pq_adq_topk(
     a corpus vector's distance is then m table lookups keyed by the digits
     of its PQ code — the scan never touches the original floats.
 
-    This is the serving path of billion-scale vector search: the corpus
-    lives as ``m*log2(ksub)``-bit codes (24 bits here), the per-query LUT
-    is broadcast, and distance evaluation is integer adds at memory-scan
-    speed.  All distances are exact integers (floor-1e6 units), so ranking
-    (adq_dist ASC, vec_id ASC) is engine-exact."""
-    codes = pq_codes(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
-    _, _, cents, sub_dist = _pq_codebook(corpus, m, ksub, id_col, vec_col)
-    qpts = _int_points(
-        queries.where(F.col(vec_col).isNotNull()), vec_col, id_col
-    ).withColumnRenamed("vec_id", "query_id")
-    # materialized: the tiny LUT feeds m broadcast joins — without the
-    # checkpoint each join would re-run the qpts x cents aggregation
-    lut = (
-        qpts.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "cid",
-            *[sub_dist(s).alias(f"dd{s}") for s in range(m)],
-        )
-        .localCheckpoint()
-    )
+    This is the full-scan serving path of billion-scale vector search: the
+    corpus lives as ``m*log2(ksub)``-bit codes (24 bits here), the
+    per-query LUT is broadcast, and distance evaluation is integer adds at
+    memory-scan speed (see :func:`ivf_pq_topk` for the cell-pruned
+    composition).  All distances are exact integers (floor-1e6 units), so
+    ranking (adq_dist ASC, vec_id ASC) is engine-exact."""
+    pts, d, cents = _pq_codebook(corpus, m, ksub, id_col, vec_col, iters)
+    codes = _encode(pts, d, cents, m, ksub)
+    lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
     cand = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
-    total = F.lit(0).cast("long")
-    for s in range(m):
-        cid_s = F.expr(f"pq_code div {ksub ** s}") % ksub
-        lut_s = lut.select(
-            F.col("query_id").alias(f"_q{s}"),
-            F.col("cid").alias(f"_cid{s}"),
-            F.col(f"dd{s}").alias(f"_d{s}"),
-        )
-        cand = cand.join(
-            F.broadcast(lut_s),
-            (F.col("query_id") == F.col(f"_q{s}"))
-            & (cid_s == F.col(f"_cid{s}")),
-        )
-        total = total + F.col(f"_d{s}")
+    cand, total = _adq_score(cand, lut, m, ksub)
     scored = cand.where(F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -651,3 +748,80 @@ def pq_adq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adq_dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF+PQ — the billion-scale serving composition: a LEARNED coarse
+    quantizer (integer k-means, :func:`_train_centroids`) prunes the search
+    to ``nprobe`` cells per query, then asymmetric PQ distance ranks only
+    the codes inside the probed cells.  :func:`pq_adq_topk` scans every
+    code per query; here the coarse index cuts that to ~``nprobe/n_cells``
+    of the corpus — at 10⁹ vectors this is the difference between a scan
+    and a lookup (IVFADC layout; distances are over raw-vector PQ codes,
+    not residuals, which keeps every distance integer-exact and the whole
+    train→encode→search composition reproducible by one SQL oracle).
+
+    Shuffle budget: coarse training (bounded, tiny state) + ONE probe→cell
+    equi-join keyed on cell id + ONE neighbor_id-keyed join attaching codes
+    (co-partitionable with the cell assignment at scale); the LUT and
+    codebook joins are all broadcast.  Ranking (adq_dist ASC, id ASC) is
+    engine-exact."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    pts = _int_points(corpus, vec_col, id_col).persist()
+    coarse = _train_centroids(pts, n_cells, coarse_iters)
+
+    def assign(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
+        scored = (
+            _int_points(df, vec_col, id_col)
+            .withColumnRenamed("vec_id", out_id)
+            .crossJoin(F.broadcast(coarse))
+            .select(out_id, "cid", _int_dist().alias("d"))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("d").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= rank_cap)
+            .select(out_id, "cid")
+        )
+
+    cells = assign(corpus, "neighbor_id", 1)
+    probes = assign(queries, "query_id", nprobe)
+    _, d, cents = _pq_codebook(corpus, m, ksub, id_col, vec_col, pq_iters)
+    codes = _encode(pts, d, cents, m, ksub)
+    lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
+    # inverted list entries carry their PQ code; the probe join is the only
+    # big shuffle, and its output is (query, candidate-code) pairs
+    coded_cells = cells.join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    cand = (
+        probes.join(coded_cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "pq_code")
+    )
+    cand, total = _adq_score(cand, lut, m, ksub)
+    scored = cand.select("query_id", "neighbor_id", total.alias("adq_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adq_dist", "rank")
+        .localCheckpoint()
+    )
+    pts.unpersist()
+    return out
