@@ -145,16 +145,24 @@ def main() -> None:
     spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(col("id"))).count()
 
-    def timed_pass() -> dict[str, float]:
+    def timed_pass() -> tuple[dict[str, float], dict[str, str]]:
+        # Crash-isolated: one regressed query must NEVER zero out the whole
+        # round's perf signal (round 3 shipped rc=1/no-headline because a
+        # single analysis error escaped this loop).  Failures are timed out
+        # of the totals and recorded by name.
         t: dict[str, float] = {}
+        errs: dict[str, str] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            t[name] = round(time.perf_counter() - t0, 3)
-        return t
+            try:
+                fn(spark, sf_dir).count()
+                t[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 - record and keep benching
+                errs[name] = f"{type(e).__name__}: {e}"[:400]
+        return t, errs
 
-    timings = timed_pass()  # cold: first execution of every plan
+    timings, errors = timed_pass()  # cold: first execution of every plan
     detail = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(timings.values()), 3),
@@ -162,14 +170,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        detail["errors"] = errors
     if os.environ.get("SPARK_GRAFT_COLD_ONLY") != "1":
         # dedup/ANN queries persist() intermediates; clear them so the warm
         # pass measures plan cost, not cache hits, and cached partitions from
         # 80+ queries don't accumulate across the double pass
         spark.catalog.clearCache()
-        warm_timings = timed_pass()  # warm: same plans, codegen already JIT'd
+        warm_timings, warm_errors = timed_pass()  # warm: codegen already JIT'd
         detail["value_warm"] = round(sum(warm_timings.values()), 3)
         detail["queries_warm"] = warm_timings
+        if warm_errors:
+            detail["errors_warm"] = warm_errors
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -189,6 +201,9 @@ def main() -> None:
     }
     if "value_warm" in detail:
         out["value_warm"] = detail["value_warm"]
+    if errors:
+        # names only in the compact line (messages live in BENCH_DETAIL.json)
+        out["errors"] = sorted(errors)
     print(json.dumps(out))
     spark.stop()
 

@@ -56,6 +56,20 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _epoch_sec(colname: str):
+    """Epoch seconds from a TIMESTAMP_NTZ column, timezone-independently.
+
+    ``load_table`` canonicalizes ``events.ts`` to TIMESTAMP_NTZ, on which
+    ``CAST(.. AS BIGINT)`` is illegal and ``unix_timestamp`` would consult
+    the session timezone (which the driver's plain harness session never
+    sets).  ``timestampdiff`` between two NTZ values is pure wall-clock
+    arithmetic — same integer DuckDB's ``floor(epoch(ts))`` yields for the
+    post-1970 timestamps in the testdata."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+    )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -2307,7 +2321,7 @@ def events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("ts_sec"),
+        _epoch_sec("ts").alias("ts_sec"),
         F.floor(F.col("value") * 10000).cast("long").alias("v4"),
     )
     w = (
@@ -2505,11 +2519,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fc.join(conv, "user_id", "left")
         .select(
             "user_id",
-            F.col("first_click").cast("long").alias("first_click_sec"),
+            _epoch_sec("first_click").alias("first_click_sec"),
             F.col("first_purchase").isNotNull().alias("converted"),
             (
-                F.col("first_purchase").cast("long")
-                - F.col("first_click").cast("long")
+                _epoch_sec("first_purchase") - _epoch_sec("first_click")
             ).alias("ttc_sec"),
         )
     )

@@ -1,11 +1,13 @@
 """Test-table loaders for /root/testdata/sf*/ (see TESTDATA.md).
 
 ``load_table`` normalizes physical-type quirks so every downstream operator
-sees clean Spark types — notably ``events.ts`` is stored as
-``timestamp[ns]``, which Spark reads as nanosecond longs under
-``spark.sql.legacy.parquet.nanosAsLong`` (set at runtime here, so any
-SparkSession works — not only the repo's session factory) and is
-converted here to a microsecond timestamp, matching what DuckDB reads.
+sees clean Spark types — notably ``events.ts``, whose physical layout has
+varied across testdata generations (INT64 TIMESTAMP(NANOS), then
+``timestamp[us]`` with no timezone).  Whatever the layout, ``ts`` leaves
+here as TIMESTAMP_NTZ — the same naive-UTC wall clock DuckDB reads — via
+timezone-independent conversions only (the driver's plain harness session
+sets no timezone, so session-tz-dependent casts are forbidden on this
+path).
 """
 
 from __future__ import annotations
@@ -19,16 +21,38 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); without this conf a
-    # plain SparkSession (e.g. the driver's harness, which does NOT go through
-    # our session factory) throws PARQUET_TYPE_ILLEGAL before the plan runs.
+    # events.parquet's physical layout for ts has changed across testdata
+    # generations (INT64 TIMESTAMP(NANOS), then timestamp[us] with no tz);
+    # without this conf a plain SparkSession (e.g. the driver's harness,
+    # which does NOT go through our session factory) throws
+    # PARQUET_TYPE_ILLEGAL on the nanos layout before the plan runs.
     # The conf is runtime-settable, so set it here at the only read site.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division of ns-epoch longs (~1e18) loses
-        # precision beyond double's 53-bit mantissa and drifts by ~1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Canonicalize ts to TIMESTAMP_NTZ no matter which physical layout
+        # this testdata generation uses.  NTZ is the right target: it is what
+        # DuckDB sees for timestamp[us] (naive UTC wall clock), and every
+        # conversion below is timezone-INDEPENDENT — the driver's plain
+        # session does not set a session timezone, so any cast that consults
+        # the session tz would silently change results between harnesses.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long layout: integer division (float division of
+            # ns-epoch longs ~1e18 loses precision beyond double's 53-bit
+            # mantissa); timestampadd on an NTZ literal stays tz-free.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif ts_type == "timestamp":
+            # tz-aware read (a session with NTZ inference disabled): project
+            # the instant onto the UTC wall clock — same rows as the NTZ read.
+            df = df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+        # ts_type == "timestamp_ntz": already canonical, pass through
     return df
 
 

@@ -18,6 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # embeddings (ANN oracle)
 QUERIES = [
     "events_tumbling",
+    "events_user_rolling",  # NTZ epoch-seconds path (r3's crash class)
     "retry_backoff_schedule",
     "q1_pricing_summary",
     "customers_without_orders",
