@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_recall_report",
     "pq_codes_embeddings",
     "pq_adq_topk_embeddings",
+    "ivf_pq_topk_embeddings",
     "corpus_shuffle_positions",
 ]
 

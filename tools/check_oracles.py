@@ -96,6 +96,13 @@ def main():
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
+            # Relation first: inspect declared output types BEFORE fetching.
+            # fetchall() collapses HUGEINT (DuckDB's SUM(BIGINT) result) to
+            # Python int, hiding a type the driver's pandas/Arrow
+            # materialization turns into float64/object — an invisible-
+            # locally, hash-fatal-in-the-driver divergence (q10, round 3).
+            rel = con.sql(oracles[name])
+            otypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -105,6 +112,15 @@ def main():
             continue
 
         problems = []
+        widened = {
+            c: t for c, t in otypes.items()
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        }
+        if widened:
+            problems.append(
+                f"oracle output type(s) {widened} have no Spark equivalent — "
+                f"CAST them (AS BIGINT / AS DOUBLE) in the oracle SQL"
+            )
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         if len(srows) != len(orows):
