@@ -138,7 +138,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
         .select(
             "doc_id_a",
@@ -150,7 +150,14 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # materialize the (small) pair output so the (large) persisted
+        # shingle explode can be released NOW instead of leaking its cache
+        # handle into the caller's session; checkpoint blocks free with the
+        # DataFrame (ContextCleaner), no manual handle survives the call
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def minhash_signatures(
@@ -225,7 +232,7 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -236,7 +243,12 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
+        # small pair output materialized so the banded explode's cache
+        # handle doesn't leak into the caller's session (see jaccard_pairs)
+        .localCheckpoint()
     )
+    banded.unpersist()
+    return out
 
 
 def dup_clusters(
@@ -408,11 +420,19 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return cand.select(
-        "doc_id_a",
-        "doc_id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
+    out = (
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        # small pair output materialized so the band-rows cache handle
+        # doesn't leak into the caller's session (see jaccard_pairs)
+        .localCheckpoint()
+    )
+    band_rows.unpersist()
+    return out
 
 
 def fuzzy_pairs(
