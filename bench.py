@@ -123,6 +123,14 @@ HEADLINE = [
     "pq_adq_topk_embeddings",
     "ivf_pq_topk_embeddings",
     "corpus_shuffle_positions",
+    # round 4 additions
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "substring_search_docs",
+    "bigram_familiarity_docs",
+    "domain_mix_weights_docs",
+    "length_bucket_batches_docs",
 ]
 
 
@@ -178,6 +186,17 @@ def main() -> None:
         # pass measures plan cost, not cache hits, and cached partitions from
         # 80+ queries don't accumulate across the double pass
         spark.catalog.clearCache()
+        # clearCache only drops catalog-level cache; localCheckpoint blocks
+        # from ~20 cold-pass queries are RDD-level and are only released when
+        # ContextCleaner sees their RDDs unreachable — which needs the
+        # Python-side refs dropped (gc) AND a JVM GC cycle.  Without this the
+        # warm pass starts with storage memory full of dead blocks and
+        # measured 60% slower from eviction/GC thrash.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3.0)
         warm_timings, warm_errors = timed_pass()  # warm: codegen already JIT'd
         detail["value_warm"] = round(sum(warm_timings.values()), 3)
         detail["queries_warm"] = warm_timings

@@ -396,3 +396,145 @@ def distributed_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("long"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def bigram_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count-based fluency/novelty signal per document: how common are the
+    document's bigrams in the whole corpus?  The integer cousin of LM
+    perplexity scoring (no log, so both engines agree bit-for-bit) — low
+    ``sum_pair_freq`` with high ``n_singleton`` marks gibberish or
+    boilerplate-mangled text; the inverse marks heavily duplicated text.
+
+    Output: (doc_id, n_bigrams, sum_pair_freq, n_singleton) where
+    ``sum_pair_freq`` sums the corpus frequency of every bigram occurrence
+    and ``n_singleton`` counts occurrences whose bigram exists nowhere
+    else.  Two hash aggregates (per-doc-pair, then corpus-pair) and one
+    equi-join on the pair key — Zipf skew is absorbed by the per-document
+    pre-aggregation, and the join output is bounded by |distinct (doc,
+    pair)|, never tokens x docs.  Empty/1-token docs emit (0, 0, 0)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    t = F.col("_toks")
+    big = 1 << 30
+    grams = F.zip_with(
+        t,
+        F.slice(t, 2, big),
+        lambda a, b: F.when(
+            b.isNotNull(), F.concat_ws("\x01", a, b)
+        ),
+    )
+    doc_pairs = (
+        df.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.filter(grams, lambda g: g.isNotNull())).alias(
+                "pair"
+            ),
+        )
+        .groupBy("doc_id", "pair")
+        .agg(F.count(F.col("pair")).alias("n_in_doc"))
+    )
+    corpus = (
+        doc_pairs.where(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("n_in_doc").alias("n_corpus"))
+    )
+    return (
+        doc_pairs.join(corpus, "pair", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_in_doc").alias("n_bigrams"),
+            F.coalesce(
+                F.sum(F.col("n_in_doc") * F.col("n_corpus")), F.lit(0)
+            ).alias("sum_pair_freq"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("n_corpus") == F.col("n_in_doc"))
+                        & (F.col("n_in_doc") == 1),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_singleton"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("sum_pair_freq").cast("long").alias("sum_pair_freq"),
+            F.col("n_singleton").cast("long").alias("n_singleton"),
+        )
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame, total_budget: int = 1000, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-sampled domain mixing (alpha = 0.5): per source, the
+    sampling weight ``sqrt(n_docs)`` and the document allocation out of
+    ``total_budget`` — the standard recipe for flattening a source
+    distribution when composing a training mix (raw proportions overweight
+    crawl-scale domains; uniform ignores size entirely; sqrt sits between).
+
+    alpha = 0.5 specifically because IEEE sqrt is correctly rounded —
+    Spark and DuckDB produce the SAME double for the same bigint, so
+    ``floor(sqrt(n) * 1e6)`` is engine-exact (a pow(n, alpha) for general
+    alpha is not guaranteed identical across libm implementations).
+
+    Output: (source, n_docs, weight_1e6, alloc_docs) where ``alloc_docs =
+    total_budget * w // sum(w)``, capped at ``n_docs``.  One hash aggregate
+    over |sources| keys + a 1-row broadcast of the weight sum — nothing
+    scales with corpus size except the first aggregate's scan."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w6 = F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("long")
+    weighted = counts.select(source_col, "n_docs", w6.alias("weight_1e6"))
+    tot = weighted.agg(F.sum("weight_1e6").alias("_sum_w"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "weight_1e6",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"{int(total_budget)} * weight_1e6 div _sum_w"),
+            ).cast("long").alias("alloc_docs"),
+        )
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment: group documents into token-length
+    buckets of ``bucket_width`` and deal each bucket into batches of
+    ``batch_size`` docs in doc_id order — the layout that minimizes pad
+    waste when batching variable-length sequences for training (batch
+    members share a bucket, so max-len padding is bounded by the bucket
+    width).
+
+    Output: (doc_id, n_tokens, bucket, batch_in_bucket).  One shuffle on
+    the bucket key; the within-bucket numbering is a window per bucket.
+    At 100 TB a single bucket can exceed one task's memory — then deal
+    within (bucket, md5-salt) sub-partitions instead (same output
+    contract, batches just interleave), or use ``distributed_row_number``
+    per bucket; the plain window is the readable default."""
+    toks = tokens(F.col(text_col))
+    n = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks)).cast("long")
+    base = df.select("doc_id", n.alias("n_tokens")).withColumn(
+        "bucket", F.expr(f"n_tokens div {int(bucket_width)}")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    rn0 = F.row_number().over(w) - 1
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.floor(rn0 / batch_size).cast("long").alias("batch_in_bucket"),
+    )

@@ -86,3 +86,57 @@ def bm25_topk(
             "dl", "score",
         )
     )
+
+
+def trigram_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, tri) character-trigram postings over lowercased
+    text — the inverted index for substring search.  One linear map per
+    document (``substr`` over a sequence of start offsets, then
+    ``array_distinct``); at 100 TB you write this once, partitioned/
+    bucketed by ``tri``, and searches never rescan the corpus."""
+    low = F.lower(F.col(text_col))
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
+        lambda i: F.substr(low, i, F.lit(3)),
+    )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(tris)).alias("tri")
+    )
+
+
+def substring_search(
+    df: DataFrame, query: str, text_col: str = "text"
+) -> DataFrame:
+    """Find every document containing the literal ``query`` WITHOUT a full
+    corpus scan: candidate docs must hold ALL of the query's trigrams
+    (an inverted-index semi-search — the postings filter `tri IN (...)`
+    touches only the query's posting lists), then only candidates are
+    verified against the raw text.  Occurrence count is computed by exact
+    length arithmetic (``(len(t) - len(replace(t, q))) / len(q)``), not a
+    regex, so both engines count identically with no escaping concerns.
+
+    Output: (doc_id, n_occurrences ≥ 1).  At scale the candidate set is
+    |docs containing the rarest trigram| — the verification join is a
+    doc_id equi-join, never a scan."""
+    q = query.lower()
+    if len(q) < 3:
+        raise ValueError("substring_search needs a query of >= 3 chars")
+    q_tris = sorted({q[i:i + 3] for i in range(len(q) - 2)})
+    cand = (
+        trigram_postings(df, text_col)
+        .where(F.col("tri").isin(q_tris))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))
+        .where(F.col("_nt") == len(q_tris))
+        .select("doc_id")
+    )
+    low = F.lower(F.col(text_col))
+    n_occ = (
+        (F.length(low) - F.length(F.replace(low, F.lit(q), F.lit(""))))
+        / F.lit(len(q))
+    ).cast("long")
+    return (
+        df.join(cand, "doc_id")
+        .select("doc_id", n_occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )

@@ -3249,6 +3249,173 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The remaining classic TPC-H shapes (Q2/Q11/Q16/Q20 need partsupp,
+# Q12/Q21 need l_shipmode/l_receiptdate/l_commitdate) are not expressible
+# over this testdata's columns; Q7/Q8/Q9 below complete the implementable
+# set.  Revenue stays in floor-1e4 integer units end-to-end so every
+# aggregate hash-compares engine-exactly.
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_1e4
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year.  The nation filters reach BOTH dimension scans before the
+    fact joins (each broadcast side is pre-filtered to one nation pair),
+    the date range prunes lineitem row groups, and the pair disjunction is
+    evaluated post-join on two broadcast-joined name columns — the big
+    shuffle is only orders⋈lineitem on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_1e4"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                              AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS nation_rev_1e4,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_rev_1e4
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of the PROMO-part market sold
+    into ASIA-region customers, by order year.  Returns the exact integer
+    numerator/denominator pair instead of their ratio (division would
+    reintroduce float noise into an otherwise engine-exact result; any
+    consumer divides loss-free downstream).  Every dimension (part,
+    supplier, both nation roles, region) broadcasts pre-filtered; the only
+    big shuffles are the two fact-side orderkey/custkey joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cn_region"))
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0)
+            ).alias("nation_rev_1e4"),
+            F.sum(rev).alias("total_rev_1e4"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS profit_1e4
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in this data, so profit
+    is revenue without the supplycost term): per supplier-nation, per
+    order-year profit on parts whose name matches a pattern.  The LIKE
+    filter reaches the part scan (broadcast side), nation broadcasts, and
+    the aggregate runs on |nations|×|years| keys — uniform, skew-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("profit_1e4"))
+    )
+
+
 @register(
     "events_unpivot_counts",
     """
@@ -3791,6 +3958,117 @@ def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
         out_col="position",
     ).select("doc_id", "shuffle_key", "position")
+
+
+@register(
+    "substring_search_docs",
+    """
+    SELECT doc_id,
+           CAST((length(lower(text))
+                 - length(replace(lower(text), 'slow join', ''))) // 9
+                AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE contains(lower(text), 'slow join')
+    """,
+)
+def substring_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index substring search: docs containing the literal phrase
+    'slow join', found via the trigram postings index (candidates must
+    hold ALL query trigrams; only candidates are verified) — at corpus
+    scale a search reads the query's posting lists, never the text.  The
+    oracle computes the ground truth directly (a full scan — correct by
+    definition); the Spark side must reach the same rows through the
+    index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return RET.substring_search(docs, "slow join")
+
+
+@register(
+    "bigram_familiarity_docs",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE list_transform({_TOKENS_SQL}, x -> lower(x)) END AS t
+        FROM documents
+    ),
+    dp AS (
+        SELECT doc_id, t[i] || chr(1) || t[i + 1] AS pair
+        FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    dpc AS (SELECT doc_id, pair, COUNT(*) AS n_in_doc FROM dp GROUP BY 1, 2),
+    cp AS (SELECT pair, CAST(SUM(n_in_doc) AS BIGINT) AS n_corpus
+           FROM dpc GROUP BY 1),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(n_in_doc) AS BIGINT) AS n_bigrams,
+               CAST(SUM(n_in_doc * n_corpus) AS BIGINT) AS sum_pair_freq,
+               CAST(SUM(CASE WHEN n_corpus = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singleton
+        FROM dpc JOIN cp USING (pair) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.sum_pair_freq, 0) AS sum_pair_freq,
+           COALESCE(a.n_singleton, 0) AS n_singleton
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def bigram_familiarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer LM-style doc scoring: corpus frequency mass of each doc's
+    bigrams + count of corpus-unique bigrams (novelty vs boilerplate
+    signal) — perplexity's hash-exact integer cousin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.bigram_familiarity(docs)
+
+
+@register(
+    "domain_mix_weights_docs",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_1e6
+          FROM c),
+    t AS (SELECT CAST(SUM(weight_1e6) AS BIGINT) AS sum_w FROM w)
+    SELECT source, n_docs, weight_1e6,
+           CAST(least(n_docs, 1000 * weight_1e6 // sum_w) AS BIGINT)
+               AS alloc_docs
+    FROM w CROSS JOIN t
+    """,
+)
+def domain_mix_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled (alpha=0.5) domain mixing weights + integer doc
+    allocations per source out of a 1000-doc budget.  sqrt is IEEE
+    correctly-rounded, so floor-1e6 weights are engine-exact — the reason
+    alpha is pinned at 0.5 rather than a libm pow."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.domain_mix_weights(docs, total_budget=1000)
+
+
+@register(
+    "length_bucket_batches_docs",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS_SQL}) END AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens // 64 AS BIGINT) AS bucket,
+           CAST((row_number() OVER (PARTITION BY n_tokens // 64
+                                    ORDER BY doc_id) - 1) // 8 AS BIGINT)
+               AS batch_in_bucket
+    FROM tk
+    """,
+)
+def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-efficient batching: 64-token length buckets dealt into batches
+    of 8 docs in doc_id order — batch members share a bucket so max-len
+    padding waste is bounded by the bucket width."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.length_bucket_batches(docs, bucket_width=64, batch_size=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Edge cases for the round-4 operators (substring search, bigram
+familiarity, domain mixing, length-bucketed batching, TPC-H Q7/Q8/Q9).
+The happy paths are oracle-gated in tools/check_oracles.py; these tests
+pin the corners oracles can't see (empty/short inputs, contract errors,
+allocation invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_invoice_processor_spark.functions import curation as CUR
+from flink_invoice_processor_spark.functions import retrieval as RET
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="slow join slow join fast scan", source="a"),
+            Row(doc_id=2, text="SLOW JOIN uppercase match", source="a"),
+            Row(doc_id=3, text="no phrase here", source="b"),
+            Row(doc_id=4, text="", source="b"),
+            Row(doc_id=5, text="one", source="b"),
+            # contains both trigrams of 'slow join' ('slo','low',...) but
+            # not the contiguous phrase — index candidate, verify rejects
+            Row(doc_id=6, text="slow scan then join later", source="c"),
+        ]
+    )
+
+
+def test_substring_search_counts_and_verifies(docs):
+    rows = {
+        r.doc_id: r.n_occurrences
+        for r in RET.substring_search(docs, "slow join").collect()
+    }
+    assert rows == {1: 2, 2: 1}  # case-insensitive, false positive rejected
+
+
+def test_substring_search_rejects_short_query(docs):
+    with pytest.raises(ValueError):
+        RET.substring_search(docs, "ab")
+
+
+def test_bigram_familiarity_empty_and_single_token(docs):
+    out = {r.doc_id: r for r in CUR.bigram_familiarity(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # every doc gets a row
+    for did in (4, 5):  # no bigrams => all-zero signals
+        assert (
+            out[did].n_bigrams,
+            out[did].sum_pair_freq,
+            out[did].n_singleton,
+        ) == (0, 0, 0)
+    # doc 1 has 6 tokens -> 5 bigram occurrences
+    assert out[1].n_bigrams == 5
+
+
+def test_domain_mix_weights_invariants(docs):
+    out = CUR.domain_mix_weights(docs, total_budget=100).collect()
+    assert {r.source for r in out} == {"a", "b", "c"}
+    for r in out:
+        assert 0 <= r.alloc_docs <= r.n_docs  # capped by availability
+        assert r.weight_1e6 > 0
+
+
+def test_length_bucket_batches_deals_in_order(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * 10)) for i in range(1, 20)]
+    )
+    out = CUR.length_bucket_batches(df, bucket_width=64, batch_size=8).collect()
+    # all 19 docs have 10 tokens -> bucket 0; batches of 8 in doc_id order
+    assert all(r.bucket == 0 for r in out)
+    by_doc = {r.doc_id: r.batch_in_bucket for r in out}
+    assert by_doc[1] == 0 and by_doc[8] == 0
+    assert by_doc[9] == 1 and by_doc[16] == 1
+    assert by_doc[17] == 2 and by_doc[19] == 2
+
+
+def test_q8_numerator_bounded_by_denominator(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    for r in QUERIES["q8_market_share"](spark, sf_dir).collect():
+        assert 0 <= r.nation_rev_1e4 <= r.total_rev_1e4
