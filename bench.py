@@ -131,6 +131,9 @@ HEADLINE = [
     "bigram_familiarity_docs",
     "domain_mix_weights_docs",
     "length_bucket_batches_docs",
+    "ivf_pq_sampled_topk_embeddings",
+    "pagerank_docs",
+    "events_zorder_keys",
 ]
 
 

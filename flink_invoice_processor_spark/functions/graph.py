@@ -1,0 +1,79 @@
+"""Iterative graph analytics as DataFrame compositions.
+
+Connected components (min-label propagation) lives in ``dedup.py`` where
+its consumer is; this module holds the rank-propagation family.  Shared
+design rules: every iteration is ONE equi-join + ONE aggregate on the
+node key (uniform hash keys — no skew beyond the graph's own degree
+skew), lineage is cut per iteration with ``localCheckpoint`` (the
+iterative-DataFrame trap), and all arithmetic is scaled-integer so a SQL
+oracle can replay the exact fixed-point trajectory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: rank scale: ranks are integers in 1e-12 units of total mass 1.0
+SCALE = 1_000_000_000_000
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list (src, dst).
+
+    Nodes = every id appearing as src or dst.  Ranks live in integer
+    1e-12 units; one iteration is
+
+        r'(v) = (100 - d)% * (SCALE div N) + d% * Σ_{u→v} (r(u) div out(u))
+
+    with every division a truncating integer ``div`` — Spark and DuckDB
+    agree bit-for-bit, so the whole trajectory (not just the fixed point)
+    is oracle-replayable.  Dangling nodes keep their base term and their
+    outbound mass is dropped (the standard "no redistribution" variant —
+    total mass decays slightly; fine for ranking, and exactly mirrored in
+    the oracle).
+
+    Scale shape: per iteration ONE src-keyed equi-join (contribution
+    fan-out) + ONE dst-keyed aggregate; degree skew is absorbed by the
+    map-side partial sum.  ``iters`` is fixed (not convergence-tested) so
+    the driver loop never collects anything.
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # scalar driver value, not data
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (100 - damping_pct) * (SCALE // n_nodes) // 100
+    ranks = nodes.select("id", F.lit(SCALE // n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(in_mass, 0) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").cast("long").alias("rank_1e12"))

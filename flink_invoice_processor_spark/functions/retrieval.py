@@ -94,13 +94,17 @@ def trigram_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
     document (``substr`` over a sequence of start offsets, then
     ``array_distinct``); at 100 TB you write this once, partitioned/
     bucketed by ``tri``, and searches never rescan the corpus."""
-    low = F.lower(F.col(text_col))
+    # lower() ONCE in a projection: referencing the expression inside the
+    # transform lambda would inline (and re-evaluate) it per trigram
+    # position — O(len^2) per document, measured 2x on the whole search
+    low = F.col("_low")
     tris = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
         lambda i: F.substr(low, i, F.lit(3)),
     )
-    return df.select(
-        "doc_id", F.explode(F.array_distinct(tris)).alias("tri")
+    return (
+        df.select("doc_id", F.lower(F.col(text_col)).alias("_low"))
+        .select("doc_id", F.explode(F.array_distinct(tris)).alias("tri"))
     )
 
 

@@ -545,7 +545,7 @@ def _sub_l2() -> Column:
 
 
 def _train_subspace_centroids(
-    sub_pts: DataFrame, ksub: int, iters: int
+    sub_pts: DataFrame, ksub: int, iters: int, init_stride: int = 1
 ) -> DataFrame:
     """Per-subspace Lloyd's k-means, all ``m`` subspaces trained
     SIMULTANEOUSLY: the cluster key is (s, cid), so one assignment join +
@@ -555,11 +555,17 @@ def _train_subspace_centroids(
     (distance, cid) struct-min tie-breaks, empty-cluster guard), so the
     DuckDB oracle unrolls identical iterations.  Init: subspace slices of
     the ``ksub`` lowest-id vectors.  Returns (s, cid, c6), materialized via
-    the iteration ``localCheckpoint``.  At 100 TB you would train on a
-    sample (codebooks need ~1e5 points, not the corpus) and keep the
-    full-corpus scan only for the final encode."""
-    cents = sub_pts.where(F.col("vec_id") < ksub).select(
-        "s", F.col("vec_id").alias("cid"), F.col("w6").alias("c6")
+    the iteration ``localCheckpoint``.  At 100 TB you train on a sample
+    (codebooks need ~1e5 points, not the corpus) and keep the full-corpus
+    scan only for the final encode — pass the sampled slice table plus its
+    stride as ``init_stride`` so the init picks the ``ksub`` lowest SAMPLED
+    ids (contiguous-id contract: ids 0, stride, 2*stride, ...), normalized
+    to cluster ids 0..ksub-1 (``vec_id div stride``) so the PQ digit radix
+    is unchanged."""
+    cents = sub_pts.where(F.col("vec_id") < ksub * init_stride).select(
+        "s",
+        F.expr(f"vec_id div {int(init_stride)}").alias("cid"),
+        F.col("w6").alias("c6"),
     )
     for _ in range(iters):
         scored = sub_pts.join(F.broadcast(cents), "s").select(
@@ -598,6 +604,7 @@ def _pq_codebook(
     id_col: str,
     vec_col: str,
     iters: int = 2,
+    train_sample_mod: int | None = None,
 ):
     """Shared PQ codebook derivation — the ONE place the sub-centroid
     recipe lives, so codes and ADQ lookup tables can never desynchronize.
@@ -605,7 +612,13 @@ def _pq_codebook(
     (:func:`_train_subspace_centroids`, ``iters`` Lloyd iterations from the
     deterministic lowest-id-slice init).  Returns (pts, d, cents) where
     ``cents`` is the trained (s, cid, c6) sub-codebook, materialized (tiny:
-    m·ksub rows) so downstream code/LUT builds never re-run training."""
+    m·ksub rows) so downstream code/LUT builds never re-run training.
+
+    ``train_sample_mod``: the 100 TB path — train the codebooks on the
+    deterministic ``vec_id % mod == 0`` sample (codebooks need ~1e5
+    points; only the final encode needs the full corpus scan).  The sample
+    is id-derived, not random(), so training is re-runnable/resumable and
+    the whole pipeline stays SQL-reproducible."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     pts = _int_points(corpus, vec_col, id_col)
     first = pts.select(F.size("v6").alias("d")).limit(1).first()
@@ -616,7 +629,13 @@ def _pq_codebook(
         raise ValueError(f"pq: vector dim {dim} is not divisible by m={m}")
     d = dim // m
     sub_pts = _sub_points(pts, m, d).persist()
-    cents = _train_subspace_centroids(sub_pts, ksub, iters)
+    if train_sample_mod is not None:
+        train_pts = sub_pts.where(F.col("vec_id") % train_sample_mod == 0)
+        cents = _train_subspace_centroids(
+            train_pts, ksub, iters, init_stride=train_sample_mod
+        )
+    else:
+        cents = _train_subspace_centroids(sub_pts, ksub, iters)
     # cents is materialized by the training localCheckpoint; the persisted
     # training input can be released — the final encode re-derives sub
     # points lazily in a single corpus scan
@@ -762,6 +781,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_iters: int = 2,
+    pq_train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF+PQ — the billion-scale serving composition: a LEARNED coarse
     quantizer (integer k-means, :func:`_train_centroids`) prunes the search
@@ -799,7 +819,10 @@ def ivf_pq_topk(
 
     cells = assign(corpus, "neighbor_id", 1)
     probes = assign(queries, "query_id", nprobe)
-    _, d, cents = _pq_codebook(corpus, m, ksub, id_col, vec_col, pq_iters)
+    _, d, cents = _pq_codebook(
+        corpus, m, ksub, id_col, vec_col, pq_iters,
+        train_sample_mod=pq_train_sample_mod,
+    )
     codes = _encode(pts, d, cents, m, ksub)
     lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
     # inverted list entries carry their PQ code; the probe join is the only

@@ -28,6 +28,7 @@ from ..config import EngineConfig
 from ..functions import asof as ASOF
 from ..functions import curation as CUR
 from ..functions import dedup as DD
+from ..functions import graph as GR
 from ..functions import retrieval as RET
 from ..functions import skew as SKEW
 from ..functions import similarity as SIM
@@ -3727,9 +3728,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train_iter_sql(i: int, d: int = 8) -> str:
+def _pq_train_iter_sql(i: int, d: int = 8, train: str = "sp") -> str:
     """One unrolled per-subspace Lloyd iteration over the sliced table
-    ``sp`` (vec_id, s, w6), cluster key (s, cid) — the SQL twin of
+    ``train`` (vec_id, s, w6), cluster key (s, cid) — the SQL twin of
     ``similarity._train_subspace_centroids``: score vs cc{i-1}, argmin
     assign (dd, cid tie-break), truncating integer-mean update (DuckDB
     ``//`` truncates toward zero exactly like Spark ``div``), empty-cluster
@@ -3741,7 +3742,7 @@ def _pq_train_iter_sql(i: int, d: int = 8) -> str:
                CAST(list_sum(list_transform(range(1, {d} + 1),
                     j -> (sp.w6[j] - c.c6[j]) * (sp.w6[j] - c.c6[j])))
                     AS BIGINT) AS dd
-        FROM sp JOIN {prev} c ON c.s = sp.s
+        FROM {train} sp JOIN {prev} c ON c.s = sp.s
     ),
     pa{i} AS (
         SELECT vec_id, s, cid FROM (
@@ -3768,11 +3769,30 @@ def _pq_train_iter_sql(i: int, d: int = 8) -> str:
     )"""
 
 
-# Shared PQ base: integer points, subspace slices (m=8, d=8), the
-# deterministic lowest-id-slice init codebook cc0, TWO unrolled training
-# iterations (matching pq_codes/pq_adq_topk's iters=2 default), and the
-# final encode against the trained cc2.
-_PQ_BASE_SQL = f"""
+def _pq_base_sql(sample_mod: int | None = None) -> str:
+    """Shared PQ base CTEs: integer points, subspace slices (m=8, d=8),
+    the deterministic lowest-id-slice init codebook cc0, TWO unrolled
+    training iterations (matching pq_codes/pq_adq_topk's iters=2 default),
+    and the final encode of the FULL corpus against the trained cc2.
+
+    ``sample_mod`` mirrors the Spark side's ``train_sample_mod``: training
+    CTEs read only the ``vec_id % mod = 0`` slice (``spt``), the init
+    picks the ksub lowest sampled ids normalized to cid 0..7, and the
+    encode still scans every vector — the 100 TB train-on-sample shape."""
+    if sample_mod is None:
+        train, init = "sp", "SELECT s, vec_id AS cid, w6 AS c6 FROM sp WHERE vec_id < 8"
+    else:
+        m = int(sample_mod)
+        train = "spt"
+        init = (
+            f"SELECT s, vec_id // {m} AS cid, w6 AS c6 FROM spt "
+            f"WHERE vec_id < {8 * m}"
+        )
+    sampled_cte = (
+        f"spt AS (SELECT * FROM sp WHERE vec_id % {int(sample_mod)} = 0),"
+        if sample_mod is not None else ""
+    )
+    return f"""
     p AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
@@ -3783,8 +3803,9 @@ _PQ_BASE_SQL = f"""
         SELECT vec_id, s, list_transform(range(1, 9), j -> v6[s * 8 + j]) AS w6
         FROM p, LATERAL (SELECT unnest(range(0, 8)) AS s)
     ),
-    cc0 AS (SELECT s, vec_id AS cid, w6 AS c6 FROM sp WHERE vec_id < 8),
-    {",".join(_pq_train_iter_sql(i) for i in (1, 2))},
+    {sampled_cte}
+    cc0 AS ({init}),
+    {",".join(_pq_train_iter_sql(i, train=train) for i in (1, 2))},
     sc AS (
         SELECT sp.vec_id, sp.s, c.cid,
                CAST(list_sum(list_transform(range(1, 9),
@@ -3800,6 +3821,9 @@ _PQ_BASE_SQL = f"""
             FROM sc
         ) WHERE rn = 1
     )"""
+
+
+_PQ_BASE_SQL = _pq_base_sql()
 
 
 @register(
@@ -3864,8 +3888,9 @@ def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # base CTEs (sp/cc0..cc2/codes, same as pq_codes_embeddings) supply the
 # compressed-domain distances.  Both CTE families share the integer-point
 # table ``p`` and have disjoint names by construction.
-_IVF_PQ_ORACLE = f"""
-    WITH {_PQ_BASE_SQL},
+def _ivf_pq_oracle(sample_mod: int | None = None) -> str:
+    return f"""
+    WITH {_pq_base_sql(sample_mod)},
     c0 AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
     {",".join(_kmeans_iter_sql(i) for i in (1, 2))},
     sa AS (
@@ -3914,6 +3939,9 @@ _IVF_PQ_ORACLE = f"""
 """
 
 
+_IVF_PQ_ORACLE = _ivf_pq_oracle()
+
+
 @register("ivf_pq_topk_embeddings", _IVF_PQ_ORACLE)
 def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the billion-scale serving composition: a learned coarse
@@ -3926,6 +3954,24 @@ def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 10),
         n_cells=8, coarse_iters=2, nprobe=2, m=8, ksub=8, k=5,
+    )
+
+
+@register("ivf_pq_sampled_topk_embeddings", _ivf_pq_oracle(sample_mod=5))
+def ivf_pq_sampled_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with SAMPLE-TRAINED codebooks — the shape that actually runs
+    at 100 TB: the PQ sub-codebooks train on the deterministic 20% sample
+    (``vec_id % 5 = 0``; id-derived, so retries resample nothing), while
+    the encode + search still cover every vector.  Codebooks need ~1e5
+    training points regardless of corpus size, so at scale this turns
+    training from a full-corpus scan into a constant-cost step.  Results
+    verified against the full search oracle with the identical sampled
+    training unrolled in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 10),
+        n_cells=8, coarse_iters=2, nprobe=2, m=8, ksub=8, k=5,
+        pq_train_sample_mod=5,
     )
 
 
@@ -4069,6 +4115,101 @@ def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding waste is bounded by the bucket width."""
     docs = load_table(spark, sf_dir, "documents")
     return CUR.length_bucket_batches(docs, bucket_width=64, batch_size=8)
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    """One unrolled integer-PageRank iteration (the SQL twin of
+    ``graph.pagerank_integer``): src-keyed contribution join + dst-keyed
+    sum, truncating integer division at both the share and damping steps,
+    dangling/base mirror via LEFT JOIN + COALESCE."""
+    return f"""
+    c{k} AS (
+        SELECT e.dst AS id, CAST(SUM(r.rank // od.outdeg) AS BIGINT) AS in_mass
+        FROM e JOIN r{k - 1} r ON r.id = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT nodes.id,
+               CAST((15 * (1000000000000 // nn.n)) // 100
+                    + (85 * COALESCE(c{k}.in_mass, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON c{k}.id = nodes.id
+    )"""
+
+
+@register(
+    "pagerank_docs",
+    f"""
+    WITH pairs AS ({ORACLES["simhash_pairs_docs"]}),
+    e AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT id
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+        SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+        FROM nodes CROSS JOIN nn
+    ),
+    {",".join(_pagerank_iter_sql(k) for k in (1, 2, 3))}
+    SELECT id, CAST(rank AS BIGINT) AS rank_1e12 FROM r3
+    """,
+)
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, d=0.85) over the symmetrized
+    SimHash near-duplicate graph — rank mass concentrates in dense dup
+    clusters, a centrality signal for canonical-document selection.  Each
+    iteration is one src-keyed join + one dst-keyed aggregate; ranks are
+    integers in 1e-12 units so the oracle replays the exact trajectory."""
+    docs = load_table(spark, sf_dir, "documents")
+    # same parameters as simhash_pairs_docs — the oracle embeds that
+    # query's SQL verbatim, so the edge sets must match exactly
+    pairs = DD.simhash_pairs(docs, bits=32, max_hamming=16)
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+        )
+    )
+    return GR.pagerank_integer(edges, iters=3, damping_pct=85).select(
+        "id", "rank_1e12"
+    )
+
+
+@register(
+    "events_zorder_keys",
+    """
+    SELECT event_id,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> (((user_id % 65536) >> i) & 1) * (1::BIGINT << (2 * i))
+                   + (((CAST(floor(epoch(ts)) AS BIGINT) % 65536) >> i) & 1)
+                     * (1::BIGINT << (2 * i + 1))))
+                AS BIGINT) AS zkey
+    FROM events
+    """,
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, time) — the
+    multi-dimensional sort key for ``tables.write_sorted``: sorting on
+    ``zkey`` gives BOTH columns row-group locality, so selective
+    predicates on either dimension skip row groups (the layout trick
+    behind Delta/Iceberg Z-ORDER, as a pure column expression).  Gates
+    ``tables.zorder_value``'s bit interleave against a SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..tables import zorder_value
+
+    return ev.select(
+        "event_id",
+        zorder_value(
+            F.col("user_id") % 65536, _epoch_sec("ts") % 65536, bits=16
+        ).alias("zkey"),
+    )
 
 
 # ---------------------------------------------------------------------------

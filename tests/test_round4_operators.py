@@ -81,3 +81,38 @@ def test_q8_numerator_bounded_by_denominator(spark, sf_dir):
 
     for r in QUERIES["q8_market_share"](spark, sf_dir).collect():
         assert 0 <= r.nation_rev_1e4 <= r.total_rev_1e4
+
+
+def test_pagerank_integer_star_graph(spark):
+    """Hub-and-spoke: all mass flows to the hub; spokes keep base rank.
+    Hand-computed: N=4, SCALE//4 = 250_000_000_000, base = 15% of that =
+    37_500_000_000.  After iter 1: hub = base + 85% * 3*(250e9 div 1) =
+    37_500_000_000 + 637_500_000_000; spokes = base + 85% * (250e9 div 3)."""
+    from flink_invoice_processor_spark.functions.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=0) for s in (1, 2, 3)]
+        + [Row(src=0, dst=s) for s in (1, 2, 3)]
+    )
+    r1 = {r.id: r.rank_1e12 for r in pagerank_integer(edges, iters=1).collect()}
+    assert r1[0] == 37_500_000_000 + 85 * (3 * 250_000_000_000) // 100
+    spoke = 37_500_000_000 + 85 * (250_000_000_000 // 3) // 100
+    assert r1[1] == r1[2] == r1[3] == spoke
+    # rank order is stable under more iterations: hub stays on top
+    r3 = {r.id: r.rank_1e12 for r in pagerank_integer(edges, iters=3).collect()}
+    assert r3[0] > r3[1] == r3[2] == r3[3]
+
+
+def test_zorder_interleave_bits(spark, sf_dir):
+    from flink_invoice_processor_spark.tables import zorder_value
+
+    df = spark.createDataFrame([Row(a=3, b=0), Row(a=0, b=3), Row(a=1, b=1)])
+    out = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_value(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    # a occupies even bit positions, b odd: (3,0)->0b0101=5, (0,3)->0b1010=10,
+    # (1,1)->0b11=3
+    assert out == {(3, 0): 5, (0, 3): 10, (1, 1): 3}
