@@ -134,6 +134,8 @@ HEADLINE = [
     "ivf_pq_sampled_topk_embeddings",
     "pagerank_docs",
     "events_zorder_keys",
+    "cohort_retention_orders",
+    "rfm_segments_customers",
 ]
 
 

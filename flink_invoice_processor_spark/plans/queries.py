@@ -4117,6 +4117,109 @@ def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.length_bucket_batches(docs, bucket_width=64, batch_size=8)
 
 
+@register(
+    "cohort_retention_orders",
+    """
+    WITH fo AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+        SELECT DISTINCT o.o_custkey, fo.cohort,
+               (year(o.o_orderdate) - year(fo.cohort)) * 12
+               + (month(o.o_orderdate) - month(fo.cohort)) AS month_offset
+        FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    )
+    SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+           COUNT(*) AS n_active
+    FROM act GROUP BY cohort, month_offset
+    """,
+)
+def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: customers grouped by first-order month,
+    counted once per (cohort, months-since-first-order).  Two aggregates
+    and one join, all keyed on o_custkey — the cohort assignment shuffle
+    is reused by the activity join (AQE co-partitions them), and the
+    output is |cohorts| x |offsets| cells regardless of order volume."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    act = (
+        o.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("long").alias("month_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "month_offset").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+@register(
+    "rfm_segments_customers",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), TIMESTAMP '2002-01-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey)
+                AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS BIGINT) AS m_quartile
+    FROM rfm
+    """,
+)
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (vs a fixed
+    anchor past the data's horizon), order count, and lifetime spend in
+    exact cents, each cut into quartiles with ``ntile`` (deterministic
+    custkey tie-breaks).  The three global ntile windows are the honest
+    cost — each is a single total-order pass over |customers| rows
+    (dimension-sized, not fact-sized); at larger scale swap ntile for
+    approx-percentile cutpoints joined back broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("2002-01-01 00:00:00").cast("timestamp_ntz")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("long").alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    return rfm.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
 def _pagerank_iter_sql(k: int) -> str:
     """One unrolled integer-PageRank iteration (the SQL twin of
     ``graph.pagerank_integer``): src-keyed contribution join + dst-keyed

@@ -116,3 +116,25 @@ def test_zorder_interleave_bits(spark, sf_dir):
     # a occupies even bit positions, b odd: (3,0)->0b0101=5, (0,3)->0b1010=10,
     # (1,1)->0b11=3
     assert out == {(3, 0): 5, (0, 3): 10, (1, 1): 3}
+
+
+def test_cohort_offsets_start_at_zero(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    rows = QUERIES["cohort_retention_orders"](spark, sf_dir).collect()
+    assert all(r.month_offset >= 0 for r in rows)
+    # every cohort has an offset-0 cell (first order is itself activity)
+    cohorts = {r.cohort for r in rows}
+    zero = {r.cohort for r in rows if r.month_offset == 0}
+    assert cohorts == zero
+
+
+def test_rfm_quartiles_valid(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    rows = QUERIES["rfm_segments_customers"](spark, sf_dir).collect()
+    assert rows and all(
+        1 <= r.r_quartile <= 4 and 1 <= r.f_quartile <= 4
+        and 1 <= r.m_quartile <= 4 and r.recency_days > 0
+        for r in rows
+    )

@@ -45,6 +45,10 @@ ALLOWED_SOFT = {
     "events_approx_topk": "single-row merge of mergeable sketch partials",
     "bm25_topk_docs": "1-row corpus-stats aggregate (N, sum_dl), broadcast back",
     "domain_mix_weights_docs": "1-row weight-sum over |sources| rows, broadcast back",
+    "rfm_segments_customers": (
+        "global ntile over |customers| (dimension-sized) rows; documented "
+        "swap to approx-percentile cutpoints at larger scale"
+    ),
 }
 
 
