@@ -4345,24 +4345,30 @@ _DRIVER_FIRST = [
     # the two queries that have never had a driver row:
     "large_quantity_orders",
     "order_count_distribution",
-    # vector/retrieval extensions (replica-green only, never driver-checked)
+    # vector/retrieval extensions needing their first driver row
     "ivf_pq_topk_embeddings",  # registered round 4 (IVF+PQ composition)
     "pq_codes_embeddings",
     "pq_adq_topk_embeddings",
-    "kmeans_clusters",
-    "ann_ivf_kmeans_topk",
-    "ann_recall_report",
-    "bm25_topk_docs",
-    "tfidf_doc_similarity",
-    "embedding_quantize",
-    "label_centroids",
+    # round-4 additions — never driver-gated; rotated in over 12 rows that
+    # went driver-green in r3 (kmeans_clusters, ann_ivf_kmeans_topk,
+    # ann_recall_report, bm25_topk_docs, tfidf_doc_similarity,
+    # embedding_quantize, label_centroids, doc_chunking,
+    # stratified_sample_docs, gopher_repetition_docs, pii_redaction_docs,
+    # tfidf_top_terms — all keep their union rows and stay replica-checked)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "substring_search_docs",
+    "bigram_familiarity_docs",
+    "domain_mix_weights_docs",
+    "length_bucket_batches_docs",
+    "ivf_pq_sampled_topk_embeddings",
+    "pagerank_docs",
+    "events_zorder_keys",
+    "cohort_retention_orders",
+    "rfm_segments_customers",
     # training-data curation extensions
     "training_mix_pipeline",
-    "doc_chunking",
-    "stratified_sample_docs",
-    "gopher_repetition_docs",
-    "pii_redaction_docs",
-    "tfidf_top_terms",
     "decontaminate_docs",
     "pack_sequences_docs",
     "corpus_top_tokens",
