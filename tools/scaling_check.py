@@ -20,7 +20,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 # one per family: scan-agg, shuffle join, banded dedup, window, iterative,
-# prefix-sum, explode-agg
+# prefix-sum, explode-agg, compressed-domain ANN, inverted-index search,
+# iterative graph
 REPRESENTATIVE = [
     "q6_revenue_filter",
     "q3_shipping_priority",
@@ -29,6 +30,9 @@ REPRESENTATIVE = [
     "dup_clusters_docs",
     "pack_sequences_docs",
     "corpus_top_tokens",
+    "ivf_pq_sampled_topk_embeddings",
+    "substring_search_docs",
+    "pagerank_docs",
 ]
 
 
