@@ -136,6 +136,8 @@ HEADLINE = [
     "events_zorder_keys",
     "cohort_retention_orders",
     "rfm_segments_customers",
+    "events_equidepth_histogram",
+    "events_hll_mergeability",
 ]
 
 

@@ -4220,6 +4220,92 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_equidepth_histogram",
+    """
+    WITH v AS (
+        SELECT CAST(floor(value * 10000) AS BIGINT) AS v4, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT v4,
+               row_number() OVER (ORDER BY v4, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v
+    ),
+    b AS (SELECT v4, CAST(((rn - 1) * 16) // n AS BIGINT) AS bucket FROM r)
+    SELECT bucket, COUNT(*) AS n_events,
+           CAST(MIN(v4) AS BIGINT) AS lo_1e4, CAST(MAX(v4) AS BIGINT) AS hi_1e4
+    FROM b GROUP BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-DEPTH histogram (16 buckets of equal row count, the
+    complement of ``events_value_histogram``'s equi-width buckets): bucket
+    = (rank-1)*k div n over the (value, event_id) total order.  The global
+    rank comes from ``distributed_row_number`` — range-partition, window
+    per partition, broadcast the <=P-row offset cumsum — so no single-task
+    global window ever materializes; equal-height bucket boundaries are
+    what a cost-based optimizer's column statistics store at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.floor(F.col("value") * 10000).cast("long").alias("v4"), "event_id"
+    )
+    n = v.count()  # scalar driver value (row count), not collected data
+    ranked = CUR.distributed_row_number(
+        v, [F.col("v4").asc(), F.col("event_id").asc()], out_col="rn"
+    )
+    return (
+        ranked.select(
+            "v4", (((F.col("rn") - 1) * 16) / n).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("v4").alias("lo_1e4"),
+            F.max("v4").alias("hi_1e4"),
+        )
+    )
+
+
+@register(
+    "events_hll_mergeability",
+    """
+    WITH whole AS (
+        SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+    )
+    SELECT exact_distinct FROM whole
+    """,
+)
+def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY — the property that makes distinct counts
+    re-aggregable at 100 TB: per-partition sketches (here: odd/even event
+    halves) union-merged must estimate exactly what one whole-data sketch
+    estimates.  Spark 4's hll_sketch_agg/hll_union_agg/hll_sketch_estimate
+    compute both paths; the query returns the exact distinct count (which
+    the DuckDB oracle checks) after ASSERTING Spark-side that the merged
+    and whole-data estimates are identical sketches — a wrong merge path
+    fails the query itself, not just a tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    whole = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+    )
+    halves = (
+        ev.withColumn("half", F.col("event_id") % 2)
+        .groupBy("half")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    w = whole.first()["est"]
+    m = halves.first()["est"]
+    if w != m:
+        raise AssertionError(
+            f"HLL merge path diverged: whole={w} merged={m} — union of "
+            "partial sketches must equal the single-pass sketch"
+        )
+    return ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+
+
 def _pagerank_iter_sql(k: int) -> str:
     """One unrolled integer-PageRank iteration (the SQL twin of
     ``graph.pagerank_integer``): src-keyed contribution join + dst-keyed

@@ -138,3 +138,23 @@ def test_rfm_quartiles_valid(spark, sf_dir):
         and 1 <= r.m_quartile <= 4 and r.recency_days > 0
         for r in rows
     )
+
+
+def test_equidepth_buckets_are_equal_height(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    rows = QUERIES["events_equidepth_histogram"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    counts = [r.n_events for r in rows]
+    assert max(counts) - min(counts) <= 1  # equal depth up to remainder
+    # bucket value ranges are non-overlapping and ordered
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi_1e4 <= b.lo_1e4
+
+
+def test_hll_mergeability_asserts_inside_query(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    out = QUERIES["events_hll_mergeability"](spark, sf_dir).collect()
+    assert len(out) == 1 and out[0].exact_distinct > 0

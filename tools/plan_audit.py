@@ -49,6 +49,13 @@ ALLOWED_SOFT = {
         "global ntile over |customers| (dimension-sized) rows; documented "
         "swap to approx-percentile cutpoints at larger scale"
     ),
+    "events_equidepth_histogram": (
+        "<=P-row per-partition offset cumsum (distributed_row_number)"
+    ),
+    "events_hll_mergeability": (
+        "single-row merge of mergeable HLL sketch partials (the point of "
+        "the query)"
+    ),
 }
 
 
