@@ -66,6 +66,26 @@ EXPECTED_SPARK_DTYPES = {
         "o_orderdate": "timestamp_ntz",
     },
     "customer": {"c_custkey": "bigint", "c_acctbal": "double"},
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
 }
 
 # Physical parquet types we KNOW queries are sensitive to.  ``ts`` is the
