@@ -182,6 +182,11 @@ def main() -> None:
     detail = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(timings.values()), 3),
+        # number of queries contributing to `value`: a crash-isolated
+        # failure SHRINKS the sum, so round-over-round comparisons must
+        # check n_ok (and `errors`), not the bare total
+        "n_ok": len(timings),
+        "n_total": len(HEADLINE),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -222,6 +227,8 @@ def main() -> None:
     out = {
         "metric": detail["metric"],
         "value": detail["value"],
+        "n_ok": detail["n_ok"],
+        "n_total": detail["n_total"],
         "unit": "sec",
         "queries": slowest,
         "sf": sf,

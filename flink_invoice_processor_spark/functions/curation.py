@@ -523,18 +523,18 @@ def length_bucket_batches(
     within (bucket, md5-salt) sub-partitions instead (same output
     contract, batches just interleave), or use ``distributed_row_number``
     per bucket; the plain window is the readable default."""
-    toks = tokens(F.col(text_col))
-    n = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(toks)).cast("long")
+    # tokens() already yields an empty array for empty/whitespace-only text
+    n = F.size(tokens(F.col(text_col))).cast("long")
     base = df.select("doc_id", n.alias("n_tokens")).withColumn(
         "bucket", F.expr(f"n_tokens div {int(bucket_width)}")
     )
-    w = Window.partitionBy("bucket").orderBy("doc_id")
-    rn0 = F.row_number().over(w) - 1
     return base.select(
         "doc_id",
         "n_tokens",
         "bucket",
-        F.floor(rn0 / batch_size).cast("long").alias("batch_in_bucket"),
+        # truncating integer div (rn0 >= 0), matching the oracle's `//`
+        F.expr(
+            f"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) "
+            f"div {int(batch_size)}"
+        ).cast("long").alias("batch_in_bucket"),
     )

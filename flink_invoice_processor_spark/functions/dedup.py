@@ -28,6 +28,24 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
+#: When True (default) the pair functions persist their shared explode,
+#: eagerly ``localCheckpoint`` the (small) pair output, and release the
+#: explode before returning — leak-free for long-lived sessions.  Set to
+#: False (tools/plan_audit.py does) to get the fully LAZY plan instead:
+#: a checkpointed result presents as a bare scan of a materialized RDD,
+#: which would blind physical-plan audits to everything upstream.
+MATERIALIZE_PAIRS = True
+
+
+def _finish_pairs(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Shared epilogue for the pair generators: materialize the pair
+    output and release the big cached intermediate (see MATERIALIZE_PAIRS)."""
+    if not MATERIALIZE_PAIRS:
+        return out
+    out = out.localCheckpoint()
+    cached.unpersist()
+    return out
+
 
 def _md5_int63(col: Column) -> Column:
     """Portable deterministic 63-bit hash: first 15 hex chars of md5."""
@@ -123,7 +141,8 @@ def jaccard_pairs(
         )
     # three downstream consumers (both join sides + sizes): materialize the
     # explode once instead of recomputing the tokenize/shingle/hash pipeline
-    sh = sh.persist()
+    if MATERIALIZE_PAIRS:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")
@@ -150,14 +169,12 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        # materialize the (small) pair output so the (large) persisted
+        # the (small) pair output is materialized so the (large) persisted
         # shingle explode can be released NOW instead of leaking its cache
         # handle into the caller's session; checkpoint blocks free with the
         # DataFrame (ContextCleaner), no manual handle survives the call
-        .localCheckpoint()
     )
-    sh.unpersist()
-    return out
+    return _finish_pairs(out, sh)
 
 
 def minhash_signatures(
@@ -227,8 +244,9 @@ def minhash_lsh_pairs(
         sig.select("doc_id", F.explode(band_structs).alias("bb"))
         .select("doc_id", F.col("bb.band_id").alias("band_id"),
                 F.col("bb.band_hash").alias("band_hash"))
-        .persist()  # both self-join sides read it
     )
+    if MATERIALIZE_PAIRS:
+        banded = banded.persist()  # both self-join sides read it
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -245,10 +263,8 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("n_shared_bands"))
         # small pair output materialized so the banded explode's cache
         # handle doesn't leak into the caller's session (see jaccard_pairs)
-        .localCheckpoint()
     )
-    banded.unpersist()
-    return out
+    return _finish_pairs(out, banded)
 
 
 def dup_clusters(
@@ -400,8 +416,9 @@ def simhash_pairs(
             F.col("bb.band_id").alias("band_id"),
             F.col("bb.band_val").alias("band_val"),
         )
-        .persist()
     )
+    if MATERIALIZE_PAIRS:
+        band_rows = band_rows.persist()
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -429,10 +446,8 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         # small pair output materialized so the band-rows cache handle
         # doesn't leak into the caller's session (see jaccard_pairs)
-        .localCheckpoint()
     )
-    band_rows.unpersist()
-    return out
+    return _finish_pairs(out, band_rows)
 
 
 def fuzzy_pairs(

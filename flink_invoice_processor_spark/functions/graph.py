@@ -49,6 +49,12 @@ def pagerank_integer(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # scalar driver value, not data
+    if n_nodes == 0:
+        # empty graph (e.g. no near-dup pairs in a regenerated corpus):
+        # the correct result is an empty ranking, not a ZeroDivisionError
+        return nodes.select(
+            "id", F.lit(None).cast("long").alias("rank_1e12")
+        )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (100 - damping_pct) * (SCALE // n_nodes) // 100
     ranks = nodes.select("id", F.lit(SCALE // n_nodes).alias("rank"))

@@ -98,10 +98,16 @@ def trigram_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
     # transform lambda would inline (and re-evaluate) it per trigram
     # position — O(len^2) per document, measured 2x on the whole search
     low = F.col("_low")
-    tris = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
-        lambda i: F.substr(low, i, F.lit(3)),
-    )
+    # guard docs shorter than 3 chars BEFORE building the sequence:
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty, which
+    # would emit the short text itself as junk non-trigram postings
+    tris = F.when(
+        F.length(low) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2),
+            lambda i: F.substr(low, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select("doc_id", F.lower(F.col(text_col)).alias("_low"))
         .select("doc_id", F.explode(F.array_distinct(tris)).alias("tri"))

@@ -4257,7 +4257,10 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.select(
-            "v4", (((F.col("rn") - 1) * 16) / n).cast("long").alias("bucket")
+            "v4",
+            # truncating integer div, NOT float division + cast: the float
+            # quotient agrees today but is not the oracle's arithmetic
+            F.expr(f"((rn - 1) * 16) div {n}").alias("bucket"),
         )
         .groupBy("bucket")
         .agg(

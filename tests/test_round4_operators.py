@@ -158,3 +158,25 @@ def test_hll_mergeability_asserts_inside_query(spark, sf_dir):
 
     out = QUERIES["events_hll_mergeability"](spark, sf_dir).collect()
     assert len(out) == 1 and out[0].exact_distinct > 0
+
+
+def test_trigram_postings_skip_short_docs(spark):
+    """Docs shorter than 3 chars must emit NO postings — Spark's
+    sequence(1, 0) is the descending [1, 0], which without the guard
+    leaked the short text itself as junk non-trigram postings."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="a"),
+         Row(doc_id=3, text="ab"), Row(doc_id=4, text="abc")]
+    )
+    rows = RET.trigram_postings(df).collect()
+    assert {(r.doc_id, r.tri) for r in rows} == {(4, "abc")}
+    assert all(len(r.tri) == 3 for r in rows)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from flink_invoice_processor_spark.functions.graph import pagerank_integer
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_integer(empty, iters=2)
+    assert out.columns == ["id", "rank_1e12"]
+    assert out.count() == 0

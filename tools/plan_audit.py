@@ -63,8 +63,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    from flink_invoice_processor_spark.functions import dedup
     from flink_invoice_processor_spark.plans.queries import QUERIES
     from flink_invoice_processor_spark.session import get_spark
+
+    # audit the LAZY plans: eager localCheckpoints in the pair generators
+    # would present as bare scans of materialized RDDs, hiding every join
+    # upstream from this sweep (and executing the pipelines besides)
+    dedup.MATERIALIZE_PAIRS = False
 
     spark = get_spark("plan_audit", master="local[4]", shuffle_partitions=4)
     hard: dict[str, list[str]] = {}
