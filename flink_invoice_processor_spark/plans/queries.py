@@ -4283,12 +4283,16 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch MERGEABILITY — the property that makes distinct counts
     re-aggregable at 100 TB: per-partition sketches (here: odd/even event
-    halves) union-merged must estimate exactly what one whole-data sketch
-    estimates.  Spark 4's hll_sketch_agg/hll_union_agg/hll_sketch_estimate
-    compute both paths; the query returns the exact distinct count (which
-    the DuckDB oracle checks) after ASSERTING Spark-side that the merged
-    and whole-data estimates are identical sketches — a wrong merge path
-    fails the query itself, not just a tolerance."""
+    halves) union-merged must estimate the same cardinality as one
+    whole-data sketch, within sketch error.  NOT asserted as equality:
+    DataSketches HLL union promotes through a different target
+    representation, so estimates are bit-identical only while sketches
+    stay in exact (sparse/coupon) mode — at sf0.1 (1500 distinct) the two
+    paths measured 1499 vs 1488, both within the ~1.6% lgK=12 error.  The
+    query returns the exact distinct count (which the DuckDB oracle
+    checks) after ASSERTING Spark-side that both estimates sit within 5%
+    of the exact answer and of each other — a broken merge path still
+    fails the query itself."""
     ev = load_table(spark, sf_dir, "events")
     whole = ev.agg(
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
@@ -4299,14 +4303,18 @@ def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
     )
+    exact_df = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     w = whole.first()["est"]
     m = halves.first()["est"]
-    if w != m:
+    exact = exact_df.first()["exact_distinct"]
+    tol = max(0.05 * exact, 1.0)
+    if abs(w - exact) > tol or abs(m - exact) > tol or abs(w - m) > tol:
         raise AssertionError(
-            f"HLL merge path diverged: whole={w} merged={m} — union of "
-            "partial sketches must equal the single-pass sketch"
+            f"HLL merge path out of bounds: whole={w} merged={m} "
+            f"exact={exact} (tolerance {tol:.1f}) — union of partial "
+            "sketches must estimate the same cardinality within sketch error"
         )
-    return ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return exact_df
 
 
 def _pagerank_iter_sql(k: int) -> str:
