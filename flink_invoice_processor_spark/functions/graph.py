@@ -55,13 +55,17 @@ def pagerank_integer(
         return nodes.select(
             "id", F.lit(None).cast("long").alias("rank_1e12")
         )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degree folded into the edge list ONCE (materialized: the edge
+    # list is read every iteration, and this saves a per-iteration join)
+    e_od = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .localCheckpoint()
+    )
     base = (100 - damping_pct) * (SCALE // n_nodes) // 100
     ranks = nodes.select("id", F.lit(SCALE // n_nodes).alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            e_od.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank div outdeg").alias("c"),
