@@ -4190,11 +4190,19 @@ def cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, days since last order (vs a fixed
     anchor past the data's horizon), order count, and lifetime spend in
-    exact cents, each cut into quartiles with ``ntile`` (deterministic
-    custkey tie-breaks).  The three global ntile windows are the honest
-    cost — each is a single total-order pass over |customers| rows
-    (dimension-sized, not fact-sized); at larger scale swap ntile for
-    approx-percentile cutpoints joined back broadcast."""
+    exact cents, each cut into exact quartiles (deterministic custkey
+    tie-breaks).
+
+    The quartile is ``ntile(4)`` SEMANTICALLY, but computed scale-safe:
+    ``ntile`` over an un-partitioned window funnels every row through one
+    task, so instead each dimension gets a global rank from
+    ``distributed_row_number`` (range-partition + per-partition window +
+    broadcast <=P-row offset cumsum — never a single-task sort) and the
+    bucket falls out of pure rank arithmetic.  With n rows in k=4 buckets
+    (sizes differ by at most 1, earlier buckets larger — the SQL ntile
+    contract): rank <= (n%k)*(n//k+1) lands in bucket (rank-1)//(n//k+1)+1,
+    later ranks in n%k + (rank-cut-1)//(n//k) + 1.  Identical output to
+    the oracle's ntile because the (metric, custkey) order is total."""
     o = load_table(spark, sf_dir, "orders")
     anchor = F.lit("2002-01-01 00:00:00").cast("timestamp_ntz")
     rfm = o.groupBy("o_custkey").agg(
@@ -4205,18 +4213,40 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
             "monetary_cents"
         ),
+    ).localCheckpoint()  # 3 rankings + a count read it; dimension-sized
+    n = rfm.count()
+    base, rem = divmod(n, 4)
+    cut = rem * (base + 1)
+    # base == 0 only when n < 4; then cut == n and the ELSE branch is
+    # unreachable — the max() just keeps the expression well-defined
+    den = max(base, 1)
+
+    def quartile(rn: str):
+        return F.expr(
+            f"CASE WHEN {rn} <= {cut} THEN ({rn} - 1) div {base + 1} + 1 "
+            f"ELSE {rem} + ({rn} - {cut} - 1) div {den} + 1 END"
+        ).cast("long")
+
+    ranked = CUR.distributed_row_number(
+        rfm, [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        out_col="_rn_r",
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
-    return rfm.select(
+    ranked = CUR.distributed_row_number(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        out_col="_rn_f",
+    )
+    ranked = CUR.distributed_row_number(
+        ranked, [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        out_col="_rn_m",
+    )
+    return ranked.select(
         F.col("o_custkey").alias("c_custkey"),
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+        quartile("_rn_r").alias("r_quartile"),
+        quartile("_rn_f").alias("f_quartile"),
+        quartile("_rn_m").alias("m_quartile"),
     )
 
 
@@ -4290,31 +4320,44 @@ def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in exact (sparse/coupon) mode — at sf0.1 (1500 distinct) the two
     paths measured 1499 vs 1488, both within the ~1.6% lgK=12 error.  The
     query returns the exact distinct count (which the DuckDB oracle
-    checks) after ASSERTING Spark-side that both estimates sit within 5%
-    of the exact answer and of each other — a broken merge path still
-    fails the query itself."""
+    checks) after ASSERTING plan-side that both estimates sit within 5%
+    of the exact answer and of each other — ``assert_true`` yields NULL
+    when the bound holds and raises when it doesn't, so a broken merge
+    path still fails the query itself, and the whole check stays LAZY
+    (three 1-row aggregates broadcast-joined; no driver action at
+    plan-construction time, unlike the round-4 version that ran
+    ``first()`` three times before the caller ever executed the plan)."""
     ev = load_table(spark, sf_dir, "events")
     whole = ev.agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("_w")
     )
     halves = (
         ev.withColumn("half", F.col("event_id") % 2)
         .groupBy("half")
         .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_m"))
     )
     exact_df = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
-    w = whole.first()["est"]
-    m = halves.first()["est"]
-    exact = exact_df.first()["exact_distinct"]
-    tol = max(0.05 * exact, 1.0)
-    if abs(w - exact) > tol or abs(m - exact) > tol or abs(w - m) > tol:
-        raise AssertionError(
-            f"HLL merge path out of bounds: whole={w} merged={m} "
-            f"exact={exact} (tolerance {tol:.1f}) — union of partial "
-            "sketches must estimate the same cardinality within sketch error"
-        )
-    return exact_df
+    joined = (
+        exact_df.crossJoin(F.broadcast(whole)).crossJoin(F.broadcast(halves))
+    )
+    tol = F.greatest(F.lit(0.05) * F.col("exact_distinct"), F.lit(1.0))
+    within = (
+        (F.abs(F.col("_w") - F.col("exact_distinct")) <= tol)
+        & (F.abs(F.col("_m") - F.col("exact_distinct")) <= tol)
+        & (F.abs(F.col("_w") - F.col("_m")) <= tol)
+    )
+    msg = F.concat_ws(
+        " ",
+        F.lit("HLL merge path out of bounds: whole="), F.col("_w"),
+        F.lit("merged="), F.col("_m"),
+        F.lit("exact="), F.col("exact_distinct"),
+        F.lit("— union of partial sketches must estimate the same"
+              " cardinality within sketch error"),
+    )
+    return joined.where(F.assert_true(within, msg).isNull()).select(
+        "exact_distinct"
+    )
 
 
 def _pagerank_iter_sql(k: int) -> str:
@@ -4491,8 +4534,12 @@ _DRIVER_FIRST = [
     "q19_disjunctive_filter",
     "revenue_grouping_sets",
     "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q22_idle_wealthy_customers",
+    # round-5 rotation: q15_top_supplier and q22_idle_wealthy_customers
+    # (driver-green r2 AND r4 — double-confirmed) rotate out for the only
+    # two registry queries that have never had a driver CORRECTNESS row
+    # (added in round 4 after the 50-entry window was already full):
+    "events_equidepth_histogram",
+    "events_hll_mergeability",
 ]
 
 

@@ -46,8 +46,7 @@ ALLOWED_SOFT = {
     "bm25_topk_docs": "1-row corpus-stats aggregate (N, sum_dl), broadcast back",
     "domain_mix_weights_docs": "1-row weight-sum over |sources| rows, broadcast back",
     "rfm_segments_customers": (
-        "global ntile over |customers| (dimension-sized) rows; documented "
-        "swap to approx-percentile cutpoints at larger scale"
+        "<=P-row per-partition offset cumsum (distributed_row_number x3)"
     ),
     "events_equidepth_histogram": (
         "<=P-row per-partition offset cumsum (distributed_row_number)"
@@ -69,24 +68,31 @@ def main() -> None:
 
     # audit the LAZY plans: eager localCheckpoints in the pair generators
     # would present as bare scans of materialized RDDs, hiding every join
-    # upstream from this sweep (and executing the pipelines besides)
+    # upstream from this sweep (and executing the pipelines besides).
+    # Restored in the finally: this is a process-wide module toggle, and
+    # leaving it off would hand lazy, unpersisted pair pipelines to any
+    # later in-process user (e.g. check_oracles run from the same driver).
+    prior_materialize = dedup.MATERIALIZE_PAIRS
     dedup.MATERIALIZE_PAIRS = False
 
     spark = get_spark("plan_audit", master="local[4]", shuffle_partitions=4)
     hard: dict[str, list[str]] = {}
     soft: dict[str, list[str]] = {}
     names = sorted(only or QUERIES)
-    for name in names:
-        df = QUERIES[name](spark, sf_dir)
-        # initial physical plan (pre-AQE) — shows the static strategy;
-        # AQE only ever improves on it (broadcast promotion, coalescing)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        h = [f for f in HARD if f in plan]
-        s = [f for f in SOFT if f in plan]
-        if h:
-            hard[name] = h
-        if s:
-            soft[name] = s
+    try:
+        for name in names:
+            df = QUERIES[name](spark, sf_dir)
+            # initial physical plan (pre-AQE) — shows the static strategy;
+            # AQE only ever improves on it (broadcast promotion, coalescing)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            h = [f for f in HARD if f in plan]
+            s = [f for f in SOFT if f in plan]
+            if h:
+                hard[name] = h
+            if s:
+                soft[name] = s
+    finally:
+        dedup.MATERIALIZE_PAIRS = prior_materialize
     unexpected = {n: f for n, f in soft.items() if n not in ALLOWED_SOFT}
     print(
         json.dumps(
