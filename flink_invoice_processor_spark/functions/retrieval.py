@@ -88,58 +88,118 @@ def bm25_topk(
     )
 
 
-def trigram_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
+def trigram_postings(
+    df: DataFrame, text_col: str = "text", only: list[str] | None = None
+) -> DataFrame:
     """Distinct (doc_id, tri) character-trigram postings over lowercased
     text — the inverted index for substring search.  One linear map per
     document (``substr`` over a sequence of start offsets, then
     ``array_distinct``); at 100 TB you write this once, partitioned/
-    bucketed by ``tri``, and searches never rescan the corpus."""
-    # lower() ONCE in a projection: referencing the expression inside the
-    # transform lambda would inline (and re-evaluate) it per trigram
-    # position — O(len^2) per document, measured 2x on the whole search
+    bucketed by ``tri``, and searches never rescan the corpus.
+
+    ``only``: restrict the postings to these trigrams INSIDE the per-doc
+    array (``array_intersect``) — the per-query search path.  Filtering
+    after the explode shuffles one row per distinct trigram occurrence in
+    the corpus (~|chars| rows); intersecting first emits at most
+    ``len(only)`` rows per document, which turned a 4.65× wall-time growth
+    at 10× data into the expected ~linear one."""
+    # lower() ONCE in a projection: referencing the expression inside a
+    # lambda would inline (and re-evaluate) it per position
     low = F.col("_low")
-    # guard docs shorter than 3 chars BEFORE building the sequence:
-    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty, which
-    # would emit the short text itself as junk non-trigram postings
-    tris = F.when(
-        F.length(low) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(low) - 2),
-            lambda i: F.substr(low, i, F.lit(3)),
+    # Trigrams via the zipped-shifted-copies trick (same O(len) shape as
+    # dedup.shingles): split to a char array once, zip it with its 1- and
+    # 2-shifted slices.  The obvious ``transform(sequence(1, len-2),
+    # i -> substr(low, i, 3))`` is O(len²) per document — ``substr`` on a
+    # UTF8String walks from the string start to find the codepoint offset
+    # every call; measured 2.09 s vs 1.30 s warm for the full posting
+    # build over sf0.1 documents.  The zip guard on the last shifted copy
+    # drops the partial 1- and 2-char tail windows (also correctly
+    # yielding zero trigrams for texts shorter than 3 chars).
+    big = 1 << 30
+    chars = F.split(low, "")
+    tris = F.filter(
+        F.zip_with(
+            F.zip_with(chars, F.slice(chars, 2, big), lambda a, b: F.concat(a, b)),
+            F.slice(chars, 3, big),
+            lambda ab, c2: F.when(c2.isNotNull(), F.concat(ab, c2)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda x: x.isNotNull(),
+    )
+    tris = F.array_distinct(tris)
+    if only is not None:
+        tris = F.array_intersect(
+            tris, F.array(*[F.lit(t) for t in sorted(set(only))])
+        )
     return (
         df.select("doc_id", F.lower(F.col(text_col)).alias("_low"))
-        .select("doc_id", F.explode(F.array_distinct(tris)).alias("tri"))
+        .select("doc_id", F.explode(tris).alias("tri"))
     )
 
 
 def substring_search(
-    df: DataFrame, query: str, text_col: str = "text"
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    max_trigram_doc_freq: int | None = None,
 ) -> DataFrame:
     """Find every document containing the literal ``query`` WITHOUT a full
     corpus scan: candidate docs must hold ALL of the query's trigrams
-    (an inverted-index semi-search — the postings filter `tri IN (...)`
-    touches only the query's posting lists), then only candidates are
-    verified against the raw text.  Occurrence count is computed by exact
-    length arithmetic (``(len(t) - len(replace(t, q))) / len(q)``), not a
-    regex, so both engines count identically with no escaping concerns.
+    (an inverted-index semi-search over only the query's posting lists,
+    restricted BEFORE the explode — see :func:`trigram_postings`), then
+    only candidates are verified against the raw text.  Occurrence count
+    is computed by exact length arithmetic
+    (``(len(t) - len(replace(t, q))) / len(q)``), not a regex, so both
+    engines count identically with no escaping concerns.
+
+    ``max_trigram_doc_freq`` is the stop-trigram guard, same contract as
+    ``max_shingle_doc_freq`` in ``dedup.jaccard_pairs``: a trigram
+    appearing in more than this many documents ("th " in English text) is
+    non-discriminative, and its posting list makes the candidate gate
+    corpus-sized — ALWAYS cap it at 100 TB.  Capping only WIDENS the
+    candidate set (docs must hold all *kept* trigrams; if every trigram
+    is hot the gate degrades to verify-everything), and the exact
+    verification then restores precision — so results are identical for
+    any cap, only the scan/verify balance moves.
 
     Output: (doc_id, n_occurrences ≥ 1).  At scale the candidate set is
-    |docs containing the rarest trigram| — the verification join is a
-    doc_id equi-join, never a scan."""
+    |docs containing the rarest kept trigram| — the verification join is
+    a doc_id equi-join, never a scan."""
     q = query.lower()
     if len(q) < 3:
         raise ValueError("substring_search needs a query of >= 3 chars")
     q_tris = sorted({q[i:i + 3] for i in range(len(q) - 2)})
-    cand = (
-        trigram_postings(df, text_col)
-        .where(F.col("tri").isin(q_tris))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"))
-        .where(F.col("_nt") == len(q_tris))
-        .select("doc_id")
-    )
+    posts = trigram_postings(df, text_col, only=q_tris)
+    if max_trigram_doc_freq is None:
+        cand = (
+            posts.groupBy("doc_id")
+            .agg(F.count("*").alias("_nt"))
+            .where(F.col("_nt") == len(q_tris))
+            .select("doc_id")
+        )
+    else:
+        # postings are distinct per (doc, tri), so count(*) per tri IS the
+        # trigram's document frequency; drop hot trigrams from the gate
+        kept = posts.join(
+            F.broadcast(
+                posts.groupBy("tri")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_trigram_doc_freq)
+                .select("tri")
+            ),
+            "tri",
+        )
+        # the required count is |kept query trigrams| — a 1-row broadcast,
+        # compared via a LEFT join from doc_ids so the all-trigrams-hot
+        # edge degrades to verify-everything instead of to zero results
+        need = kept.agg(F.count_distinct("tri").alias("_need"))
+        per_doc = kept.groupBy("doc_id").agg(F.count("*").alias("_nt"))
+        cand = (
+            df.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .crossJoin(F.broadcast(need))
+            .where(F.coalesce(F.col("_nt"), F.lit(0)) == F.col("_need"))
+            .select("doc_id")
+        )
     low = F.lower(F.col(text_col))
     n_occ = (
         (F.length(low) - F.length(F.replace(low, F.lit(q), F.lit(""))))

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from . import suite_cache
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -605,6 +607,7 @@ def _pq_codebook(
     vec_col: str,
     iters: int = 2,
     train_sample_mod: int | None = None,
+    cache_token: tuple | None = None,
 ):
     """Shared PQ codebook derivation — the ONE place the sub-centroid
     recipe lives, so codes and ADQ lookup tables can never desynchronize.
@@ -618,28 +621,43 @@ def _pq_codebook(
     deterministic ``vec_id % mod == 0`` sample (codebooks need ~1e5
     points; only the final encode needs the full corpus scan).  The sample
     is id-derived, not random(), so training is re-runnable/resumable and
-    the whole pipeline stays SQL-reproducible."""
+    the whole pipeline stays SQL-reproducible.
+
+    ``cache_token``: suite-cache dataset token (see
+    :mod:`.suite_cache`) — lets a suite runner share the trained
+    (d, cents) across the PQ-family queries of one pass; no effect unless
+    the runner enabled the cache."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     pts = _int_points(corpus, vec_col, id_col)
-    first = pts.select(F.size("v6").alias("d")).limit(1).first()
-    if first is None:
-        raise ValueError("pq: corpus has no non-null vectors")
-    dim = first["d"]
-    if dim % m != 0:
-        raise ValueError(f"pq: vector dim {dim} is not divisible by m={m}")
-    d = dim // m
-    sub_pts = _sub_points(pts, m, d).persist()
-    if train_sample_mod is not None:
-        train_pts = sub_pts.where(F.col("vec_id") % train_sample_mod == 0)
-        cents = _train_subspace_centroids(
-            train_pts, ksub, iters, init_stride=train_sample_mod
-        )
-    else:
-        cents = _train_subspace_centroids(sub_pts, ksub, iters)
-    # cents is materialized by the training localCheckpoint; the persisted
-    # training input can be released — the final encode re-derives sub
-    # points lazily in a single corpus scan
-    sub_pts.unpersist()
+
+    def _train():
+        first = pts.select(F.size("v6").alias("d")).limit(1).first()
+        if first is None:
+            raise ValueError("pq: corpus has no non-null vectors")
+        dim = first["d"]
+        if dim % m != 0:
+            raise ValueError(f"pq: vector dim {dim} is not divisible by m={m}")
+        d = dim // m
+        sub_pts = _sub_points(pts, m, d).persist()
+        if train_sample_mod is not None:
+            train_pts = sub_pts.where(F.col("vec_id") % train_sample_mod == 0)
+            cents = _train_subspace_centroids(
+                train_pts, ksub, iters, init_stride=train_sample_mod
+            )
+        else:
+            cents = _train_subspace_centroids(sub_pts, ksub, iters)
+        # cents is materialized by the training localCheckpoint; the
+        # persisted training input can be released — the final encode
+        # re-derives sub points lazily in a single corpus scan
+        sub_pts.unpersist()
+        return d, cents
+
+    key = (
+        (cache_token, "pq_cents", m, ksub, iters, train_sample_mod)
+        if cache_token is not None
+        else None
+    )
+    d, cents = suite_cache.memo(key, _train)
     return pts, d, cents
 
 
@@ -674,6 +692,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    cache_token: tuple | None = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``m`` subvectors,
     quantize every subvector to the nearest of ``ksub`` LEARNED
@@ -682,8 +701,15 @@ def pq_codes(
     large-scale vector search: a 64-dim float vector compresses to
     ``m * log2(ksub)`` bits (here 24), and asymmetric distance scans run
     over codes, not floats."""
-    pts, d, cents = _pq_codebook(emb, m, ksub, id_col, vec_col, iters)
-    return _encode(pts, d, cents, m, ksub)
+    pts, d, cents = _pq_codebook(
+        emb, m, ksub, id_col, vec_col, iters, cache_token=cache_token
+    )
+    key = (
+        (cache_token, "pq_codes", m, ksub, iters, None)
+        if cache_token is not None
+        else None
+    )
+    return suite_cache.memo_df(key, lambda: _encode(pts, d, cents, m, ksub))
 
 
 def _adq_lut(
@@ -736,6 +762,7 @@ def pq_adq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    cache_token: tuple | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: rank the COMPRESSED corpus against
     full-precision queries.  Per query, precompute the tiny lookup table
@@ -743,14 +770,27 @@ def pq_adq_topk(
     a corpus vector's distance is then m table lookups keyed by the digits
     of its PQ code — the scan never touches the original floats.
 
-    This is the full-scan serving path of billion-scale vector search: the
-    corpus lives as ``m*log2(ksub)``-bit codes (24 bits here), the
-    per-query LUT is broadcast, and distance evaluation is integer adds at
-    memory-scan speed (see :func:`ivf_pq_topk` for the cell-pruned
-    composition).  All distances are exact integers (floor-1e6 units), so
-    ranking (adq_dist ASC, vec_id ASC) is engine-exact."""
-    pts, d, cents = _pq_codebook(corpus, m, ksub, id_col, vec_col, iters)
-    codes = _encode(pts, d, cents, m, ksub)
+    This is the EXACT-ADQ baseline: a deliberate full compressed-domain
+    scan (every code × every query, via a broadcast nested-loop on the
+    tiny query side — no shuffle explosion, but still O(|corpus|·|Q|)
+    work).  It exists to gate the compression itself.  **At scale, do not
+    serve from this shape** — :func:`ivf_pq_topk` is the serving path: its
+    coarse cells prune the scan to ``nprobe/n_cells`` of the corpus, and
+    it shares this exact codebook/LUT recipe so its pruned results are
+    verifiable against this baseline.  All distances are exact integers
+    (floor-1e6 units), so ranking (adq_dist ASC, vec_id ASC) is
+    engine-exact."""
+    pts, d, cents = _pq_codebook(
+        corpus, m, ksub, id_col, vec_col, iters, cache_token=cache_token
+    )
+    codes_key = (
+        (cache_token, "pq_codes", m, ksub, iters, None)
+        if cache_token is not None
+        else None
+    )
+    codes = suite_cache.memo_df(
+        codes_key, lambda: _encode(pts, d, cents, m, ksub)
+    )
     lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
     cand = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
     cand, total = _adq_score(cand, lut, m, ksub)
@@ -782,6 +822,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     pq_iters: int = 2,
     pq_train_sample_mod: int | None = None,
+    cache_token: tuple | None = None,
 ) -> DataFrame:
     """IVF+PQ — the billion-scale serving composition: a LEARNED coarse
     quantizer (integer k-means, :func:`_train_centroids`) prunes the search
@@ -801,7 +842,12 @@ def ivf_pq_topk(
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     pts = _int_points(corpus, vec_col, id_col).persist()
-    coarse = _train_centroids(pts, n_cells, coarse_iters)
+    coarse = suite_cache.memo(
+        (cache_token, "coarse_cents", n_cells, coarse_iters)
+        if cache_token is not None
+        else None,
+        lambda: _train_centroids(pts, n_cells, coarse_iters),
+    )
 
     def assign(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
         scored = (
@@ -821,9 +867,14 @@ def ivf_pq_topk(
     probes = assign(queries, "query_id", nprobe)
     _, d, cents = _pq_codebook(
         corpus, m, ksub, id_col, vec_col, pq_iters,
-        train_sample_mod=pq_train_sample_mod,
+        train_sample_mod=pq_train_sample_mod, cache_token=cache_token,
     )
-    codes = _encode(pts, d, cents, m, ksub)
+    codes = suite_cache.memo_df(
+        (cache_token, "pq_codes", m, ksub, pq_iters, pq_train_sample_mod)
+        if cache_token is not None
+        else None,
+        lambda: _encode(pts, d, cents, m, ksub),
+    )
     lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
     # inverted list entries carry their PQ code; the probe join is the only
     # big shuffle, and its output is (query, candidate-code) pairs

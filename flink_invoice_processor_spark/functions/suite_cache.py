@@ -1,0 +1,75 @@
+"""Suite-scoped sharing of expensive derived artifacts across queries.
+
+Several registered queries are COMPOSITIONS over the same intermediates:
+``pagerank_docs`` re-derives ``simhash_pairs``, ``dup_clusters_docs``
+re-derives ``minhash_lsh_pairs``, and the four PQ-family queries each
+retrain the identical sub-codebooks (and the two IVF+PQ variants the same
+coarse centroids).  Standalone, that is the correct contract — a query is
+self-contained.  But a suite runner (the bench, a notebook session
+running the whole catalog) pays the recompute N times for bit-identical
+results.
+
+This module is the explicit, OPT-IN cache for that case — scoped to the
+suite RUNNER, not baked into the operators:
+
+- disabled (default): ``memo``/``memo_df`` call straight through; every
+  query keeps its standalone semantics, and the driver's correctness gate
+  sees zero behavior change;
+- the runner brackets a pass with :func:`enable` / :func:`disable`; while
+  enabled, the first query to build a keyed artifact stores it (DFs
+  materialized via ``localCheckpoint`` so reuse skips execution, not just
+  planning) and later queries in the same pass reuse it.
+
+Keys must carry EVERYTHING the artifact depends on (sf_dir, every
+parameter) — two calls that differ in any parameter must miss.  Cache
+entries are plain checkpointed DataFrames; dropping the dict on
+``disable`` releases them through the normal GC path
+(``session.drain_block_store`` makes that deterministic between passes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+_CACHE: dict | None = None
+
+
+def enable() -> None:
+    """Start a suite-cache scope (idempotent: re-enabling clears it)."""
+    global _CACHE
+    _CACHE = {}
+
+
+def disable() -> None:
+    """End the scope and drop every cached artifact reference."""
+    global _CACHE
+    _CACHE = None
+
+
+def enabled() -> bool:
+    return _CACHE is not None
+
+
+def memo(key: tuple | None, builder: Callable):
+    """Build-or-reuse an arbitrary artifact (driver-side values, tuples of
+    DFs already materialized by their builder).  ``key=None`` always calls
+    through — the shape operators use when the caller provided no cache
+    token (an un-tokenized key could collide across datasets)."""
+    if _CACHE is None or key is None:
+        return builder()
+    if key not in _CACHE:
+        _CACHE[key] = builder()
+    return _CACHE[key]
+
+
+def memo_df(key: tuple | None, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Build-or-reuse a DataFrame artifact, materializing it on first
+    build so every reuse skips execution (a memoized LAZY plan would
+    re-execute per consumer and save nothing)."""
+    if _CACHE is None or key is None:
+        return builder()
+    if key not in _CACHE:
+        _CACHE[key] = builder().localCheckpoint()
+    return _CACHE[key]

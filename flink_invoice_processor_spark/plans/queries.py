@@ -31,6 +31,7 @@ from ..functions import dedup as DD
 from ..functions import graph as GR
 from ..functions import retrieval as RET
 from ..functions import skew as SKEW
+from ..functions import suite_cache as SC
 from ..functions import similarity as SIM
 from ..functions import text as TX
 from ..functions import windows as WIN
@@ -1199,7 +1200,10 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (k=16, 4 bands of 4 rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, k=16, bands=4)
+    return SC.memo(
+        (sf_dir, "minhash_lsh_pairs", 16, 4),
+        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
+    )
 
 
 @register(
@@ -1508,7 +1512,10 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups, so a permissive cut keeps the banding + Hamming path
     exercised end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, bits=32, max_hamming=16)
+    return SC.memo(
+        (sf_dir, "simhash_pairs", 32, 16),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1828,7 +1835,10 @@ def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes it with a recursive CTE — transitive closure is exactly what the
     distributed label propagation converges to."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, k=16, bands=4)
+    pairs = SC.memo(
+        (sf_dir, "minhash_lsh_pairs", 16, 4),
+        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
+    )
     return DD.dup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -3842,7 +3852,7 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     code engine-exact; the oracle unrolls the identical 2 Lloyd
     iterations per subspace (cid * 8^s == cid << 3s)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.pq_codes(emb, m=8, ksub=8)
+    return SIM.pq_codes(emb, m=8, ksub=8, cache_token=(sf_dir, "emb"))
 
 
 _PQ_ADQ_ORACLE = f"""
@@ -3878,7 +3888,8 @@ def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a broadcast per-query lookup table, everything integer-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_adq_topk(
-        emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5
+        emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5,
+        cache_token=(sf_dir, "emb"),
     )
 
 
@@ -3954,6 +3965,7 @@ def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 10),
         n_cells=8, coarse_iters=2, nprobe=2, m=8, ksub=8, k=5,
+        cache_token=(sf_dir, "emb"),
     )
 
 
@@ -3971,7 +3983,7 @@ def ivf_pq_sampled_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return SIM.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 10),
         n_cells=8, coarse_iters=2, nprobe=2, m=8, ksub=8, k=5,
-        pq_train_sample_mod=5,
+        pq_train_sample_mod=5, cache_token=(sf_dir, "emb"),
     )
 
 
@@ -4020,13 +4032,16 @@ def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index substring search: docs containing the literal phrase
     'slow join', found via the trigram postings index (candidates must
-    hold ALL query trigrams; only candidates are verified) — at corpus
-    scale a search reads the query's posting lists, never the text.  The
-    oracle computes the ground truth directly (a full scan — correct by
-    definition); the Spark side must reach the same rows through the
-    index."""
+    hold ALL non-stop query trigrams; only candidates are verified) — at
+    corpus scale a search reads the query's posting lists, never the
+    text.  The stop-trigram cap (doc-freq > 1000 ⇒ excluded from the
+    gate) bounds the candidate join against hot trigrams exactly like
+    ``jaccard_pairs``' ``max_shingle_doc_freq``; the exact verification
+    makes the result cap-independent, so the ground-truth oracle (a full
+    scan — correct by definition) needs no matching cap.  The Spark side
+    must reach the same rows through the index."""
     docs = load_table(spark, sf_dir, "documents")
-    return RET.substring_search(docs, "slow join")
+    return RET.substring_search(docs, "slow join", max_trigram_doc_freq=1000)
 
 
 @register(
@@ -4412,7 +4427,10 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # same parameters as simhash_pairs_docs — the oracle embeds that
     # query's SQL verbatim, so the edge sets must match exactly
-    pairs = DD.simhash_pairs(docs, bits=32, max_hamming=16)
+    pairs = SC.memo(
+        (sf_dir, "simhash_pairs", 32, 16),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+    )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).unionAll(

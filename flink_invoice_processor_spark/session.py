@@ -57,3 +57,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drain_block_store(spark: SparkSession, timeout_s: float = 30.0) -> int:
+    """Deterministically release dead cached/localCheckpoint RDD blocks.
+
+    A dropped DataFrame's blocks are freed by a three-stage async chain:
+    Python refcount → py4j detach of the JVM Dataset → a JVM GC cycle that
+    lets ContextCleaner's weak-ref queue see the RDD → async block
+    removal.  One ``System.gc()`` is NOT enough — the detach lands after
+    the first GC, so the RDD object only becomes collectable on the NEXT
+    cycle (measured: a pagerank+simhash pipeline leaves ~700 MB of
+    checkpoint blocks alive through a single gc + 12 s wait).  Loop
+    gc/System.gc until the block store reports empty (or ``timeout_s``).
+
+    Long-lived sessions interleaving heavy pipelines (the bench's
+    cold/warm double pass, notebook sessions) call this between phases so
+    storage memory for the next phase isn't full of dead blocks —
+    eviction/GC thrash measured a 65% slowdown on the first big persist
+    of the next phase.  Returns the number of still-stored RDDs (0 on
+    full drain)."""
+    import gc
+    import time as _time
+
+    sc = spark.sparkContext
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        gc.collect()
+        sc._jvm.System.gc()
+        _time.sleep(1.0)
+        n = len(sc._jsc.sc().getRDDStorageInfo())
+        if n == 0 or _time.monotonic() > deadline:
+            return n

@@ -176,7 +176,21 @@ def count_or_timeout_batches_v2(
     remove_state_when_empty: bool = False,
 ) -> DataFrame:
     """v2-API twin of :func:`batcher.count_or_timeout_batches` — identical
-    protocol and output schema (:data:`BATCH_OUTPUT_SCHEMA`)."""
+    protocol and output schema (:data:`BATCH_OUTPUT_SCHEMA`).
+
+    Requires ``google.protobuf`` (the state-v2 Python↔JVM state-server
+    protocol rides protobuf messages).  Checked eagerly here: without the
+    gate a missing protobuf only surfaces as an async worker crash deep
+    inside the running stream."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas (state v2) requires google.protobuf; "
+            "install protobuf, or use streaming.batcher."
+            "count_or_timeout_batches (applyInPandasWithState), which is "
+            "protocol-identical"
+        ) from e
     sel = df.select(*key_cols, df[payload_col].alias("payload"))
     return sel.groupBy(*key_cols).transformWithStateInPandas(
         CountOrTimeoutProcessor(

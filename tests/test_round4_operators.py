@@ -42,6 +42,26 @@ def test_substring_search_rejects_short_query(docs):
         RET.substring_search(docs, "ab")
 
 
+@pytest.mark.parametrize("cap", [1, 2, 100])
+def test_substring_search_cap_is_result_transparent(docs, cap):
+    """The stop-trigram doc-freq cap only moves the gate/verify balance;
+    results must be identical for ANY cap — including cap=1, where every
+    shared trigram goes hot and the gate degrades to verify-everything
+    (the left-join fallback; an inner-join gate would wrongly return
+    zero rows here)."""
+    base = {
+        (r.doc_id, r.n_occurrences)
+        for r in RET.substring_search(docs, "slow join").collect()
+    }
+    capped = {
+        (r.doc_id, r.n_occurrences)
+        for r in RET.substring_search(
+            docs, "slow join", max_trigram_doc_freq=cap
+        ).collect()
+    }
+    assert capped == base
+
+
 def test_bigram_familiarity_empty_and_single_token(docs):
     out = {r.doc_id: r for r in CUR.bigram_familiarity(docs).collect()}
     assert set(out) == {1, 2, 3, 4, 5, 6}  # every doc gets a row

@@ -131,3 +131,111 @@ def test_offset_survives_restart(spark, tmp_path):
     total = run(8)  # restart from the same checkpoint — no re-delivery
     assert sorted(total) == sorted([f"S-{i}" for i in range(5)] + [f"S-{300 + i}" for i in range(3)])
     assert len(total) == len(set(total)), "restart re-delivered rows"
+
+
+def test_crash_mid_epoch_replays_uncommitted_range_exactly(spark, tmp_path):
+    """CRASH-restart recovery (not the graceful stop above): the sink
+    writes its rows and then dies BEFORE the epoch commits, so on restart
+    the stream MUST replay precisely the uncommitted offset range through
+    ``readBetweenOffsets``.  The observable contract this pins down:
+
+    - the raw (non-transactional) sink output contains duplicates for the
+      crashed epoch — proof the crash landed before the commit and the
+      replay path actually ran (at-least-once below the dedup);
+    - nothing is lost: every seeded ready row reaches the sink;
+    - dedup by business key on the consumer side yields EXACTLY the
+      seeded set — exactly-once observable, which is the whole upgrade
+      over the reference's in-memory high-water mark
+      (AsyncInvInSource.java:35-49: a crash there re-polls from id 0 or,
+      with the commented-out variant, skips unread rows entirely)."""
+    import json
+
+    db = str(tmp_path / "queue.db")
+    conn = sqlite3.connect(db)
+    for ddl in DDL:
+        conn.execute(ddl)
+    conn.commit()
+    conn.close()
+    _seed(db, 20, 0)
+
+    spark.dataSource.register(TableQueueDataSource)
+    sink_path = tmp_path / "sink.jsonl"
+    crash_marker = tmp_path / "crashed.marker"
+
+    def write_then_maybe_crash(batch_df, batch_id):
+        rows = [
+            {"batch_id": batch_id, "id": r.id, "sid": r.sid}
+            for r in batch_df.collect()
+        ]
+        with open(sink_path, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        # crash AFTER the write, BEFORE Spark records the epoch commit —
+        # exactly once, on the second epoch that actually carries rows
+        if rows and batch_id >= 1 and not crash_marker.exists():
+            crash_marker.write_text(str(batch_id))
+            raise RuntimeError("injected sink crash before epoch commit")
+
+    def run():
+        stream = (
+            spark.readStream.format("table_queue")
+            .option("db_path", db)
+            .option("table", "async_inv_in")
+            .option("fetch_size", "5")   # 20 seeded rows → 4 epochs
+            .load()
+        )
+        return (
+            stream.writeStream.foreachBatch(write_then_maybe_crash)
+            .option("checkpointLocation", str(tmp_path / "ckpt-crash"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def sink_rows():
+        if not sink_path.exists():
+            return []
+        return [
+            json.loads(line)
+            for line in sink_path.read_text().splitlines()
+            if line
+        ]
+
+    q = run()
+    deadline = time.time() + 60
+    while time.time() < deadline and q.exception() is None:
+        time.sleep(0.5)
+    assert q.exception() is not None, "injected crash never fired"
+    q.stop()
+    crashed_epoch = int(crash_marker.read_text())
+
+    q2 = run()  # restart from the same checkpoint
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(
+            {r["sid"] for r in sink_rows()}
+        ) < 20:
+            time.sleep(0.5)
+            assert q2.exception() is None, f"restart failed: {q2.exception()}"
+    finally:
+        q2.stop()
+
+    rows = sink_rows()
+    sids = [r["sid"] for r in rows]
+    # the crashed epoch was written, crashed, and then REPLAYED with the
+    # identical offset range — its rows appear twice in the raw sink
+    replayed = [r["sid"] for r in rows if r["batch_id"] == crashed_epoch]
+    assert replayed, "crashed epoch never replayed after restart"
+    assert any(sids.count(s) == 2 for s in replayed), (
+        "no duplicate from the crashed epoch — the crash must have landed "
+        "after the commit, so the replay path was never exercised"
+    )
+    # nothing lost, and dedup-by-key is exactly the seeded set
+    assert {r["sid"] for r in rows} == {f"S-{i}" for i in range(20)}
+    # no row outside the crashed epoch's replay was ever double-delivered
+    from collections import Counter
+
+    over_delivered = {
+        s: c for s, c in Counter(sids).items() if c > 2
+        or (c == 2 and s not in replayed)
+    }
+    assert not over_delivered, f"unexpected re-delivery: {over_delivered}"

@@ -1,0 +1,67 @@
+"""Suite-cache contract: disabled = exact passthrough (the default every
+correctness gate runs under), enabled = share-within-scope with results
+bit-identical to standalone execution."""
+
+from __future__ import annotations
+
+from flink_invoice_processor_spark.functions import suite_cache as SC
+
+
+def test_memo_passthrough_and_scope():
+    calls = []
+
+    def build():
+        calls.append(1)
+        return len(calls)
+
+    # disabled: every call builds
+    assert SC.memo(("k",), build) == 1
+    assert SC.memo(("k",), build) == 2
+    SC.enable()
+    try:
+        assert SC.memo(("k",), build) == 3
+        assert SC.memo(("k",), build) == 3      # hit
+        assert SC.memo(("k2",), build) == 4     # different key misses
+        assert SC.memo(None, build) == 5        # None key never caches
+    finally:
+        SC.disable()
+    assert SC.memo(("k",), build) == 6          # scope gone
+
+
+def test_composed_queries_identical_with_cache_enabled(spark, sf_dir):
+    """pagerank_docs reuses the suite-cached simhash pairs when a pass
+    shares them; its output must be bit-identical to standalone."""
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    base = {tuple(r) for r in QUERIES["pagerank_docs"](spark, sf_dir).collect()}
+    SC.enable()
+    try:
+        QUERIES["simhash_pairs_docs"](spark, sf_dir).count()
+        shared = {
+            tuple(r) for r in QUERIES["pagerank_docs"](spark, sf_dir).collect()
+        }
+        assert ("%s" % sf_dir, "simhash_pairs", 32, 16) in SC._CACHE
+    finally:
+        SC.disable()
+    assert shared == base
+
+
+def test_pq_family_identical_with_cache_enabled(spark, sf_dir):
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    base = {
+        tuple(r)
+        for r in QUERIES["ivf_pq_topk_embeddings"](spark, sf_dir).collect()
+    }
+    SC.enable()
+    try:
+        QUERIES["pq_codes_embeddings"](spark, sf_dir).count()
+        shared = {
+            tuple(r)
+            for r in QUERIES["ivf_pq_topk_embeddings"](spark, sf_dir).collect()
+        }
+        # the codebook trained by pq_codes was reused, not retrained
+        assert any(k and k[1] == "pq_cents" for k in SC._CACHE)
+    finally:
+        SC.disable()
+    assert shared == base

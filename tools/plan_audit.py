@@ -44,6 +44,9 @@ ALLOWED_SOFT = {
     "q22_idle_wealthy_customers": "1-row scalar sum/count aggregate, broadcast back",
     "events_approx_topk": "single-row merge of mergeable sketch partials",
     "bm25_topk_docs": "1-row corpus-stats aggregate (N, sum_dl), broadcast back",
+    "substring_search_docs": (
+        "1-row kept-query-trigram count aggregate, broadcast back"
+    ),
     "domain_mix_weights_docs": "1-row weight-sum over |sources| rows, broadcast back",
     "rfm_segments_customers": (
         "<=P-row per-partition offset cumsum (distributed_row_number x3)"
