@@ -33,14 +33,14 @@ def test_drain_block_store_empties_after_pair_pipelines(spark, sf_dir):
 
 def test_repeated_pair_calls_do_not_accumulate_storage(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    counts = []
-    for _ in range(3):
+    # each call checkpoints ONE small pair output whose blocks free on GC;
+    # draining to zero after EVERY call proves no module- or caller-level
+    # reference pins storage (the persisted shingle explode is released
+    # inside the call).  Counting stored RDDs between calls without a
+    # drain is GC-timing-dependent and flaked in full-suite runs.
+    for i in range(3):
         DD.jaccard_pairs(
             docs, n=3, threshold=0.5, max_shingle_doc_freq=100
         ).count()
-        counts.append(_stored_rdds(spark))
-    # each call checkpoints ONE small pair output whose blocks free on GC;
-    # live storage must not grow with call count (the persisted shingle
-    # explode is released inside the call, not leaked to the caller)
-    assert counts[-1] <= counts[0] + 1, f"storage grew across calls: {counts}"
-    assert drain_block_store(spark, timeout_s=30.0) == 0
+        left = drain_block_store(spark, timeout_s=30.0)
+        assert left == 0, f"call {i}: {left} RDDs still stored after drain"
