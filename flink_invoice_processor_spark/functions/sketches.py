@@ -1,0 +1,173 @@
+"""Mergeable-sketch operators: Count-Min heavy hitters, KMV distinct.
+
+The reference engine has no sketch layer (its only aggregation is the
+count-or-timeout response batcher, `REF/process/response/
+InvoiceResponseBatchProcessor.java:28-96`); these are the 100 TB
+extensions a training-data pipeline needs for cardinality and frequency
+questions that a full shuffle-aggregate would make I/O-bound.
+
+Scale design:
+
+- **Count-Min heavy hitters** is the two-phase exact pattern: phase 1
+  builds a ``depth x width`` Count-Min table as ONE tiny mergeable
+  aggregate (``depth`` cells per row, counters grouped on (row, bucket) —
+  map-side partial agg, ≤ depth·width result rows no matter the input
+  size).  Phase 2 re-scans the source, looks every row's ``depth``
+  buckets up via *broadcast* hash joins (no shuffle), and keeps only rows
+  whose CM estimate clears the threshold.  Because Count-Min only ever
+  OVER-estimates, the surviving candidate set is a superset of the true
+  heavy hitters, so the final exact count-and-filter — now over a
+  dramatically reduced key set — returns the exact answer.  The full-key
+  shuffle-aggregate that a naive GROUP BY would do on 10^11 keys never
+  happens.
+- **KMV (k-minimum-values) distinct sketch**: per segment, keep the k
+  smallest md5-derived 44-bit hashes of the value; the unbiased-ish
+  estimator ``(k-1) * 2^44 / kth_min`` needs only those k values, and
+  sketches MERGE by unioning hash sets and re-taking the k smallest —
+  shown here by deriving the all-segments union estimate from the
+  per-segment sketches alone (never re-reading the data).  The k-smallest
+  selection is salted two-phase (per-(segment, salt) top-k first, then
+  global top-k over ≤ 64·k survivors) so no single task ever sorts a
+  whole segment's distinct hashes.
+
+Everything is integer arithmetic on md5-derived hashes — DuckDB oracles
+reproduce results bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import _md5_int63
+
+#: 44-bit hash range for KMV: (k-1) * 2^44 fits comfortably in an int64
+#: for any practical k, so the estimator stays in exact BIGINT division.
+KMV_HASH_BITS = 44
+_KMV_RANGE = 1 << KMV_HASH_BITS
+
+
+def _md5_int44(col: Column) -> Column:
+    """Deterministic 44-bit hash: first 11 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 11), 16, 10).cast("long")
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: Column,
+    threshold: int,
+    depth: int = 3,
+    width: int = 16384,
+) -> DataFrame:
+    """Exact heavy hitters via Count-Min candidate pre-filtering.
+
+    Output: (hh_key, n_events) for every key whose exact count is
+    ``>= threshold``.  See the module docstring for why this is the
+    scalable shape: the exact GROUP BY only ever sees keys whose
+    Count-Min estimate (an upper bound) clears the threshold.
+    """
+    keyed = df.select(key.cast("string").alias("hh_key"))
+
+    def bucket(i: int) -> Column:
+        return _md5_int63(F.concat(F.lit(f"{i}:"), F.col("hh_key"))) % width
+
+    # phase 1: the sketch — depth cells per row, <= depth*width counters
+    cells = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    counters = cells.groupBy("row_i", "bucket").agg(F.count("*").alias("cnt"))
+
+    # phase 2: broadcast lookups (inner joins always match — a row's own
+    # occurrences guarantee its buckets exist), min across depth rows
+    est = keyed
+    for i in range(depth):
+        ci = counters.where(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        est = est.withColumn(f"_b{i}", bucket(i)).join(
+            F.broadcast(ci), f"_b{i}"
+        )
+    estimate = F.least(*[F.col(f"_c{i}") for i in range(depth)])
+    candidates = est.where(estimate >= threshold).select("hh_key")
+
+    return (
+        candidates.groupBy("hh_key")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") >= threshold)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    segment: Column,
+    value: Column,
+    k: int = 64,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-segment KMV sketch rows: (segment, h) — the k smallest distinct
+    44-bit hashes of ``value`` within each segment.
+
+    Selection is salted two-phase so the global per-segment sort never
+    lands on one task: per-(segment, h % n_salts) k-smallest first (the
+    true k smallest are necessarily among those), then k-smallest over
+    the <= n_salts*k survivors.
+    """
+    hashes = df.select(
+        segment.cast("string").alias("segment"),
+        _md5_int44(value.cast("string")).alias("h"),
+    ).distinct()
+    w1 = Window.partitionBy("segment", F.col("h") % n_salts).orderBy("h")
+    pruned = (
+        hashes.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy("segment").orderBy("h")
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimates from KMV sketch rows, per segment plus the
+    merged '__all__' union row (derived from the sketches alone — the
+    mergeability contract).
+
+    Output: (segment, n_kept, kth_min, est_distinct).  When a segment
+    holds fewer than k hashes the sketch IS the distinct set and the
+    estimate is exact; otherwise ``(k-1) * 2^44 div kth_min``.
+    """
+    # the union input is <= n_segments*k sketch rows by construction, so
+    # one bounded aggregate (map-side partials) beats a constant-key
+    # window that would warn about a single-partition exchange
+    union_k = (
+        sketch.agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("_hs")
+        )
+        .select(F.lit("__all__").alias("segment"), F.explode("_hs").alias("h"))
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_RANGE} DIV kth_min AS BIGINT)")
+    )
+    return (
+        sketch.unionByName(union_k)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_min"))
+        .select(
+            "segment", "n_kept", "kth_min", est.alias("est_distinct")
+        )
+    )

@@ -30,6 +30,7 @@ from ..functions import curation as CUR
 from ..functions import dedup as DD
 from ..functions import graph as GR
 from ..functions import retrieval as RET
+from ..functions import sketches as SK
 from ..functions import skew as SKEW
 from ..functions import suite_cache as SC
 from ..functions import similarity as SIM
@@ -4471,6 +4472,87 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % 65536, _epoch_sec("ts") % 65536, bits=16
         ).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 sketch family: Count-Min heavy hitters, KMV distinct sketches
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS hh_key,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1 HAVING COUNT(*) >= 20
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via Count-Min candidate pre-filtering.
+
+    Two-phase 100 TB shape (functions/sketches.py): a depth*width
+    mergeable counter table (one tiny aggregate), broadcast bucket
+    lookups pre-filter the rescan, and the exact GROUP BY runs only over
+    CM-candidate keys (a superset of the true heavy hitters, since
+    Count-Min only over-estimates).  The oracle is the plain exact
+    HAVING — the sketch is an execution strategy, not a semantics
+    change."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    )
+    return SK.cms_heavy_hitters(ev, key, threshold=20)
+
+
+_KMV_HASH_SQL = (
+    "('0x' || substr(md5(CAST(CAST(floor(value * 100) AS BIGINT) "
+    "AS VARCHAR)), 1, 11))::BIGINT"
+)
+
+@register(
+    "events_kmv_distinct",
+    f"""
+    WITH hx AS (
+        SELECT DISTINCT event_type AS segment, {_KMV_HASH_SQL} AS h
+        FROM events
+    ),
+    seg AS (
+        SELECT segment, h FROM (
+            SELECT segment, h,
+                   row_number() OVER (PARTITION BY segment ORDER BY h) AS rn
+            FROM hx
+        ) WHERE rn <= 64
+    ),
+    un AS (
+        SELECT '__all__' AS segment, h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM seg)
+        ) WHERE rn <= 64
+    ),
+    allk AS (SELECT * FROM seg UNION ALL SELECT * FROM un)
+    SELECT segment, COUNT(*) AS n_kept, MAX(h) AS kth_min,
+           CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                ELSE CAST((63 * 17592186044416) // MAX(h) AS BIGINT)
+           END AS est_distinct
+    FROM allk GROUP BY segment
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketches per event_type + the merged union row.
+
+    The '__all__' estimate is derived from the per-segment sketches
+    alone (union the kept hashes, re-take the k smallest) — the
+    mergeability contract that lets 100 TB rollups re-aggregate sketch
+    partials instead of raw rows.  44-bit md5-derived hashes keep the
+    ``(k-1)*2^44 div kth_min`` estimator in exact BIGINT arithmetic, so
+    the oracle reproduces every estimate bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = SK.kmv_sketch(
+        ev,
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("long"),
+        k=64,
+    )
+    return SK.kmv_estimates(sketch, k=64)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""Sketch-layer invariants the DuckDB oracles can't see: Count-Min
+candidate superset-ness and counter-table boundedness, KMV mergeability
+(union-of-sketches == sketch-of-union) and exact-below-k behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_invoice_processor_spark.functions import sketches as SK
+from flink_invoice_processor_spark.tables import load_table
+
+
+@pytest.fixture()
+def skewed(spark):
+    rows = [Row(k=f"hot{i % 2}", v=i) for i in range(200)]
+    rows += [Row(k=f"cold{i}", v=i) for i in range(50)]
+    return spark.createDataFrame(rows)
+
+
+def test_cms_heavy_hitters_exact_vs_plain_groupby(skewed):
+    got = {
+        r.hh_key: r.n_events
+        for r in SK.cms_heavy_hitters(
+            skewed, F.col("k"), threshold=50, depth=3, width=64
+        ).collect()
+    }
+    exact = {
+        r.k: r.n
+        for r in skewed.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 50)
+        .collect()
+    }
+    assert got == exact == {"hot0": 100, "hot1": 100}
+
+
+def test_cms_survives_tiny_width_collisions(skewed):
+    # width=2 makes every bucket collide: the candidate set inflates but
+    # the exact confirm still returns the true heavy hitters only
+    got = SK.cms_heavy_hitters(
+        skewed, F.col("k"), threshold=50, depth=2, width=2
+    )
+    assert {r.hh_key for r in got.collect()} == {"hot0", "hot1"}
+
+
+def test_cms_counter_table_bounded(spark):
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    keyed = df.select(F.col("k").alias("hh_key"))
+    depth, width = 3, 16
+    cells = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (
+                            SK._md5_int63(
+                                F.concat(F.lit(f"{i}:"), F.col("hh_key"))
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    counters = cells.groupBy("row_i", "bucket").count()
+    assert counters.count() <= depth * width
+
+
+def test_kmv_exact_when_under_k(spark):
+    df = spark.createDataFrame(
+        [Row(seg="a", v=i % 7) for i in range(100)]
+        + [Row(seg="b", v=i) for i in range(30)]
+    )
+    sk = SK.kmv_sketch(df, F.col("seg"), F.col("v"), k=64)
+    est = {
+        r.segment: (r.n_kept, r.est_distinct)
+        for r in SK.kmv_estimates(sk, k=64).collect()
+    }
+    assert est["a"] == (7, 7)
+    assert est["b"] == (30, 30)
+    # union: 7 and 30 distinct ints overlap on 0..6 -> 30 distinct values
+    assert est["__all__"] == (30, 30)
+
+
+def test_kmv_union_equals_sketch_of_union(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    val = F.floor(F.col("value") * 100).cast("long")
+    per_seg = SK.kmv_sketch(ev, F.col("event_type"), val, k=16)
+    merged_est = {
+        r.segment: (r.n_kept, r.kth_min, r.est_distinct)
+        for r in SK.kmv_estimates(per_seg, k=16).collect()
+    }["__all__"]
+    # segment name must differ from the union row's '__all__' label, or
+    # the groupBy would fold the single real segment into its own union
+    direct = SK.kmv_sketch(ev, F.lit("alldirect"), val, k=16)
+    direct_est = {
+        r.segment: (r.n_kept, r.kth_min, r.est_distinct)
+        for r in SK.kmv_estimates(direct, k=16).collect()
+    }["alldirect"]
+    assert merged_est == direct_est
+
+
+def test_kmv_estimator_accuracy_order_of_magnitude(spark):
+    df = spark.range(20000).select(
+        F.lit("s").alias("seg"), F.col("id").alias("v")
+    )
+    sk = SK.kmv_sketch(df, F.col("seg"), F.col("v"), k=64)
+    row = [
+        r
+        for r in SK.kmv_estimates(sk, k=64).collect()
+        if r.segment == "s"
+    ][0]
+    assert row.n_kept == 64
+    # KMV with k=64 has ~1/sqrt(62) ~ 13% stddev; allow 3 sigma
+    assert 20000 * 0.6 <= row.est_distinct <= 20000 * 1.4
