@@ -538,3 +538,144 @@ def length_bucket_batches(
             f"div {int(batch_size)}"
         ).cast("long").alias("batch_in_bucket"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    passage_words: int = 4,
+    min_df: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-passage (boilerplate) removal, Dolma/CCNet paragraph-dedup
+    style over synthetic fixed-width passages.
+
+    Documents are cut into consecutive non-overlapping ``passage_words``-
+    token passages; a passage whose exact lowercase text appears in
+    ``>= min_df`` distinct documents is boilerplate and is stripped from
+    every document.  Output: (doc_id, n_passages, n_removed, clean_text)
+    with clean_text the surviving passages rejoined in order.
+
+    Scale shape: passage explode (linear) → hash-aggregate document
+    frequency on the passage text (uniform md5-like shuffle key, no
+    all-pairs) → one equi-join back → per-doc re-assembly aggregate.  The
+    boilerplate side of the join is df-filtered and tiny relative to the
+    corpus; nothing is quadratic.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    w = passage_words
+    n_pass = F.ceil(F.size(toks) / w).cast("long")
+    passages = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+        )
+    )
+    p = df.select(
+        "doc_id", F.posexplode(passages).alias("pidx", "ptext")
+    )
+    boiler = (
+        p.groupBy("ptext")
+        .agg(F.countDistinct("doc_id").alias("pdf"))
+        .where(F.col("pdf") >= min_df)
+        .select("ptext", F.lit(True).alias("_is_b"))
+    )
+    flagged = p.join(boiler, "ptext", "left").select(
+        "doc_id", "pidx", "ptext",
+        F.coalesce(F.col("_is_b"), F.lit(False)).alias("_is_b"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("_is_b").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_is_b"), F.struct("pidx", "ptext"))
+                    )
+                ),
+                lambda x: x["ptext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return df.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-inspired importance weights from hashed-bigram features.
+
+    Data Selection via Importance Resampling (Xie et al. 2023) scores raw
+    documents by how target-like their hashed n-gram distribution is.
+    This implementation keeps the feature pipeline (hashed bigrams →
+    bucket counts in the target subset vs the whole corpus) and scores
+    each document with exact integer likelihood-ratio features:
+    ``ratio6(bucket) = (tgt_cnt+1) * (T_raw + n_buckets) * 1e6
+    div ((raw_cnt+1) * (T_tgt + n_buckets))`` — the add-1-smoothed
+    P_target(bucket) / P_raw(bucket) with both counts normalized by their
+    distribution totals, in fixed-point so the sum is deterministic under
+    any aggregation order (the float log that DSIR sums is replaced by
+    the ratio itself, which DuckDB oracles hash-match; per-bucket the
+    ranking it induces is monotone-equivalent).
+
+    Output: (doc_id, n_bigrams, imp_sum, imp_avg) where imp_avg =
+    round(imp_sum / (n_bigrams * 1e6), 6) — an average target-likeness
+    ratio, > 1.0 meaning more target-like than corpus-average.
+
+    Scale shape: the bucket table is <= n_buckets rows — broadcast back;
+    two linear scans, one hash-agg each, no skew (md5 buckets).
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = df.select("doc_id", target_filter.alias("_tgt"), toks.alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+            F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    from .dedup import _md5_int63
+
+    bg = base.select(
+        "doc_id", "_tgt", F.explode(bigrams).alias("bigram")
+    ).withColumn("bucket", _md5_int63(F.col("bigram")) % n_buckets)
+    buckets = bg.groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(F.col("_tgt").cast("long")).alias("tgt_cnt"),
+    )
+    totals = bg.agg(
+        F.count("*").alias("t_raw"),
+        F.sum(F.col("_tgt").cast("long")).alias("t_tgt"),
+    )
+    ratio6 = F.expr(
+        f"(tgt_cnt + 1) * (t_raw + {n_buckets}) * 1000000"
+        f" DIV ((raw_cnt + 1) * (t_tgt + {n_buckets}))"
+    )
+    scored = (
+        bg.join(F.broadcast(buckets), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", ratio6.alias("_r6"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("_r6").alias("imp_sum")
+    )
+    imp_avg = F.round(
+        F.col("imp_sum") / (F.col("n_bigrams") * 1000000.0), 6
+    )
+    return df.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("imp_sum", F.lit(0)).alias("imp_sum"),
+        F.coalesce(imp_avg, F.lit(0.0)).alias("imp_avg"),
+    )

@@ -137,3 +137,118 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "head_fp64"
         ),
     )
+
+
+#: Quality-classifier feature space: hashed token buckets and the fixed
+#: Knuth-constant linear weights derived from the bucket id.  The weights
+#: are part of the operator contract (the DuckDB oracle embeds the same
+#: arithmetic) — a stand-in for trained fastText/logistic weights, with
+#: the identical serving plan: hash -> weight lookup -> mean.
+QC_BUCKETS = 4096
+QC_MOD = 1000003
+QC_CENTER = 501001
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear bag-of-hashed-words quality classifier (fastText-style
+    serving path: CCNet/DCLM-shape quality gate as one scan + hash-agg).
+
+    Each lowercase token hashes to one of ``QC_BUCKETS`` buckets whose
+    fixed integer weight is ``(bucket * 2654435761 + 40503) % QC_MOD -
+    QC_CENTER`` (zero-mean pseudo-random in [-501001, 502001]).  The
+    document score is the mean token weight normalized to [-0.5, 0.5]-ish:
+    ``round(feat_sum / (n_toks * QC_MOD), 6)``; ``keep_flag`` gates on the
+    exact integer sum (no float compare).  Swapping in real trained
+    weights = replacing the weight expression with a broadcast-joined
+    weight table; the plan is identical.
+
+    Output: (doc_id, n_toks, feat_sum, score, keep_flag).
+    """
+    from .dedup import _md5_int63
+
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    tok = df.select("doc_id", F.explode(toks).alias("tok"))
+    w = (
+        (_md5_int63(F.col("tok")) % QC_BUCKETS) * 2654435761 + 40503
+    ) % QC_MOD - QC_CENTER
+    agg = tok.select("doc_id", w.alias("_w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), F.sum("_w").alias("feat_sum")
+    )
+    score = F.round(F.col("feat_sum") / (F.col("n_toks") * float(QC_MOD)), 6)
+    return df.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        F.coalesce("feat_sum", F.lit(0)).alias("feat_sum"),
+        F.coalesce(score, F.lit(0.0)).alias("score"),
+        F.when(F.coalesce(F.col("feat_sum"), F.lit(0)) > 0, 1)
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    min_ratio6: int = 1_300_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: adjacent-bigram pointwise mutual information.
+
+    ``pmi6 = n_ab * n_tokens * 1e6 div (n_a * n_b)`` — the integer
+    fixed-point of P(ab) / (P(a)·P(b)) with unigram probabilities, i.e.
+    exp(PMI) scaled by 1e6.  Emitting the ratio instead of the log keeps
+    every value in exact BIGINT arithmetic (deterministic; log is
+    monotone so thresholds translate directly).  Pairs below ``min_count``
+    occurrences or ``min_ratio6`` are dropped — the filter is the
+    output contract, not a top-k, so no global sort/window is needed.
+
+    Output: (w1, w2, n_ab, pmi6).
+
+    Magnitude note: n_ab * n_tokens * 1e6 fits int64 up to ~3e6 tokens
+    per job; beyond that (the 100 TB corpus) run per-shard and merge, or
+    move the product to DECIMAL(38,0) — the plan is unchanged.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = df.select(toks.alias("_toks"))
+    uni = base.select(F.explode("_toks").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    totals = uni.agg(F.count("*").alias("n_tokens"))
+    bigrams = F.when(
+        F.size("_toks") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+            F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    bg = (
+        base.select(bigrams.alias("_bg"))
+        .select(F.explode("_bg").alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    # the unigram table is vocabulary-sized (unbounded on a web corpus) —
+    # a plain equi-join lets AQE choose broadcast only when it truly fits;
+    # the 1-row totals are always broadcast
+    joined = (
+        bg.join(
+            uni_counts.withColumnRenamed("w", "w1")
+            .withColumnRenamed("n_w", "n_a"),
+            "w1",
+        )
+        .join(
+            uni_counts.withColumnRenamed("w", "w2")
+            .withColumnRenamed("n_w", "n_b"),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi6 = F.expr("n_ab * n_tokens * 1000000 DIV (n_a * n_b)")
+    return (
+        joined.select("w1", "w2", "n_ab", pmi6.alias("pmi6"))
+        .where(F.col("pmi6") >= min_ratio6)
+    )

@@ -1,0 +1,98 @@
+"""Edge cases for the round-5 text-pipeline operators (boilerplate strip,
+quality classifier, DSIR weights, PMI collocations).  Happy paths are
+oracle-gated; these pin the corners: empty/one-token docs, full-doc
+boilerplate, df thresholds, collocation vs independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_invoice_processor_spark.functions import curation as CUR
+from flink_invoice_processor_spark.functions import text as TX
+
+
+@pytest.fixture()
+def docs(spark):
+    # passage 'a b c d' appears in docs 1,2,3 (df=3 -> boilerplate at
+    # min_df=3); 'x y z w' only in docs 1,2 (df=2 -> kept)
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="a b c d x y z w"),
+            Row(doc_id=2, lang="en", text="a b c d x y z w tail here pad pad"),
+            Row(doc_id=3, lang="de", text="a b c d solo unique words here"),
+            Row(doc_id=4, lang="de", text=""),
+            Row(doc_id=5, lang="en", text="one"),
+        ]
+    )
+
+
+def test_boilerplate_strip_df_threshold(docs):
+    out = {
+        r.doc_id: r
+        for r in CUR.boilerplate_strip(
+            docs, passage_words=4, min_df=3
+        ).collect()
+    }
+    assert out[1].n_passages == 2 and out[1].n_removed == 1
+    assert out[1].clean_text == "x y z w"
+    assert out[2].n_removed == 1 and out[2].clean_text.startswith("x y z w")
+    assert out[3].n_removed == 1 and out[3].clean_text == "solo unique words here"
+    assert (out[4].n_passages, out[4].n_removed, out[4].clean_text) == (0, 0, "")
+    # short doc: single 1-token passage, not boilerplate
+    assert (out[5].n_passages, out[5].n_removed, out[5].clean_text) == (1, 0, "one")
+
+
+def test_boilerplate_strip_full_doc_removed(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="spam spam spam spam") for i in range(3)]
+    )
+    out = CUR.boilerplate_strip(df, passage_words=4, min_df=3).collect()
+    assert all(r.clean_text == "" and r.n_removed == 1 for r in out)
+
+
+def test_quality_classifier_contract(docs):
+    out = {r.doc_id: r for r in TX.quality_classifier(docs).collect()}
+    assert (out[4].n_toks, out[4].feat_sum, out[4].score, out[4].keep_flag) == (
+        0, 0, 0.0, 0,
+    )
+    for r in out.values():
+        if r.n_toks:
+            # mean bucket weight is bounded by the weight range
+            assert abs(r.score) <= 0.51
+            assert r.keep_flag == (1 if r.feat_sum > 0 else 0)
+
+
+def test_dsir_weights_target_likeness(spark):
+    # target (en) docs speak 'aa bb', others speak 'zz yy': en-bigram
+    # buckets get high target ratios, so en docs score higher
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="aa bb aa bb aa") for i in range(5)]
+        + [Row(doc_id=10 + i, lang="de", text="zz yy zz yy zz") for i in range(5)]
+        + [Row(doc_id=99, lang="de", text="solo")]
+    )
+    # small bucket space: the default 8192 add-1 smoothing would swamp
+    # these tiny counts toward ratio 1.0
+    out = {
+        r.doc_id: r
+        for r in CUR.dsir_weights(
+            df, F.col("lang") == "en", n_buckets=16
+        ).collect()
+    }
+    assert out[0].imp_avg > 1.2 > out[10].imp_avg
+    assert (out[99].n_bigrams, out[99].imp_sum, out[99].imp_avg) == (0, 0, 0.0)
+
+
+def test_pmi_finds_collocation_not_independence(spark):
+    # 'new york' always adjacent; 'the'/'dog' co-occur only by chance
+    text = " ".join(["new york the dog runs fast"] * 10)
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = {
+        (r.w1, r.w2): r.pmi6
+        for r in TX.pmi_bigrams(df, min_count=5, min_ratio6=1_000_000).collect()
+    }
+    assert out[("new", "york")] >= 5_000_000  # 6 unigrams -> ratio ~6
+    assert ("the", "runs") not in out  # never adjacent
+    # min_count gate: pairs seen < 5 times never surface
+    few = TX.pmi_bigrams(df, min_count=50, min_ratio6=1_000_000).collect()
+    assert few == []

@@ -58,6 +58,14 @@ ALLOWED_SOFT = {
         "single-row merge of mergeable HLL sketch partials (the point of "
         "the query)"
     ),
+    "events_kmv_distinct": (
+        "union-sketch k-smallest aggregate over <= n_segments*k kept "
+        "hashes (sketch rows, never raw data)"
+    ),
+    "dsir_weights_docs": (
+        "1-row corpus-totals aggregate (T_raw, T_tgt), broadcast back"
+    ),
+    "pmi_bigrams_docs": "1-row token-count aggregate, broadcast back",
 }
 
 
