@@ -210,3 +210,89 @@ def substring_search(
         .select("doc_id", n_occ.alias("n_occurrences"))
         .where(F.col("n_occurrences") > 0)
     )
+
+
+def density_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query term by term DENSITY (relative
+    frequency tf/dl in exact fixed-point: ``tf * 1e6 div dl``).
+
+    A deliberately different ranking signal from BM25 (no idf, no length
+    saturation — short on-topic docs win) for hybrid-fusion demos.
+    Output: (term, rank, doc_id, density6), rank 1..k by
+    (density6 DESC, doc_id ASC)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    tok_rows = df.select("doc_id", F.explode(toks).alias("tok"))
+    dl = tok_rows.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok_rows.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(dl, "doc_id").withColumn(
+        "density6", F.expr("tf * 1000000 DIV dl")
+    )
+    w = Window.partitionBy("tok").orderBy(
+        F.col("density6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("tok").alias("term"), "rank", "doc_id", "density6")
+    )
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (term, doc_id, rank) lists —
+    the standard hybrid-retrieval combiner (Cormack et al. 2009):
+    ``rrf = 1/(c + rank_a) + 1/(c + rank_b)`` over the candidate union,
+    an absent list contributing 0.
+
+    Each addend is a single double division and the sum has a fixed
+    two-operand order, so the score is deterministic IEEE arithmetic
+    (rounded to 6) that a SQL oracle reproduces bit-for-bit.  Fused
+    ties break on doc_id.  Output: (term, fused_rank, doc_id, rank_a,
+    rank_b, rrf_score) with absent ranks reported as 0.
+
+    Scale: both inputs are already per-term top-k (bounded); the fusion
+    join and the per-term window touch k+k rows per term, never the
+    corpus.
+    """
+    a = ranks_a.select(
+        "term", "doc_id", F.col("rank").alias("rank_a")
+    )
+    b = ranks_b.select(
+        "term", "doc_id", F.col("rank").alias("rank_b")
+    )
+    merged = a.join(b, ["term", "doc_id"], "full_outer").select(
+        "term",
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+        F.round(
+            F.when(
+                F.col("rank_a").isNotNull(), F.lit(1.0) / (F.col("rank_a") + c)
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("rank_b").isNotNull(), F.lit(1.0) / (F.col("rank_b") + c)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        merged.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("term", "fused_rank", "doc_id", "rank_a", "rank_b", "rrf_score")
+    )

@@ -899,3 +899,70 @@ def ivf_pq_topk(
     )
     pts.unpersist()
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-then-prune.
+
+    The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the
+    embeddings, compare pairs only WITHIN a cluster, and drop every
+    vector that has a ≥-threshold cosine neighbor with a smaller id in
+    its cluster (deterministic one-pass keep rule: the lowest-id member
+    of each near-duplicate neighborhood survives; a vector is judged
+    against all lower-id cluster-mates whether or not those were
+    themselves dropped — the standard cheap variant, no iterative
+    chasing).
+
+    Assumes embeddings are unit-normalized (the standard contract for
+    sentence/image encoders): for unit vectors, integer-L2 clustering
+    orders identically to cosine, so cluster-mates are cosine neighbors.
+    Pre-normalize upstream if the encoder does not.
+
+    Scale shape: clustering is integer-exact distributed Lloyd's
+    (:func:`kmeans_integer` — broadcast centroids, no point shuffle);
+    the pair comparison is an equi-join on cid, turning the corpus-wide
+    O(n²) into Σ O(|cluster|²) — with n_clusters sized so clusters fit
+    comfortably (1000-executor deployments use n_clusters ~ 10⁴-10⁵ for
+    10⁹ vectors, exactly as the paper does).  Within-cluster recall is
+    the SemDeDup trade: near-dup pairs split across cluster boundaries
+    are missed.
+
+    Output: (vec_id, cid, n_lower_neighbors, kept_flag).
+    """
+    nn = emb.where(F.col(vec_col).isNotNull())
+    assigns = kmeans_integer(
+        nn, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "cid")
+    pts = nn.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    sided = pts.join(assigns, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("va"), F.col("_v").alias("_va"), "cid"
+    )
+    b = sided.select(
+        F.col("vec_id").alias("vb"), F.col("_v").alias("_vb"), "cid"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "vb", pair_cosine(F.col("_va"), F.col("_vb")).alias("score")
+        )
+        .where(F.col("score") >= threshold)
+    )
+    lower = pairs.groupBy("vb").agg(F.count("*").alias("n_lower"))
+    return (
+        assigns.join(lower, assigns[id_col] == lower["vb"], "left")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "cid",
+            F.coalesce("n_lower", F.lit(0)).alias("n_lower_neighbors"),
+            F.when(F.col("vb").isNull(), 1).otherwise(0).alias("kept_flag"),
+        )
+    )

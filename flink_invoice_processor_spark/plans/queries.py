@@ -4738,6 +4738,139 @@ def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 retrieval/embedding family: SemDeDup, hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v6 AS c6 FROM p WHERE vec_id < 8),
+    {",".join(_kmeans_iter_sql(i) for i in (1, 2, 3))},
+    fs AS (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, len(p.v6) + 1),
+                    j -> (p.v6[j] - c.c6[j]) * (p.v6[j] - c.c6[j])))
+                    AS BIGINT) AS d
+        FROM p CROSS JOIN c3 c
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                       AS rn
+            FROM fs
+        ) WHERE rn = 1
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pr AS (
+        SELECT b.vec_id AS vb
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE {_COS_SQL.format(a="ea.v", b="eb.v")} >= 0.4
+    ),
+    low AS (SELECT vb AS vec_id, COUNT(*) AS n_lower FROM pr GROUP BY 1)
+    SELECT a.vec_id, a.cid,
+           CAST(COALESCE(l.n_lower, 0) AS BIGINT) AS n_lower_neighbors,
+           CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS kept_flag
+    FROM asg a LEFT JOIN low l USING (vec_id)
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune: integer-exact k-means (k=8, 3 Lloyd
+    iterations) restricts cosine comparison to cluster-mates; lowest-id
+    member of each >=0.4 neighborhood survives
+    (functions/similarity.py:semantic_dedup).  The oracle replays the
+    identical unrolled k-means + within-cluster pair prune in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_clusters=8, iters=3, threshold=0.4)
+
+
+@register(
+    "hybrid_rrf_docs",
+    f"""
+    WITH tokr AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokr GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tokr
+        WHERE tok IN ('table', 'hash', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    sc AS (
+        SELECT tf.tok, tf.doc_id,
+               round(
+                   ln(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                            / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (1 - 0.75
+                                  + 0.75 * CAST(dl.dl AS DOUBLE)
+                                    * CAST(stats.n_docs AS DOUBLE)
+                                    / CAST(stats.sum_dl AS DOUBLE)))),
+                   4) AS score
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    bmr AS (
+        SELECT tok AS term, doc_id,
+               CAST(row_number() OVER (PARTITION BY tok
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS rank_a
+        FROM sc QUALIFY rank_a <= 20
+    ),
+    dn AS (
+        SELECT tf.tok AS term, tf.doc_id, tf.tf * 1000000 // dl.dl
+                   AS density6
+        FROM tf JOIN dl USING (doc_id)
+    ),
+    dnr AS (
+        SELECT term, doc_id,
+               CAST(row_number() OVER (PARTITION BY term
+                    ORDER BY density6 DESC, doc_id ASC) AS INT) AS rank_b
+        FROM dn QUALIFY rank_b <= 20
+    ),
+    m AS (
+        SELECT COALESCE(a.term, b.term) AS term,
+               COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               COALESCE(a.rank_a, 0) AS rank_a,
+               COALESCE(b.rank_b, 0) AS rank_b,
+               round(COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank_a), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank_b), 0.0),
+                     6) AS rrf_score
+        FROM bmr a FULL OUTER JOIN dnr b
+             ON a.term = b.term AND a.doc_id = b.doc_id
+    )
+    SELECT term,
+           CAST(row_number() OVER (PARTITION BY term
+                ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank,
+           doc_id, rank_a, rank_b, rrf_score
+    FROM m QUALIFY fused_rank <= 10
+    """,
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with term-density top-20 by
+    reciprocal-rank fusion (1/(60+rank) each side), final top-10 per
+    term (functions/retrieval.py:rrf_fuse).  Both candidate lists are
+    bounded per-term top-k, so fusion work never touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["table", "hash", "window"]
+    bm = RET.bm25_topk(docs, terms=terms, k=20)
+    dn = RET.density_topk(docs, terms=terms, k=20)
+    return RET.rrf_fuse(bm, dn, k=10, c=60)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of

@@ -66,6 +66,10 @@ ALLOWED_SOFT = {
         "1-row corpus-totals aggregate (T_raw, T_tgt), broadcast back"
     ),
     "pmi_bigrams_docs": "1-row token-count aggregate, broadcast back",
+    "hybrid_rrf_docs": (
+        "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, "
+        "broadcast back"
+    ),
 }
 
 
