@@ -138,6 +138,15 @@ HEADLINE = [
     "rfm_segments_customers",
     "events_equidepth_histogram",
     "events_hll_mergeability",
+    # round-5 additions: sketches, text pipeline, hybrid retrieval, semdedup
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "boilerplate_strip_docs",
+    "quality_classifier_docs",
+    "dsir_weights_docs",
+    "pmi_bigrams_docs",
+    "semantic_dedup_embeddings",
+    "hybrid_rrf_docs",
 ]
 
 

@@ -4926,21 +4926,26 @@ _DRIVER_FIRST = [
     "training_mix_pipeline",
     "decontaminate_docs",
     "pack_sequences_docs",
-    "corpus_top_tokens",
-    "corpus_shuffle_positions",
-    "feature_hashing_docs",
-    "vocab_index",
-    "kfold_split_docs",
     "bigram_lm_counts",
     "fuzzy_prefix_pairs",
+    # round-5 additions — never driver-gated; rotated in over 8 rows that
+    # are double-confirmed driver-green (r2/r3 + r4: corpus_top_tokens,
+    # corpus_shuffle_positions, feature_hashing_docs, vocab_index,
+    # kfold_split_docs, events_value_histogram, events_type_transitions,
+    # events_unpivot_counts — all stay registered and replica-checked)
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "boilerplate_strip_docs",
+    "quality_classifier_docs",
+    "dsir_weights_docs",
+    "pmi_bigrams_docs",
+    "semantic_dedup_embeddings",
+    "hybrid_rrf_docs",
     # event analytics extensions
     "events_user_rolling",
     "events_gap_fill",
     "events_funnel",
     "events_retention_hourly",
-    "events_value_histogram",
-    "events_type_transitions",
-    "events_unpivot_counts",
     "events_approx_topk",
     # TPC-H shapes added in round 2
     "q6_revenue_filter",

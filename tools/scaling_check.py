@@ -33,6 +33,12 @@ REPRESENTATIVE = [
     "ivf_pq_sampled_topk_embeddings",
     "substring_search_docs",
     "pagerank_docs",
+    # round-5 families: sketch heavy hitters, KMV distinct, passage dedup,
+    # cluster-then-prune semantic dedup
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "boilerplate_strip_docs",
+    "semantic_dedup_embeddings",
 ]
 
 
