@@ -147,6 +147,7 @@ HEADLINE = [
     "pmi_bigrams_docs",
     "semantic_dedup_embeddings",
     "hybrid_rrf_docs",
+    "bpe_pair_counts_docs",
 ]
 
 

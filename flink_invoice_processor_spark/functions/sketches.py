@@ -105,25 +105,12 @@ def cms_heavy_hitters(
     )
 
 
-def kmv_sketch(
-    df: DataFrame,
-    segment: Column,
-    value: Column,
-    k: int = 64,
-    n_salts: int = 64,
-) -> DataFrame:
-    """Per-segment KMV sketch rows: (segment, h) — the k smallest distinct
-    44-bit hashes of ``value`` within each segment.
-
-    Selection is salted two-phase so the global per-segment sort never
-    lands on one task: per-(segment, h % n_salts) k-smallest first (the
-    true k smallest are necessarily among those), then k-smallest over
-    the <= n_salts*k survivors.
-    """
-    hashes = df.select(
-        segment.cast("string").alias("segment"),
-        _md5_int44(value.cast("string")).alias("h"),
-    ).distinct()
+def _k_smallest(hashes: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Per-segment k smallest of distinct (segment, h) rows, salted
+    two-phase so the global per-segment sort never lands on one task:
+    per-(segment, h % n_salts) k-smallest first (the true k smallest are
+    necessarily among those), then k-smallest over the <= n_salts*k
+    survivors."""
     w1 = Window.partitionBy("segment", F.col("h") % n_salts).orderBy("h")
     pruned = (
         hashes.withColumn("_rn", F.row_number().over(w1))
@@ -136,6 +123,31 @@ def kmv_sketch(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    segment: Column,
+    value: Column,
+    k: int = 64,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-segment KMV sketch rows: (segment, h) — the k smallest distinct
+    44-bit hashes of ``value`` within each segment (see
+    :func:`_k_smallest` for the salted selection)."""
+    hashes = df.select(
+        segment.cast("string").alias("segment"),
+        _md5_int44(value.cast("string")).alias("h"),
+    ).distinct()
+    return _k_smallest(hashes, k, n_salts)
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64, n_salts: int = 64) -> DataFrame:
+    """Merge KMV sketch-row sets: union the (segment, h) rows, drop
+    duplicate hashes, re-take the per-segment k smallest.  The KMV merge
+    law — merge(sketch(A), sketch(B)) == sketch(A ∪ B) — is what makes
+    per-shard / per-micro-batch partials re-aggregable at 100 TB."""
+    return _k_smallest(sketches.select("segment", "h").distinct(), k, n_salts)
 
 
 def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:

@@ -252,3 +252,40 @@ def pmi_bigrams(
         joined.select("w1", "w2", "n_ab", pmi6.alias("pmi6"))
         .where(F.col("pmi6") >= min_ratio6)
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE tokenizer training, step 1: adjacent-symbol pair frequencies.
+
+    The classic byte-pair-encoding trick: aggregate the corpus to a
+    (word, count) VOCABULARY first, then count each distinct word's
+    adjacent character pairs weighted by the word count — pair statistics
+    over the vocab (bounded by distinct words) instead of over corpus
+    positions.  The output is bounded by |charset|² regardless of corpus
+    size, and both aggregations are plain hash-aggs with map-side
+    combine.  (Real BPE iterates: apply the argmax merge, re-count; each
+    iteration is this same job over a rewritten vocab.  No word-end
+    marker here — merges never crossing word boundaries is already
+    guaranteed by counting within words.)
+
+    Output: (pair, n_pair) — 2-char symbol pair and its corpus-weighted
+    frequency.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    pairs = F.expr(
+        "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),"
+        " (a, b) -> concat(a, b))"
+    )
+    return (
+        vocab.select("wc", chars.alias("cs"))
+        .where(F.size("cs") >= 2)
+        .select("wc", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n_pair"))
+    )

@@ -4870,6 +4870,34 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.rrf_fuse(bm, dn, k=10, c=60)
 
 
+@register(
+    "bpe_pair_counts_docs",
+    f"""
+    WITH tok AS (
+        SELECT unnest(list_transform({_TOKENS_SQL}, x -> lower(x))) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    v AS (SELECT w, COUNT(*) AS wc FROM tok GROUP BY 1),
+    ch AS (
+        SELECT wc, list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, CAST(i AS INT), 1)) AS cs
+        FROM v WHERE length(w) >= 2
+    ),
+    pr AS (
+        SELECT wc, cs[i] || cs[i + 1] AS pair
+        FROM ch, LATERAL (SELECT unnest(range(1, len(cs))) AS i)
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_pair FROM pr GROUP BY 1
+    """,
+)
+def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training step 1: adjacent-char pair frequencies counted over
+    the (word, count) vocabulary, not corpus positions — output bounded
+    by |charset|^2 (functions/text.py:bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -4932,7 +4960,8 @@ _DRIVER_FIRST = [
     # are double-confirmed driver-green (r2/r3 + r4: corpus_top_tokens,
     # corpus_shuffle_positions, feature_hashing_docs, vocab_index,
     # kfold_split_docs, events_value_histogram, events_type_transitions,
-    # events_unpivot_counts — all stay registered and replica-checked)
+    # events_unpivot_counts, events_gap_fill — all stay registered and
+    # replica-checked)
     "events_heavy_hitters",
     "events_kmv_distinct",
     "boilerplate_strip_docs",
@@ -4943,7 +4972,7 @@ _DRIVER_FIRST = [
     "hybrid_rrf_docs",
     # event analytics extensions
     "events_user_rolling",
-    "events_gap_fill",
+    "bpe_pair_counts_docs",
     "events_funnel",
     "events_retention_hourly",
     "events_approx_topk",

@@ -1,0 +1,94 @@
+"""Streaming KMV rollup: sketch partials merged across micro-batches must
+equal the batch sketch of everything seen (the KMV merge law), state must
+stay O(segments * k), and re-processing a batch must be idempotent."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.functions import sketches as SK
+from flink_invoice_processor_spark.streaming.sketch_rollup import (
+    kmv_rollup_writer,
+    read_sketch_table,
+)
+
+SCHEMA = "seg STRING, val LONG"
+
+
+def _write(src, name, rows):
+    src.mkdir(parents=True, exist_ok=True)
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _run_stream(spark, src, tmp_path, table, k):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            kmv_rollup_writer(F.col("seg"), F.col("val"), str(table), k=k)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_rollup_equals_batch_sketch(spark, tmp_path):
+    src, table = tmp_path / "in", tmp_path / "sketch"
+    rows_a = [{"seg": "a", "val": i} for i in range(200)]
+    rows_b = [{"seg": "a", "val": i} for i in range(100, 300)] + [
+        {"seg": "b", "val": i} for i in range(10)
+    ]
+    _write(src, "a.jsonl", rows_a)
+    time.sleep(0.01)
+    _write(src, "b.jsonl", rows_b)
+    k = 16
+    _run_stream(spark, src, tmp_path, table, k)
+
+    stored = read_sketch_table(spark, str(table))
+    # state bound: never more than k rows per segment
+    per_seg = {r.segment: r.n for r in stored.groupBy("segment").agg(
+        F.count("*").alias("n")).collect()}
+    assert all(n <= k for n in per_seg.values()) and set(per_seg) == {"a", "b"}
+
+    # merge law: stored partials == batch sketch over ALL rows seen
+    all_rows = spark.createDataFrame(
+        [(r["seg"], r["val"]) for r in rows_a + rows_b], SCHEMA
+    )
+    batch = SK.kmv_sketch(all_rows, F.col("seg"), F.col("val"), k=k)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # estimates agree too (same estimator over identical sketch rows)
+    est_stream = {
+        r.segment: r.est_distinct
+        for r in SK.kmv_estimates(stored, k=k).collect()
+    }
+    est_batch = {
+        r.segment: r.est_distinct
+        for r in SK.kmv_estimates(batch, k=k).collect()
+    }
+    assert est_stream == est_batch
+    assert est_batch["b"] == 10  # under k: the sketch IS the set, exact
+
+
+def test_rollup_remerge_is_idempotent(spark, tmp_path):
+    src, table = tmp_path / "in", tmp_path / "sketch"
+    rows = [{"seg": "s", "val": i} for i in range(100)]
+    _write(src, "a.jsonl", rows)
+    _run_stream(spark, src, tmp_path, table, k=8)
+    first = sorted(map(tuple, read_sketch_table(spark, str(table)).collect()))
+
+    # replay the same data through a FRESH stream (new checkpoint) into the
+    # same sketch table — the merge must not change the state
+    _run_stream(spark, src, tmp_path / "again", table, k=8)
+    second = sorted(map(tuple, read_sketch_table(spark, str(table)).collect()))
+    assert first == second

@@ -96,3 +96,15 @@ def test_pmi_finds_collocation_not_independence(spark):
     # min_count gate: pairs seen < 5 times never surface
     few = TX.pmi_bigrams(df, min_count=50, min_ratio6=1_000_000).collect()
     assert few == []
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abc abc ab x"), Row(doc_id=2, text="abc")]
+    )
+    out = {r.pair: r.n_pair for r in TX.bpe_pair_counts(df).collect()}
+    # 'ab' appears in words 'abc' (corpus count 3) and 'ab' (count 1)
+    assert out[("ab")] == 4
+    assert out[("bc")] == 3
+    # 1-char words contribute no pairs
+    assert "x" not in "".join(out) or all(len(p) == 2 for p in out)
