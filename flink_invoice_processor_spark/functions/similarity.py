@@ -908,6 +908,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-then-prune.
 
@@ -937,8 +938,15 @@ def semantic_dedup(
     Output: (vec_id, cid, n_lower_neighbors, kept_flag).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
-    assigns = kmeans_integer(
-        nn, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    # `assignments` lets a suite runner share one trained clustering with
+    # other consumers (e.g. the standalone kmeans query) — semantics are
+    # identical because training is deterministic
+    assigns = (
+        assignments
+        if assignments is not None
+        else kmeans_integer(
+            nn, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
     ).select(id_col, "cid")
     pts = nn.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     sided = pts.join(assigns, "vec_id")

@@ -2690,6 +2690,16 @@ def _kmeans_iter_sql(i: int) -> str:
     )"""
 
 
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k=8/iters=3 k-means assignments (suite-cache keyed: the
+    standalone kmeans query and SemDeDup train the identical model)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SC.memo(
+        (sf_dir, "kmeans_assign", 8, 3),
+        lambda: SIM.kmeans_integer(emb, k=8, iters=3),
+    )
+
+
 @register(
     "kmeans_clusters",
     f"""
@@ -2720,8 +2730,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic lowest-id init): final (vec_id, cid, dist) assignments.
     The oracle unrolls the identical iterations in SQL — possible only
     because every distance and centroid mean is integer arithmetic."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.kmeans_integer(emb, k=8, iters=3)
+    return _kmeans_assignments(spark, sf_dir)
 
 
 @register(
@@ -4789,7 +4798,10 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.py:semantic_dedup).  The oracle replays the
     identical unrolled k-means + within-cluster pair prune in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, n_clusters=8, iters=3, threshold=0.4)
+    return SIM.semantic_dedup(
+        emb, n_clusters=8, iters=3, threshold=0.4,
+        assignments=_kmeans_assignments(spark, sf_dir).select("vec_id", "cid"),
+    )
 
 
 @register(
