@@ -654,17 +654,28 @@ def dsir_weights(
         F.count("*").alias("raw_cnt"),
         F.sum(F.col("_tgt").cast("long")).alias("tgt_cnt"),
     )
-    totals = bg.agg(
-        F.count("*").alias("t_raw"),
-        F.sum(F.col("_tgt").cast("long")).alias("t_tgt"),
+    # fold the <= n_buckets rows AND the distribution totals into one
+    # single-row broadcast: a bucket equi-join plus a totals cross join
+    # would each rebuild the bigram explode (one extra scan per build)
+    btab = buckets.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").alias("k"),
+                    F.struct("raw_cnt", "tgt_cnt").alias("v"),
+                )
+            )
+        ).alias("_bm"),
+        F.sum("raw_cnt").alias("t_raw"),
+        F.sum("tgt_cnt").alias("t_tgt"),
     )
     ratio6 = F.expr(
-        f"(tgt_cnt + 1) * (t_raw + {n_buckets}) * 1000000"
-        f" DIV ((raw_cnt + 1) * (t_tgt + {n_buckets}))"
+        f"(element_at(_bm, bucket).tgt_cnt + 1) * (t_raw + {n_buckets})"
+        f" * 1000000 DIV ((element_at(_bm, bucket).raw_cnt + 1)"
+        f" * (t_tgt + {n_buckets}))"
     )
     scored = (
-        bg.join(F.broadcast(buckets), "bucket")
-        .crossJoin(F.broadcast(totals))
+        bg.crossJoin(F.broadcast(btab))
         .select("doc_id", ratio6.alias("_r6"))
     )
     agg = scored.groupBy("doc_id").agg(

@@ -58,6 +58,10 @@ ALLOWED_SOFT = {
         "single-row merge of mergeable HLL sketch partials (the point of "
         "the query)"
     ),
+    "events_heavy_hitters": (
+        "<= depth*width Count-Min counters folded to a 1-row broadcast "
+        "map (never raw rows)"
+    ),
     "events_kmv_distinct": (
         "union-sketch k-smallest aggregate over <= n_segments*k kept "
         "hashes (sketch rows, never raw data)"
