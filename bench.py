@@ -148,6 +148,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "hybrid_rrf_docs",
     "bpe_pair_counts_docs",
+    "triangle_counts_docs",
+    "pps_sample_docs",
 ]
 
 

@@ -690,3 +690,81 @@ def dsir_weights(
         F.coalesce("imp_sum", F.lit(0)).alias("imp_sum"),
         F.coalesce(imp_avg, F.lit(0.0)).alias("imp_avg"),
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight: Column,
+    out_col: str = "cum_w",
+) -> DataFrame:
+    """Global inclusive prefix sum of ``weight`` over a total order,
+    same two-phase shape as :func:`distributed_row_number` (range
+    partition → per-partition window → <= P-row offset cumsum broadcast
+    back) — never a single-partition window over row data.
+
+    ``order_cols`` must be a total order; the weight column is emitted
+    as ``_w`` alongside ``out_col``."""
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_w", weight.cast("long"))
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_local", F.sum("_w").over(w_local))
+    part_sums = ranged.groupBy("_pid").agg(F.sum("_w").alias("_ps"))
+    w_part = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_sums.select(
+        "_pid",
+        F.coalesce(F.sum("_ps").over(w_part), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight: Column,
+    n_samples: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk the
+    cumulative-weight line in strides of ``total_w div n_samples`` and
+    keep each unit whose weight interval crosses a stride boundary —
+    inclusion probability proportional to weight, ~n_samples units, one
+    pass, fully deterministic (stride start pinned at 0 instead of a
+    random offset: at 100 TB a sampling job WILL be retried, and a
+    random start would resample survivors; vary ``order_col`` to redraw).
+
+    Units heavier than the stride cross multiple boundaries but are
+    emitted once (certainty units, standard PPS behavior).  Output:
+    (order_col, w, cum_w) for selected units.
+
+    Scale shape: the prefix sum is the two-phase distributed kind; the
+    stride is a 1-row broadcast; selection is a pure filter.
+    """
+    cum = distributed_prefix_sum(
+        df, [F.col(order_col)], weight, out_col="cum_w"
+    )
+    totals = df.select(weight.cast("long").alias("_tw")).agg(
+        F.sum("_tw").alias("total_w")
+    )
+    stride = F.greatest(F.expr(f"total_w DIV {n_samples}"), F.lit(1))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn("_stride", stride)
+        .where(
+            F.expr("cum_w DIV _stride") > F.expr("(cum_w - _w) DIV _stride")
+        )
+        .select(order_col, F.col("_w").alias("w"), "cum_w")
+    )

@@ -87,3 +87,41 @@ def pagerank_integer(
             .localCheckpoint()
         )
     return ranks.select("id", F.col("rank").cast("long").alias("rank_1e12"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as ORIENTED edges (a < b, one row per edge).
+
+    Oriented enumeration — e1=(a,b), e2=(b,c), e3=(a,c) with the a<b<c
+    order implied by the input orientation — finds each triangle exactly
+    once with two equi-joins, the standard distributed shape (no
+    symmetrized edge blowup, no per-triangle dedup).  Hot-node skew is
+    the classic hazard; upstream edge generators here are all blocked
+    (LSH bands / Hamming blocks), which caps degree before the join.
+
+    Output: (doc_id, n_triangles) for nodes in >= 1 triangle.
+    """
+    e = edges.select(F.col(edges.columns[0]).alias("a"),
+                     F.col(edges.columns[1]).alias("b"))
+    t = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    return (
+        t.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -4910,6 +4910,71 @@ def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(docs)
 
 
+@register(
+    "triangle_counts_docs",
+    f"""
+    WITH pairs AS ({{SIMHASH_PAIRS}}),
+    e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+    t AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM (
+        SELECT a AS doc_id FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+    ) GROUP BY 1
+    """,
+)
+def triangle_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the SimHash near-dup graph (same
+    oriented edge set as pagerank_docs, suite-cache shared) — local
+    clustering signal that separates dense dup cliques from chains
+    (functions/graph.py:triangle_counts: oriented two-join enumeration,
+    each triangle found exactly once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SC.memo(
+        (sf_dir, "simhash_pairs", 32, 16),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+    )
+    return GR.triangle_counts(pairs.select("doc_id_a", "doc_id_b"))
+
+
+@register(
+    "pps_sample_docs",
+    """
+    WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_w
+        FROM d
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM d),
+    s AS (SELECT GREATEST(total_w // 100, 1) AS stride FROM t)
+    SELECT doc_id, w, cum_w FROM c CROSS JOIN s
+    WHERE cum_w // stride > (cum_w - w) // stride
+    """,
+)
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample (~100 docs,
+    weight = n_chars): stride the cumulative-weight line, keep boundary
+    crossers.  The prefix sum is the two-phase distributed kind (never a
+    single-partition window over row data; the oracle's plain window IS
+    the single-node equivalent) — deterministic, retry-safe
+    (functions/curation.py:pps_systematic_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.pps_systematic_sample(
+        docs, F.col("n_chars"), n_samples=100, order_col="doc_id"
+    )
+
+
+ORACLES["triangle_counts_docs"] = ORACLES["triangle_counts_docs"].replace(
+    "{SIMHASH_PAIRS}", ORACLES["simhash_pairs_docs"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -4972,8 +5037,8 @@ _DRIVER_FIRST = [
     # are double-confirmed driver-green (r2/r3 + r4: corpus_top_tokens,
     # corpus_shuffle_positions, feature_hashing_docs, vocab_index,
     # kfold_split_docs, events_value_histogram, events_type_transitions,
-    # events_unpivot_counts, events_gap_fill — all stay registered and
-    # replica-checked)
+    # events_unpivot_counts, events_gap_fill, q14_promo_revenue,
+    # q19_disjunctive_filter — all stay registered and replica-checked)
     "events_heavy_hitters",
     "events_kmv_distinct",
     "boilerplate_strip_docs",
@@ -4982,6 +5047,8 @@ _DRIVER_FIRST = [
     "pmi_bigrams_docs",
     "semantic_dedup_embeddings",
     "hybrid_rrf_docs",
+    "triangle_counts_docs",
+    "pps_sample_docs",
     # event analytics extensions
     "events_user_rolling",
     "bpe_pair_counts_docs",
@@ -4991,8 +5058,6 @@ _DRIVER_FIRST = [
     # TPC-H shapes added in round 2
     "q6_revenue_filter",
     "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
     "revenue_grouping_sets",
     "q17_small_quantity_revenue",
     # round-5 rotation: q15_top_supplier and q22_idle_wealthy_customers

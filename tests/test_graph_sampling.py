@@ -1,0 +1,67 @@
+"""Edge cases for triangle counting and PPS systematic sampling (happy
+paths are oracle-gated)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from flink_invoice_processor_spark.functions import curation as CUR
+from flink_invoice_processor_spark.functions import graph as GR
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(doc_id_a=a, doc_id_b=b) for a, b in pairs]
+    )
+
+
+def test_triangle_counts_shared_edge(spark):
+    # triangles {1,2,3} and {2,3,4} share edge (2,3)
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    out = {r.doc_id: r.n_triangles for r in GR.triangle_counts(e).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_chain_has_none(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert GR.triangle_counts(e).count() == 0
+
+
+def test_pps_sample_includes_heavy_excludes_zero(spark):
+    rows = [Row(doc_id=i, w=1) for i in range(50)]
+    rows.append(Row(doc_id=99, w=50))
+    rows.append(Row(doc_id=100, w=0))
+    df = spark.createDataFrame(rows)
+    out = CUR.pps_systematic_sample(
+        df, F.col("w"), n_samples=10, order_col="doc_id"
+    ).collect()
+    picked = {r.doc_id for r in out}
+    assert 99 in picked  # heavy unit (half the mass) is a certainty unit
+    assert 100 not in picked  # zero weight can never cross a boundary
+    # total 100, stride 10 -> ~10 crossings, heavy unit crosses 5 but
+    # is emitted once
+    assert 5 <= len(picked) <= 11
+    # cumulative weights are a prefix sum in doc_id order
+    for r in out:
+        assert r.cum_w >= r.w
+
+
+def test_pps_prefix_sum_matches_plain_window(spark):
+    rows = [Row(doc_id=i, w=(i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = CUR.distributed_prefix_sum(
+        df, [F.col("doc_id")], F.col("w"), out_col="cum_w"
+    )
+    from pyspark.sql import Window
+
+    exp = df.withColumn(
+        "cum_w",
+        F.sum("w").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert sorted((r.doc_id, r.cum_w) for r in got.collect()) == sorted(
+        (r.doc_id, r.cum_w) for r in exp.collect()
+    )

@@ -58,6 +58,10 @@ ALLOWED_SOFT = {
         "single-row merge of mergeable HLL sketch partials (the point of "
         "the query)"
     ),
+    "pps_sample_docs": (
+        "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
+        "+ 1-row stride aggregate"
+    ),
     "events_heavy_hitters": (
         "<= depth*width Count-Min counters folded to a 1-row broadcast "
         "map (never raw rows)"
