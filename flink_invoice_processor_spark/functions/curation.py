@@ -654,28 +654,20 @@ def dsir_weights(
         F.count("*").alias("raw_cnt"),
         F.sum(F.col("_tgt").cast("long")).alias("tgt_cnt"),
     )
-    # fold the <= n_buckets rows AND the distribution totals into one
-    # single-row broadcast: a bucket equi-join plus a totals cross join
-    # would each rebuild the bigram explode (one extra scan per build)
-    btab = buckets.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("bucket").alias("k"),
-                    F.struct("raw_cnt", "tgt_cnt").alias("v"),
-                )
-            )
-        ).alias("_bm"),
-        F.sum("raw_cnt").alias("t_raw"),
-        F.sum("tgt_cnt").alias("t_tgt"),
+    # distribution totals derive from the bucket table (no extra corpus
+    # scan); the lookup is a broadcast hash JOIN, not a single-row map —
+    # Spark MapType element_at scans the entries array linearly, which
+    # is O(n_buckets) per probe once the feature space is actually full
+    totals = buckets.agg(
+        F.sum("raw_cnt").alias("t_raw"), F.sum("tgt_cnt").alias("t_tgt")
     )
     ratio6 = F.expr(
-        f"(element_at(_bm, bucket).tgt_cnt + 1) * (t_raw + {n_buckets})"
-        f" * 1000000 DIV ((element_at(_bm, bucket).raw_cnt + 1)"
-        f" * (t_tgt + {n_buckets}))"
+        f"(tgt_cnt + 1) * (t_raw + {n_buckets}) * 1000000"
+        f" DIV ((raw_cnt + 1) * (t_tgt + {n_buckets}))"
     )
     scored = (
-        bg.crossJoin(F.broadcast(btab))
+        bg.join(F.broadcast(buckets), "bucket")
+        .crossJoin(F.broadcast(totals))
         .select("doc_id", ratio6.alias("_r6"))
     )
     agg = scored.groupBy("doc_id").agg(

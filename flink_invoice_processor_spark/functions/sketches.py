@@ -13,9 +13,9 @@ Scale design:
   aggregate (``depth`` cells per row, counters grouped on (row, bucket) —
   map-side partial agg, ≤ depth·width result rows no matter the input
   size).  Phase 2 re-scans the source, looks every row's ``depth``
-  buckets up in the counters folded to a single-row *broadcast* map (no
-  shuffle, and the sketch aggregate runs exactly once), keeping only
-  rows whose CM estimate clears the threshold.  Because Count-Min only ever
+  buckets up via *broadcast* hash joins (no shuffle; O(1) probes — never
+  a MapType element_at, whose linear entry scan is O(cells) per row),
+  keeping only rows whose CM estimate clears the threshold.  Because Count-Min only ever
   OVER-estimates, the surviving candidate set is a superset of the true
   heavy hitters, so the final exact count-and-filter — now over a
   dramatically reduced key set — returns the exact answer.  The full-key
@@ -86,31 +86,22 @@ def cms_heavy_hitters(
     ).select("c.row_i", "c.bucket")
     counters = cells.groupBy("row_i", "bucket").agg(F.count("*").alias("cnt"))
 
-    # phase 2: fold the <= depth*width counters into ONE single-row map and
-    # broadcast it — per-depth broadcast joins would each rebuild the
-    # counter aggregate (one extra source scan per depth level); this way
-    # the sketch is built exactly once and the rescan does pure map lookups
-    # (every key is present: a row's own occurrences fill its buckets)
-    cmap = counters.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.concat_ws(":", "row_i", "bucket").alias("k"),
-                    F.col("cnt").alias("v"),
-                )
-            )
-        ).alias("_cm")
-    )
-    est = keyed.crossJoin(F.broadcast(cmap))
-    estimate = F.least(
-        *[
-            F.element_at(
-                F.col("_cm"),
-                F.concat(F.lit(f"{i}:"), bucket(i).cast("string")),
-            )
-            for i in range(depth)
-        ]
-    )
+    # phase 2: one broadcast hash join per depth level.  NOT a single-row
+    # map with element_at lookups: Spark MapType lookup is a LINEAR scan
+    # of the entries array, and with depth*width ~ 50k filled cells that
+    # turned the rescan into O(rows * cells) — measured 80 s vs 2.7 s at
+    # sf0.1.  Broadcast hash joins are O(1) per probe; the per-build
+    # re-aggregation of the tiny counter table is scan-bound and cheap
+    # (and Spark's ReuseExchange dedupes identical builds when it can).
+    est = keyed
+    for i in range(depth):
+        ci = counters.where(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        est = est.withColumn(f"_b{i}", bucket(i)).join(
+            F.broadcast(ci), f"_b{i}"
+        )
+    estimate = F.least(*[F.col(f"_c{i}") for i in range(depth)])
     candidates = est.where(estimate >= threshold).select("hh_key")
 
     return (

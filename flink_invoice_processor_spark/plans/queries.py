@@ -4929,15 +4929,16 @@ def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def triangle_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the SimHash near-dup graph (same
-    oriented edge set as pagerank_docs, suite-cache shared) — local
-    clustering signal that separates dense dup cliques from chains
-    (functions/graph.py:triangle_counts: oriented two-join enumeration,
-    each triangle found exactly once)."""
+    """Per-node triangle counts over the TIGHT SimHash near-dup graph
+    (Hamming <= 3 of 32 bits, NOT pagerank's permissive <=16 set: triangle
+    work grows with sum(degree^2), and the <=16 graph at sf0.1 has ~2.5M
+    edges on 5k nodes — measured 111 s; the <=3 graph has ~130k edges and
+    the same clique-vs-chain signal).  Oriented two-join enumeration finds
+    each triangle exactly once (functions/graph.py:triangle_counts)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = SC.memo(
-        (sf_dir, "simhash_pairs", 32, 16),
-        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+        (sf_dir, "simhash_pairs", 32, 3),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=3),
     )
     return GR.triangle_counts(pairs.select("doc_id_a", "doc_id_b"))
 
@@ -4971,7 +4972,7 @@ def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["triangle_counts_docs"] = ORACLES["triangle_counts_docs"].replace(
-    "{SIMHASH_PAIRS}", ORACLES["simhash_pairs_docs"]
+    "{SIMHASH_PAIRS}", ORACLES["simhash_pairs_docs"].replace("<= 16", "<= 3")
 )
 
 

@@ -62,10 +62,6 @@ ALLOWED_SOFT = {
         "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
         "+ 1-row stride aggregate"
     ),
-    "events_heavy_hitters": (
-        "<= depth*width Count-Min counters folded to a 1-row broadcast "
-        "map (never raw rows)"
-    ),
     "events_kmv_distinct": (
         "union-sketch k-smallest aggregate over <= n_segments*k kept "
         "hashes (sketch rows, never raw data)"
