@@ -150,6 +150,7 @@ HEADLINE = [
     "bpe_pair_counts_docs",
     "triangle_counts_docs",
     "pps_sample_docs",
+    "dq_checks_lineitem",
 ]
 
 

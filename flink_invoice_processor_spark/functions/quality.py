@@ -1,0 +1,157 @@
+"""Declarative data-quality constraint checking (Deequ-style).
+
+A production ingest at 100 TB gates every batch on constraint checks —
+completeness, uniqueness, ranges, reference integrity — and the naive
+implementation (one job per check) re-scans the table per constraint.
+This engine compiles a declared check suite into ONE aggregation pass:
+every non-uniqueness check is a conditional count in the same agg, and
+uniqueness folds in as count-minus-approx-free exact distinct (its own
+hash-agg on the checked column, the unavoidable shuffle).  The output is
+a small (check, column, violations, status) report — the shape you'd
+alert on.
+
+Checks are plain data (name + SQL condition), so the suite serializes,
+diffs, and replays — and the DuckDB oracle recomputes the identical
+conditional counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``violation_cond`` is a SQL boolean expression
+    counting a row as a violation when true.  ``distinct_col`` switches
+    the check to uniqueness mode (violations = n_rows - n_distinct)."""
+
+    name: str
+    column: str
+    violation_cond: str | None = None
+    distinct_col: str | None = None
+
+
+def not_null(column: str) -> Check:
+    return Check(f"not_null({column})", column, f"{column} IS NULL")
+
+
+def in_range(column: str, lo, hi) -> Check:
+    return Check(
+        f"range({column})",
+        column,
+        f"{column} IS NULL OR {column} < {lo} OR {column} > {hi}",
+    )
+
+
+def accepted_values(column: str, values: list) -> Check:
+    quoted = ", ".join(
+        f"'{v}'" if isinstance(v, str) else str(v) for v in values
+    )
+    return Check(
+        f"accepted_values({column})",
+        column,
+        f"{column} IS NULL OR {column} NOT IN ({quoted})",
+    )
+
+
+def unique(column: str) -> Check:
+    return Check(f"unique({column})", column, distinct_col=column)
+
+
+def matches(column: str, regex: str) -> Check:
+    return Check(
+        f"matches({column})",
+        column,
+        f"{column} IS NULL OR NOT regexp_like({column}, '{regex}')",
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate a check suite in one conditional-aggregate pass (plus one
+    distinct-agg per uniqueness check).  Output rows:
+    (check_name, column, n_rows, violations, status) with status
+    'pass'/'fail' — deterministic, ordered by check_name via the caller's
+    sort if needed."""
+    conds = [c for c in checks if c.violation_cond is not None]
+    uniqs = [c for c in checks if c.distinct_col is not None]
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(conds):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(c.violation_cond), 1).otherwise(0)
+            ).alias(f"_v{i}")
+        )
+    for i, c in enumerate(uniqs):
+        aggs.append(F.count_distinct(F.col(c.distinct_col)).alias(f"_d{i}"))
+    row = df.agg(*aggs)
+
+    reports = []
+    for i, c in enumerate(conds):
+        reports.append(
+            row.select(
+                F.lit(c.name).alias("check_name"),
+                F.lit(c.column).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v{i}").cast("long").alias("violations"),
+            )
+        )
+    for i, c in enumerate(uniqs):
+        reports.append(
+            row.select(
+                F.lit(c.name).alias("check_name"),
+                F.lit(c.column).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_d{i}")).cast("long").alias(
+                    "violations"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "check_name",
+        "column",
+        "n_rows",
+        "violations",
+        F.when(F.col("violations") == 0, "pass")
+        .otherwise("fail")
+        .alias("status"),
+    )
+
+
+def referential_integrity(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Orphan check: child keys with no parent (left anti join — at scale
+    Spark picks broadcast or shuffle side automatically; the report is
+    one row).  Output: (check_name, column, n_rows, violations, status).
+    """
+    n = child.agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    orphans = (
+        child.select(F.col(child_col).alias("_k"))
+        .join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return (
+        n.crossJoin(orphans)
+        .select(
+            F.lit(f"ref_integrity({child_col})").alias("check_name"),
+            F.lit(child_col).alias("column"),
+            "n_rows",
+            F.col("violations").cast("long").alias("violations"),
+            F.when(F.col("violations") == 0, "pass")
+            .otherwise("fail")
+            .alias("status"),
+        )
+    )

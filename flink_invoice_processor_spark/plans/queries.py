@@ -4976,6 +4976,83 @@ ORACLES["triangle_counts_docs"] = ORACLES["triangle_counts_docs"].replace(
 )
 
 
+@register(
+    "dq_checks_lineitem",
+    """
+    WITH base AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_nn,
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                             OR l_quantity > 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_qty,
+               CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                             OR l_discount > 0.1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_returnflag IS NULL
+                             OR l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+               COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+                   AS v_uni
+        FROM lineitem
+    ),
+    ref AS (
+        SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS violations
+    ),
+    rows_out AS (
+        SELECT 'not_null(l_orderkey)' AS check_name,
+               'l_orderkey' AS column_name, n AS n_rows,
+               v_nn AS violations FROM base
+        UNION ALL
+        SELECT 'range(l_quantity)', 'l_quantity', n, v_qty FROM base
+        UNION ALL
+        SELECT 'range(l_discount)', 'l_discount', n, v_disc FROM base
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)', 'l_returnflag', n, v_rf
+        FROM base
+        UNION ALL
+        SELECT 'unique(line_uid)', 'line_uid', n, CAST(v_uni AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 'ref_integrity(l_orderkey)', 'l_orderkey', n,
+               CAST(violations AS BIGINT)
+        FROM ref
+    )
+    SELECT check_name, column_name, n_rows, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rows_out
+    """,
+)
+def dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate over lineitem: null /
+    range / accepted-values / composite-key uniqueness in ONE conditional
+    aggregation pass, plus orders referential integrity as a left anti
+    join (functions/quality.py).  The report is the tiny alertable
+    (check, violations, status) table a 100 TB ingest gates on."""
+    from ..functions import quality as DQ
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "line_uid", F.expr("l_orderkey * 10 + l_linenumber")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    suite = DQ.run_checks(
+        li,
+        [
+            DQ.not_null("l_orderkey"),
+            DQ.in_range("l_quantity", 1, 50),
+            DQ.in_range("l_discount", 0.0, 0.1),
+            DQ.accepted_values("l_returnflag", ["A", "N", "R"]),
+            DQ.unique("line_uid"),
+        ],
+    )
+    ref = DQ.referential_integrity(li, "l_orderkey", orders, "o_orderkey")
+    return suite.unionByName(ref).withColumnRenamed("column", "column_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -5039,7 +5116,8 @@ _DRIVER_FIRST = [
     # corpus_shuffle_positions, feature_hashing_docs, vocab_index,
     # kfold_split_docs, events_value_histogram, events_type_transitions,
     # events_unpivot_counts, events_gap_fill, q14_promo_revenue,
-    # q19_disjunctive_filter — all stay registered and replica-checked)
+    # q19_disjunctive_filter, q17_small_quantity_revenue — all stay
+    # registered and replica-checked)
     "events_heavy_hitters",
     "events_kmv_distinct",
     "boilerplate_strip_docs",
@@ -5050,6 +5128,7 @@ _DRIVER_FIRST = [
     "hybrid_rrf_docs",
     "triangle_counts_docs",
     "pps_sample_docs",
+    "dq_checks_lineitem",
     # event analytics extensions
     "events_user_rolling",
     "bpe_pair_counts_docs",
@@ -5060,7 +5139,6 @@ _DRIVER_FIRST = [
     "q6_revenue_filter",
     "q10_returned_items",
     "revenue_grouping_sets",
-    "q17_small_quantity_revenue",
     # round-5 rotation: q15_top_supplier and q22_idle_wealthy_customers
     # (driver-green r2 AND r4 — double-confirmed) rotate out for the only
     # two registry queries that have never had a driver CORRECTNESS row

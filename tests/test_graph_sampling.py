@@ -65,3 +65,41 @@ def test_pps_prefix_sum_matches_plain_window(spark):
     assert sorted((r.doc_id, r.cum_w) for r in got.collect()) == sorted(
         (r.doc_id, r.cum_w) for r in exp.collect()
     )
+
+
+def test_dq_checks_detect_violations(spark):
+    from flink_invoice_processor_spark.functions import quality as DQ
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, 99.0, "A"), (2, 5.0, "X"), (None, 5.0, "N")],
+        "k long, q double, f string",
+    )
+    out = {
+        r.check_name: (r.violations, r.status)
+        for r in DQ.run_checks(
+            df,
+            [
+                DQ.not_null("k"),
+                DQ.in_range("q", 1, 50),
+                DQ.accepted_values("f", ["A", "N", "R"]),
+                DQ.unique("k"),
+            ],
+        ).collect()
+    }
+    assert out["not_null(k)"] == (1, "fail")
+    assert out["range(q)"] == (1, "fail")
+    assert out["accepted_values(f)"] == (1, "fail")
+    # k has 4 rows, 3 distinct (2, 2, 1, NULL -> distinct counts non-null:
+    # {1,2} = 2) -> violations = 4 - 2 = 2
+    assert out["unique(k)"] == (2, "fail")
+
+
+def test_dq_referential_integrity(spark):
+    from flink_invoice_processor_spark.functions import quality as DQ
+
+    child = spark.createDataFrame([(1,), (2,), (5,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = DQ.referential_integrity(child, "fk", parent, "pk").collect()[0]
+    assert (r.violations, r.status) == (1, "fail")
+    ok = DQ.referential_integrity(parent, "pk", parent, "pk").collect()[0]
+    assert (ok.violations, ok.status) == (0, "pass")

@@ -58,6 +58,9 @@ ALLOWED_SOFT = {
         "single-row merge of mergeable HLL sketch partials (the point of "
         "the query)"
     ),
+    "dq_checks_lineitem": (
+        "1-row conditional-aggregate report (the whole output is 6 rows)"
+    ),
     "pps_sample_docs": (
         "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
         "+ 1-row stride aggregate"
