@@ -50,6 +50,16 @@ def _swap_in(df: DataFrame, path: str, batch_id: int) -> None:
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(path, _VERSION))
+    # retire superseded version dirs, keeping the current one and the one
+    # immediately prior (a reader that resolved the marker just before the
+    # swap may still be scanning it); without this the table grows one
+    # tiny dir per micro-batch forever
+    import shutil
+
+    keep = {version, f"v{batch_id - 1}"}
+    for entry in os.listdir(path):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def kmv_rollup_writer(

@@ -103,3 +103,13 @@ def test_dq_referential_integrity(spark):
     assert (r.violations, r.status) == (1, "fail")
     ok = DQ.referential_integrity(parent, "pk", parent, "pk").collect()[0]
     assert (ok.violations, ok.status) == (0, "pass")
+
+
+def test_dq_matches_regex_check(spark):
+    from flink_invoice_processor_spark.functions import quality as DQ
+
+    df = spark.createDataFrame(
+        [("S-1",), ("S-2",), ("bad",), (None,)], "sid string"
+    )
+    r = DQ.run_checks(df, [DQ.matches("sid", "^S-[0-9]+$")]).collect()[0]
+    assert (r.violations, r.status) == (2, "fail")

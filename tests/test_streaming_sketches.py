@@ -92,3 +92,14 @@ def test_rollup_remerge_is_idempotent(spark, tmp_path):
     _run_stream(spark, src, tmp_path / "again", table, k=8)
     second = sorted(map(tuple, read_sketch_table(spark, str(table)).collect()))
     assert first == second
+
+
+def test_rollup_retires_old_version_dirs(spark, tmp_path):
+    src, table = tmp_path / "in", tmp_path / "sketch"
+    for i in range(4):
+        _write(src, f"f{i}.jsonl", [{"seg": "s", "val": i * 10 + j} for j in range(5)])
+        time.sleep(0.01)
+    _run_stream(spark, src, tmp_path, table, k=8)
+    vdirs = [d for d in table.iterdir() if d.name.startswith("v") and d.is_dir()]
+    # 4 micro-batches ran; only the current and prior version survive
+    assert len(vdirs) <= 2
