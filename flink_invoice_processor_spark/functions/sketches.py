@@ -52,6 +52,35 @@ def _md5_int44(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 11), 16, 10).cast("long")
 
 
+def cms_bucket(i: int, width: int) -> Column:
+    """Depth-level-``i`` Count-Min bucket of the ``hh_key`` column."""
+    return _md5_int63(F.concat(F.lit(f"{i}:"), F.col("hh_key"))) % width
+
+
+def cms_counters(
+    df: DataFrame, key: Column, depth: int = 3, width: int = 16384
+) -> DataFrame:
+    """Count-Min counter rows (row_i, bucket, cnt) — the mergeable
+    partial: counters from any two datasets merge by summing matching
+    cells (the streaming rollup's contract), and the result is
+    <= depth*width rows no matter the input size."""
+    keyed = df.select(key.cast("string").alias("hh_key"))
+    cells = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cms_bucket(i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    return cells.groupBy("row_i", "bucket").agg(F.count("*").alias("cnt"))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key: Column,
@@ -69,22 +98,10 @@ def cms_heavy_hitters(
     keyed = df.select(key.cast("string").alias("hh_key"))
 
     def bucket(i: int) -> Column:
-        return _md5_int63(F.concat(F.lit(f"{i}:"), F.col("hh_key"))) % width
+        return cms_bucket(i, width)
 
     # phase 1: the sketch — depth cells per row, <= depth*width counters
-    cells = keyed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_i"), bucket(i).alias("bucket")
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("c")
-    ).select("c.row_i", "c.bucket")
-    counters = cells.groupBy("row_i", "bucket").agg(F.count("*").alias("cnt"))
+    counters = cms_counters(df, key, depth=depth, width=width)
 
     # phase 2: one broadcast hash join per depth level.  NOT a single-row
     # map with element_at lookups: Spark MapType lookup is a LINEAR scan

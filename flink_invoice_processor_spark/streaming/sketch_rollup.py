@@ -26,7 +26,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions.sketches import kmv_merge, kmv_sketch
+from ..functions.sketches import cms_bucket, cms_counters, kmv_merge, kmv_sketch
 
 _VERSION = "_VERSION"
 
@@ -90,3 +90,60 @@ def kmv_rollup_writer(
         _swap_in(merged, table_path, batch_id)
 
     return process
+
+
+def cms_rollup_writer(key, table_path: str, depth: int = 3, width: int = 1024):
+    """``foreachBatch`` function maintaining a Count-Min counter table
+    across micro-batches (cells merge by summation — the CMS merge law).
+    State stays <= depth*width rows however much data streams through;
+    estimates over the stored table upper-bound every key's true count
+    over everything seen.  Same version-directory swap as the KMV rollup."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(table_path, exist_ok=True)
+        batch_counters = cms_counters(batch_df, key, depth=depth, width=width)
+        prev = read_cms_table(spark, table_path)
+        merged = (
+            prev.unionByName(batch_counters)
+            .groupBy("row_i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ).localCheckpoint()
+        _swap_in(merged, table_path, batch_id)
+
+    return process
+
+
+_CMS_SCHEMA = "row_i INT, bucket LONG, cnt LONG"
+
+
+def read_cms_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current CMS counter partials, or empty before the first batch."""
+    marker = os.path.join(path, _VERSION)
+    if not os.path.exists(marker):
+        return spark.createDataFrame([], _CMS_SCHEMA)
+    with open(marker) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, version))
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key, depth: int = 3,
+                 width: int = 1024) -> DataFrame:
+    """Point estimates for the given keys from stored counters: min over
+    the depth rows of each key's bucket counts (upper bound on the true
+    count; missing cells mean a count of 0).  Broadcast hash joins per
+    depth level — see functions/sketches.py for why never a MapType."""
+    est = keys.select(key.cast("string").alias("hh_key"))
+    for i in range(depth):
+        ci = counters.where(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        est = est.withColumn(f"_b{i}", cms_bucket(i, width)).join(
+            F.broadcast(ci), f"_b{i}", "left"
+        )
+    return est.select(
+        "hh_key",
+        F.least(
+            *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(depth)]
+        ).alias("est_count"),
+    )

@@ -103,3 +103,60 @@ def test_rollup_retires_old_version_dirs(spark, tmp_path):
     vdirs = [d for d in table.iterdir() if d.name.startswith("v") and d.is_dir()]
     # 4 micro-batches ran; only the current and prior version survive
     assert len(vdirs) <= 2
+
+
+def test_cms_rollup_equals_batch_counters(spark, tmp_path):
+    from flink_invoice_processor_spark.functions.sketches import cms_counters
+    from flink_invoice_processor_spark.streaming.sketch_rollup import (
+        cms_estimate,
+        cms_rollup_writer,
+        read_cms_table,
+    )
+
+    src, table = tmp_path / "in", tmp_path / "cms"
+    rows_a = [{"seg": f"hot", "val": i} for i in range(60)] + [
+        {"seg": f"k{i}", "val": i} for i in range(20)
+    ]
+    rows_b = [{"seg": f"hot", "val": i} for i in range(40)]
+    _write(src, "a.jsonl", rows_a)
+    time.sleep(0.01)
+    _write(src, "b.jsonl", rows_b)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cms_rollup_writer(F.col("seg"), str(table), depth=2, width=32)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = read_cms_table(spark, str(table))
+    assert stored.count() <= 2 * 32  # state bound
+
+    # merge law: stored counters == batch counters over ALL rows seen
+    all_rows = spark.createDataFrame(
+        [(r["seg"], r["val"]) for r in rows_a + rows_b], SCHEMA
+    )
+    batch = cms_counters(all_rows, F.col("seg"), depth=2, width=32)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # estimates upper-bound the true counts; 'hot' (100 of 120 rows)
+    # dominates its buckets so its estimate is exact here or near-exact
+    keys = spark.createDataFrame([("hot",), ("k0",), ("nope",)], "seg string")
+    est = {
+        r.hh_key: r.est_count
+        for r in cms_estimate(
+            stored, keys, F.col("seg"), depth=2, width=32
+        ).collect()
+    }
+    assert est["hot"] >= 100
+    assert est["k0"] >= 1
+    assert est["nope"] >= 0  # unseen key: pure collision noise, still >= 0
