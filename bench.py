@@ -33,125 +33,13 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    # reference-surface dataflows
-    "request_parse_explode",
-    "request_validation_split",
-    "retry_backoff_schedule",
-    "response_status_derivation",
-    "response_batch_envelope",
-    "response_dedup",
-    # relational analytics
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_parts_per_brand",
-    "customers_without_orders",
-    "revenue_rollup",
-    "events_cube_counts",
-    "lineitem_quantity_stats",
-    "customer_order_gaps",
-    "users_click_no_purchase",
-    "events_salted_counts",
-    "q4_order_priority",
-    "orders_above_customer_avg",
-    "top_orders_global",
-    "events_approx_stats",
-    "events_pivot_counts",
-    # event windows + temporal joins
-    "events_tumbling",
-    "events_sliding",
-    "events_sessionization",
-    "events_asof_join",
-    "events_purchase_click_window",
-    # training-data pipeline
-    "exact_dedup_docs",
-    "ngram_jaccard_docs",
-    "minhash_lsh_docs",
-    "simhash_docs",
-    "simhash_pairs_docs",
-    "doc_quality",
-    "embedding_cosine_topk",
-    "embedding_neardup_lsh",
-    "ann_ivf_topk",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "corpus_curation",
-    # curation extensions
-    "dup_clusters_docs",
-    "doc_chunking",
-    "stratified_sample_docs",
-    "gopher_repetition_docs",
-    "pii_redaction_docs",
-    "tfidf_top_terms",
-    "decontaminate_docs",
-    "pack_sequences_docs",
-    "q6_revenue_filter",
-    "order_count_distribution",
-    "large_quantity_orders",
-    "embedding_quantize",
-    "corpus_top_tokens",
-    "events_user_rolling",
-    "training_mix_pipeline",
-    "events_gap_fill",
-    "events_funnel",
-    "events_retention_hourly",
-    "fuzzy_prefix_pairs",
-    "label_centroids",
-    "kmeans_clusters",
-    "events_value_histogram",
-    "events_type_transitions",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
-    "feature_hashing_docs",
-    "vocab_index",
-    "kfold_split_docs",
-    "bigram_lm_counts",
-    "revenue_grouping_sets",
-    "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q22_idle_wealthy_customers",
-    "events_unpivot_counts",
-    "events_approx_topk",
-    "bm25_topk_docs",
-    "tfidf_doc_similarity",
-    "ann_ivf_kmeans_topk",
-    "ann_recall_report",
-    "pq_codes_embeddings",
-    "pq_adq_topk_embeddings",
-    "ivf_pq_topk_embeddings",
-    "corpus_shuffle_positions",
-    # round 4 additions
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "substring_search_docs",
-    "bigram_familiarity_docs",
-    "domain_mix_weights_docs",
-    "length_bucket_batches_docs",
-    "ivf_pq_sampled_topk_embeddings",
-    "pagerank_docs",
-    "events_zorder_keys",
-    "cohort_retention_orders",
-    "rfm_segments_customers",
-    "events_equidepth_histogram",
-    "events_hll_mergeability",
-    # round-5 additions: sketches, text pipeline, hybrid retrieval, semdedup
-    "events_heavy_hitters",
-    "events_kmv_distinct",
-    "boilerplate_strip_docs",
-    "quality_classifier_docs",
-    "dsir_weights_docs",
-    "pmi_bigrams_docs",
-    "semantic_dedup_embeddings",
-    "hybrid_rrf_docs",
-    "bpe_pair_counts_docs",
-    "triangle_counts_docs",
-    "pps_sample_docs",
-    "dq_checks_lineitem",
-]
+def _headline() -> list[str]:
+    """EVERY registered query, in registry order (the driver-gate ordering).
+    Derived instead of hand-listed so a newly registered query can never be
+    silently missing from the perf surface."""
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    return list(QUERIES)
 
 
 def main() -> None:
@@ -161,6 +49,7 @@ def main() -> None:
     from flink_invoice_processor_spark.session import get_spark
     from flink_invoice_processor_spark.plans.queries import QUERIES
 
+    HEADLINE = _headline()
     spark = get_spark("bench")
     # warm up the JVM, the Python/Arrow UDF workers, and parquet footers so
     # per-query timings measure the queries, not process startup
