@@ -155,3 +155,45 @@ def referential_integrity(
             .alias("status"),
         )
     )
+
+
+def gated_writer(
+    checks: list[Check],
+    good_path: str,
+    quarantine_path: str,
+    max_violation_frac: float = 0.0,
+):
+    """``foreachBatch`` function gating every micro-batch on a DQ suite.
+
+    The production ingest pattern: evaluate the declared checks on each
+    micro-batch (one aggregation pass — :func:`run_checks`); if the
+    worst check's violation fraction exceeds ``max_violation_frac`` the
+    WHOLE batch goes to the quarantine table with its check report,
+    otherwise to the good table.  Either way the batch is persisted
+    exactly once and the stream never stalls on bad data — the reference
+    engine's retry/dead-letter philosophy
+    (`REF/source/InvoiceRetrySource.java:44-99`) applied to batch
+    admission instead of per-record errors.
+
+    Reports are appended to ``<good_path>/_dq_reports`` as parquet with
+    the batch id, so the gate's history is queryable like any table.
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        import os
+
+        report = run_checks(batch_df, checks).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        rows = report.collect()  # tiny: one row per check
+        n = max((r.n_rows for r in rows), default=0)
+        worst = max((r.violations for r in rows), default=0)
+        bad = n > 0 and worst > max_violation_frac * n
+        target = quarantine_path if bad else good_path
+        batch_df.write.mode("append").parquet(target)
+        spark = batch_df.sparkSession
+        spark.createDataFrame(rows).write.mode("append").parquet(
+            os.path.join(good_path, "_dq_reports")
+        )
+
+    return process
