@@ -371,31 +371,14 @@ def distributed_row_number(
        broadcast back.
 
     ``order_cols`` must be a total order (add a unique tie-break column),
-    otherwise numbering within ties is partition-dependent."""
-    ranged = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "_local", F.coalesce(F.count("*").over(w_local), F.lit(0)).cast("long")
-    )
-    part_counts = ranged.groupBy("_pid").agg(F.count("*").alias("_pc"))
-    w_part = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = part_counts.select(
-        "_pid",
-        F.coalesce(F.sum("_pc").over(w_part), F.lit(0).cast("long")).alias("_off"),
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("long"))
-        .drop("_pid", "_local", "_off")
-    )
+    otherwise numbering within ties is partition-dependent.
+
+    Row numbering IS the inclusive prefix sum of 1 — this delegates to
+    :func:`distributed_prefix_sum` so the subtle two-phase machinery
+    lives in exactly one place."""
+    return distributed_prefix_sum(
+        df, order_cols, F.lit(1), out_col=out_col
+    ).drop("_w")
 
 
 def bigram_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -633,6 +616,11 @@ def dsir_weights(
 
     Scale shape: the bucket table is <= n_buckets rows — broadcast back;
     two linear scans, one hash-agg each, no skew (md5 buckets).
+
+    Magnitude note: ``(tgt_cnt+1) * (T_raw+n_buckets) * 1e6`` fits int64
+    up to ~3e8 corpus bigrams per job (same class of bound as
+    pmi_bigrams); beyond that run per-shard and merge bucket counts, or
+    move the product to DECIMAL(38,0) — the plan is unchanged.
     """
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     base = df.select("doc_id", target_filter.alias("_tgt"), toks.alias("_toks"))
@@ -745,12 +733,17 @@ def pps_systematic_sample(
     Scale shape: the prefix sum is the two-phase distributed kind; the
     stride is a 1-row broadcast; selection is a pure filter.
     """
+    # project to (order, weight) BEFORE the prefix sum: its range
+    # repartition + localCheckpoint materializes every input column, and
+    # at corpus scale checkpointing full rows (text included) to rank a
+    # 2-column line is pure waste
+    slim = df.select(F.col(order_col), weight.cast("long").alias("_w0"))
     cum = distributed_prefix_sum(
-        df, [F.col(order_col)], weight, out_col="cum_w"
-    )
-    totals = df.select(weight.cast("long").alias("_tw")).agg(
-        F.sum("_tw").alias("total_w")
-    )
+        slim, [F.col(order_col)], F.col("_w0"), out_col="cum_w"
+    ).drop("_w0")
+    # the grand total is the max inclusive prefix — read it from the
+    # (checkpointed, 2-column) cum frame instead of re-scanning the corpus
+    totals = cum.agg(F.max("cum_w").alias("total_w"))
     stride = F.greatest(F.expr(f"total_w DIV {n_samples}"), F.lit(1))
     return (
         cum.crossJoin(F.broadcast(totals))

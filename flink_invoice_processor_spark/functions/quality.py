@@ -46,9 +46,14 @@ def in_range(column: str, lo, hi) -> Check:
     )
 
 
+def _sq(v: str) -> str:
+    """SQL single-quote a string value (embedded quotes doubled)."""
+    return "'" + v.replace("'", "''") + "'"
+
+
 def accepted_values(column: str, values: list) -> Check:
     quoted = ", ".join(
-        f"'{v}'" if isinstance(v, str) else str(v) for v in values
+        _sq(v) if isinstance(v, str) else str(v) for v in values
     )
     return Check(
         f"accepted_values({column})",
@@ -65,7 +70,7 @@ def matches(column: str, regex: str) -> Check:
     return Check(
         f"matches({column})",
         column,
-        f"{column} IS NULL OR NOT regexp_like({column}, '{regex}')",
+        f"{column} IS NULL OR NOT regexp_like({column}, {_sq(regex)})",
     )
 
 
@@ -75,6 +80,10 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     (check_name, column, n_rows, violations, status) with status
     'pass'/'fail' — deterministic, ordered by check_name via the caller's
     sort if needed."""
+    if not checks:
+        raise ValueError(
+            "run_checks: empty check suite (declare at least one Check)"
+        )
     conds = [c for c in checks if c.violation_cond is not None]
     uniqs = [c for c in checks if c.distinct_col is not None]
 
@@ -169,31 +178,39 @@ def gated_writer(
     micro-batch (one aggregation pass — :func:`run_checks`); if the
     worst check's violation fraction exceeds ``max_violation_frac`` the
     WHOLE batch goes to the quarantine table with its check report,
-    otherwise to the good table.  Either way the batch is persisted
-    exactly once and the stream never stalls on bad data — the reference
+    otherwise to the good table.  Either way the batch lands exactly once
+    as observed by readers (see the replay note below) and the stream
+    never stalls on bad data — the reference
     engine's retry/dead-letter philosophy
     (`REF/source/InvoiceRetrySource.java:44-99`) applied to batch
     admission instead of per-record errors.
 
-    Reports are appended to ``<good_path>/_dq_reports`` as parquet with
-    the batch id, so the gate's history is queryable like any table.
+    Every write targets a ``batch_id=N`` partition directory with
+    overwrite mode, so a REPLAYED epoch (foreachBatch offers
+    at-least-once invocation) rewrites its own partition
+    deterministically instead of appending duplicates — replay-idempotent
+    like the sketch rollups.  Reports land the same way under
+    ``<good_path>/_dq_reports`` (an underscore path, so table readers of
+    the good directory skip it), with ``batch_id`` carried by the
+    partition directory.
     """
 
     def process(batch_df, batch_id: int) -> None:
         import os
 
-        report = run_checks(batch_df, checks).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
+        report = run_checks(batch_df, checks)
         rows = report.collect()  # tiny: one row per check
         n = max((r.n_rows for r in rows), default=0)
         worst = max((r.violations for r in rows), default=0)
         bad = n > 0 and worst > max_violation_frac * n
         target = quarantine_path if bad else good_path
-        batch_df.write.mode("append").parquet(target)
+        part = f"batch_id={batch_id}"
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target, part)
+        )
         spark = batch_df.sparkSession
-        spark.createDataFrame(rows).write.mode("append").parquet(
-            os.path.join(good_path, "_dq_reports")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            os.path.join(good_path, "_dq_reports", part)
         )
 
     return process

@@ -935,19 +935,22 @@ def semantic_dedup(
     the SemDeDup trade: near-dup pairs split across cluster boundaries
     are missed.
 
-    Output: (vec_id, cid, n_lower_neighbors, kept_flag).
+    Output: (<id_col>, cid, n_lower_neighbors, kept_flag).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
     # `assignments` lets a suite runner share one trained clustering with
     # other consumers (e.g. the standalone kmeans query) — semantics are
-    # identical because training is deterministic
-    assigns = (
-        assignments
-        if assignments is not None
-        else kmeans_integer(
-            nn, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    # identical because training is deterministic.  Contract: columns
+    # (<id_col>, cid).  kmeans_integer always names its id output
+    # 'vec_id' whatever id_col it read, so normalize both sources.
+    if assignments is not None:
+        assigns = assignments.select(
+            F.col(id_col).alias("vec_id"), "cid"
         )
-    ).select(id_col, "cid")
+    else:
+        assigns = kmeans_integer(
+            nn, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        ).select("vec_id", "cid")
     pts = nn.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     sided = pts.join(assigns, "vec_id")
     a = sided.select(
@@ -966,9 +969,9 @@ def semantic_dedup(
     )
     lower = pairs.groupBy("vb").agg(F.count("*").alias("n_lower"))
     return (
-        assigns.join(lower, assigns[id_col] == lower["vb"], "left")
+        assigns.join(lower, assigns["vec_id"] == lower["vb"], "left")
         .select(
-            F.col(id_col).alias("vec_id"),
+            F.col("vec_id").alias(id_col),
             "cid",
             F.coalesce("n_lower", F.lit(0)).alias("n_lower_neighbors"),
             F.when(F.col("vb").isNull(), 1).otherwise(0).alias("kept_flag"),

@@ -181,6 +181,11 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
     Output: (segment, n_kept, kth_min, est_distinct).  When a segment
     holds fewer than k hashes the sketch IS the distinct set and the
     estimate is exact; otherwise ``(k-1) * 2^44 div kth_min``.
+
+    The label '__all__' is RESERVED for the union row: a real segment
+    with that name would silently fold into the union aggregate, so the
+    returned plan carries an assert_true guard that fails the job if one
+    appears (lazy — no extra action at construction time).
     """
     # the union input is <= n_segments*k sketch rows by construction, so
     # one bounded aggregate (map-side partials) beats a constant-key
@@ -198,10 +203,25 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
     ).otherwise(
         F.expr(f"CAST({(k - 1) * _KMV_RANGE} DIV kth_min AS BIGINT)")
     )
+    # lazy reserved-label guard (the HLL-mergeability pattern): a 1-row
+    # broadcast count of offending sketch rows, asserted in a WHERE that
+    # column pruning cannot remove
+    n_reserved = sketch.agg(
+        F.sum(
+            F.when(F.col("segment") == "__all__", 1).otherwise(0)
+        ).alias("_n_reserved")
+    )
     return (
         sketch.unionByName(union_k)
         .groupBy("segment")
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_min"))
+        .crossJoin(F.broadcast(n_reserved))
+        .where(
+            F.assert_true(
+                F.coalesce(F.col("_n_reserved"), F.lit(0)) == 0,
+                F.lit("kmv_estimates: segment label '__all__' is reserved"),
+            ).isNull()
+        )
         .select(
             "segment", "n_kept", "kth_min", est.alias("est_distinct")
         )

@@ -43,20 +43,39 @@ def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, version))
 
 
+def _current_version(path: str) -> str | None:
+    marker = os.path.join(path, _VERSION)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return fh.read().strip()
+
+
 def _swap_in(df: DataFrame, path: str, batch_id: int) -> None:
+    # never write into a dir the marker may currently reference: a
+    # replayed batch id (epoch retry, or a fresh-checkpoint stream whose
+    # ids restart at 0 against an existing table) would otherwise
+    # overwrite the LIVE version in place, opening exactly the
+    # half-written-state window the version swap exists to close.  Pick
+    # the first unused suffix instead; the swap stays atomic.
+    prev = _current_version(path)
     version = f"v{batch_id}"
+    n = 0
+    while version == prev or os.path.exists(os.path.join(path, version)):
+        n += 1
+        version = f"v{batch_id}_{n}"
     df.write.mode("overwrite").parquet(os.path.join(path, version))
     tmp = os.path.join(path, _VERSION + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(path, _VERSION))
-    # retire superseded version dirs, keeping the current one and the one
-    # immediately prior (a reader that resolved the marker just before the
-    # swap may still be scanning it); without this the table grows one
-    # tiny dir per micro-batch forever
+    # retire superseded version dirs, keeping the new current one and the
+    # immediately prior marker target (a reader that resolved the marker
+    # just before the swap may still be scanning it); without this the
+    # table grows one tiny dir per micro-batch forever
     import shutil
 
-    keep = {version, f"v{batch_id - 1}"}
+    keep = {version, prev}
     for entry in os.listdir(path):
         if entry.startswith("v") and entry not in keep:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)

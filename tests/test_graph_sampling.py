@@ -113,3 +113,19 @@ def test_dq_matches_regex_check(spark):
     )
     r = DQ.run_checks(df, [DQ.matches("sid", "^S-[0-9]+$")]).collect()[0]
     assert (r.violations, r.status) == (2, "fail")
+
+
+def test_dq_quoting_and_empty_suite_guard(spark):
+    import pytest as _pytest
+
+    from flink_invoice_processor_spark.functions import quality as DQ
+
+    df = spark.createDataFrame([("O'Brien",), ("x",)], "name string")
+    r = DQ.run_checks(
+        df, [DQ.accepted_values("name", ["O'Brien"])]
+    ).collect()[0]
+    assert (r.violations, r.status) == (1, "fail")  # 'x' violates
+    r2 = DQ.run_checks(df, [DQ.matches("name", "^[A-Za-z']+$")]).collect()[0]
+    assert r2.status == "pass"
+    with _pytest.raises(ValueError, match="empty check suite"):
+        DQ.run_checks(df, [])
