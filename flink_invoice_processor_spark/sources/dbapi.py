@@ -34,7 +34,7 @@ instead — that path needs no custom code.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,11 +145,26 @@ def claim_retry_batch(
     cfg: EngineConfig | None = None,
     dialect: Dialect = SQLITE,
     now: datetime | None = None,
+    reap_processing_after_s: int | None = None,
 ) -> DataFrame:
     """Claim due retry rows: SELECT due PENDING rows for ``job``, flip them
     to PROCESSING in the same transaction, return them as a DataFrame
     (``InvoiceRetrySource.java:44-99``).  Rows stay invisible to other
     pollers until a sink re-arms (UPDATE→PENDING) or removes them.
+
+    The claim is genuinely at-most-once under CONCURRENT pollers: each
+    row's conditional UPDATE (``AND state = 'PENDING'``) is checked via
+    rowcount, and only rows whose claim this poller actually won are
+    returned — a racing poller that saw the same SELECT snapshot loses
+    the UPDATE race and drops the row from its batch (the reference's
+    single-threaded source never needed this, its docstring just assumed
+    one poller).
+
+    ``reap_processing_after_s`` (optional) runs a stale-claim sweep
+    first: PROCESSING rows for this job whose ``next_retry_time`` is at
+    least that many seconds in the past are flipped back to PENDING.  A
+    claimer that died between the claim commit and its sink otherwise
+    strands rows in PROCESSING forever; the sweep gives claims a lease.
 
     Under a ``server_side_interval`` dialect the due check is the
     reference's ``next_retry_time <= CURRENT_TIMESTAMP`` (DB clock,
@@ -172,10 +187,24 @@ def claim_retry_batch(
     conn = conn_factory()
     try:
         cur = conn.cursor()
+        if reap_processing_after_s is not None:
+            stale_cutoff = (now or _utcnow()) - timedelta(
+                seconds=reap_processing_after_s
+            )
+            cur.execute(
+                f"UPDATE invoice_retry SET state = '{RETRY_STATE_PENDING}' "
+                f"WHERE state = '{RETRY_STATE_PROCESSING}' AND job = {q} "
+                f"AND next_retry_time <= {q}",
+                (job, stale_cutoff),
+            )
         cur.execute(select_sql, select_params)
         rows = cur.fetchall()
-        if rows:
-            cur.executemany(claim_sql, [(r[0],) for r in rows])
+        claimed = []
+        for r in rows:
+            cur.execute(claim_sql, (r[0],))
+            # rowcount 1 = we won the claim; 0 = a concurrent poller did
+            if cur.rowcount == 1:
+                claimed.append(r)
         conn.commit()
     except Exception:
         try:
@@ -185,6 +214,8 @@ def claim_retry_batch(
         raise
     else:
         conn.close()
-    if not rows:
+    if not claimed:
         return spark.createDataFrame([], INVOICE_RETRY_RECORD)
-    return spark.createDataFrame(_coerce(rows, INVOICE_RETRY_RECORD), INVOICE_RETRY_RECORD)
+    return spark.createDataFrame(
+        _coerce(claimed, INVOICE_RETRY_RECORD), INVOICE_RETRY_RECORD
+    )

@@ -35,6 +35,16 @@ run on) or ``backend=mysql`` (``host``/``port``/``user``/``password``/
 driver library is import-gated since no MySQL client ships in this
 container).  Same SQL, same offsets either way — only ``_connect``
 differs.
+
+
+VISIBILITY ASSUMPTION (same one the reference makes, AsyncInvInSource
+.java:35-49): ids become visible in commit order — one writer, or
+auto-committed inserts.  With CONCURRENT writers a transaction holding a
+lower id can commit AFTER a poll has advanced the high-water mark past
+it, and ``id > ?`` will then skip that row forever.  Deployments with
+multi-writer queue tables should poll with a re-read lag window (``id >
+hwm - lag``) plus the downstream dedup, or switch the queue key to a
+commit-ordered sequence.
 """
 
 from __future__ import annotations

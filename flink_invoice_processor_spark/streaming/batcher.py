@@ -32,7 +32,6 @@ here is bounded by ``batch_size`` rows per key by construction.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -84,7 +83,12 @@ def _make_batch_fn(
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        now_ms = int(time.time() * 1000)
+        # Spark's processing-time clock, NOT executor wall-clock: the
+        # persisted last_flush_ms may be read back on a DIFFERENT executor
+        # whose time.time() is skewed, which would mis-fire (or defer) the
+        # max-wait force flush; the timers already run on this clock, so
+        # using it keeps one clock for the whole protocol
+        now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
             buffer_t, last_flush, seq = state.get
             buffer = list(buffer_t)

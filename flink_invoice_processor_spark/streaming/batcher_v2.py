@@ -91,6 +91,7 @@ class CountOrTimeoutProcessor(StatefulProcessor):
         seq: int,
         timer_ms: int,
         now_ms: int,
+        append_only: list[str] | None = None,
     ) -> None:
         if timer_ms != _NO_TIMER:
             self._handle.deleteTimer(timer_ms)
@@ -99,11 +100,22 @@ class CountOrTimeoutProcessor(StatefulProcessor):
             self._buffer.clear()
             self._meta.clear()
             return
-        self._buffer.clear()
-        if buffer:
-            self._buffer.put([(p,) for p in buffer])
+        if append_only is not None and buffer:
+            # no flush consumed a prefix this invocation: the stored list
+            # is still a prefix of `buffer`, so append ONLY the newly
+            # arrived rows — the O(1)-per-row path that is the point of
+            # the v2 API.  A full clear+put here made state I/O O(buffer)
+            # per micro-batch for every quietly-filling key.
+            if append_only:
+                self._buffer.appendList([(p,) for p in append_only])
             timer_ms = now_ms + self._timeout_ms
             self._handle.registerTimer(timer_ms)
+        else:
+            self._buffer.clear()
+            if buffer:
+                self._buffer.put([(p,) for p in buffer])
+                timer_ms = now_ms + self._timeout_ms
+                self._handle.registerTimer(timer_ms)
         self._meta.update((last_flush, seq, timer_ms))
 
     @staticmethod
@@ -129,8 +141,10 @@ class CountOrTimeoutProcessor(StatefulProcessor):
         now_ms = timerValues.getCurrentProcessingTimeInMs()
         buffer, last_flush, seq, timer_ms = self._load(now_ms)
 
+        arrived: list[str] = []
         for pdf in rows:
-            buffer.extend(pdf["payload"].astype(str).tolist())
+            arrived.extend(pdf["payload"].astype(str).tolist())
+        buffer.extend(arrived)
 
         flushed: list[tuple[str, list[str]]] = []
         if (
@@ -146,7 +160,10 @@ class CountOrTimeoutProcessor(StatefulProcessor):
             buffer = buffer[self._batch_size :]
             last_flush = now_ms
 
-        self._store(key, buffer, last_flush, seq + len(flushed), timer_ms, now_ms)
+        self._store(
+            key, buffer, last_flush, seq + len(flushed), timer_ms, now_ms,
+            append_only=arrived if not flushed else None,
+        )
         yield from self._out(key, seq, flushed)
 
     def handleExpiredTimer(

@@ -173,20 +173,40 @@ def run_invoice_response_stream_job(
     envelope = make_response_envelope(
         queue_stream("async_inv_in"), queue_stream("async_inv_out")
     )
-    # watermark needs a non-null event time; polled rows always carry
-    # created_date in practice — guard anyway so none are silently dropped
-    envelope = envelope.withColumn(
-        "created_date",
-        F.coalesce(F.col("created_date"), F.current_timestamp()),
+    # Dedup on ARRIVAL time, not created_date: the two queue tables drain
+    # independently, and a backlogged table's rows can carry created_date
+    # hours behind the live table's — an event-time watermark would call
+    # them "late", silently drop them, and the source offset (already
+    # advanced) would never re-read them.  The per-micro-batch timestamp
+    # is monotone, so nothing is ever late, state stays bounded by the
+    # same delay, and the dedup horizon becomes "within `dedup_delay` of
+    # first ARRIVAL" — which is also closer to the reference's
+    # memory-lifetime dedup set than created_date ever was.
+    envelope = envelope.withColumn("_arrival_ts", F.current_timestamp())
+    deduped = streaming_dedup(envelope, "_arrival_ts", dedup_delay).drop(
+        "_arrival_ts"
     )
-    deduped = streaming_dedup(envelope, "created_date", dedup_delay)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        result = process_response_batch(batch_df, cfg)
+        # claim + revive due RESPONSE retries each batch, exactly like the
+        # driver-loop `response_cycle` — without this, retry rows the
+        # stream job itself enqueues would sit PENDING forever in a
+        # stream-only deployment
+        spark_b = batch_df.sparkSession
+        claimed = claim_retry_batch(
+            spark_b, conn_factory, RETRY_JOB_RESPONSE, cfg
+        )
+        recovered, retry_emits = transform_response_retry_records(
+            claimed, cfg
+        )
+        batch = batch_df.unionByName(recovered)
+        result = process_response_batch(batch, cfg)
         # Step 1 Kafka, Step 2 DB transaction — the reference's ordering
         packet_sink(result.packets)
         write_log_and_delete(result.db_ops, conn_factory, cfg)
-        write_retry_emissions(result.retry, conn_factory, cfg)
+        write_retry_emissions(
+            result.retry.unionByName(retry_emits), conn_factory, cfg
+        )
 
     trigger_ms = trigger_ms or cfg.response_batch_timeout_ms
     return (

@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..config import EngineConfig
 
 
+def _jaas_quote(v: str) -> str:
+    """JAAS double-quoted string: backslashes and quotes escaped.  A
+    rotated password containing `"` or `\\` would otherwise break the
+    login-module parse (killing every reader/writer at startup) — or,
+    crafted, terminate the quoted section and inject JAAS directives."""
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
 def _sasl_options(cfg: EngineConfig) -> dict[str, str]:
     if not cfg.kafka_sasl_user:
         return {}
@@ -34,7 +42,8 @@ def _sasl_options(cfg: EngineConfig) -> dict[str, str]:
     # "kafka." prefix.
     jaas = (
         "org.apache.kafka.common.security.plain.PlainLoginModule required "
-        f'username="{cfg.kafka_sasl_user}" password="{cfg.kafka_sasl_password}";'
+        f"username={_jaas_quote(cfg.kafka_sasl_user)} "
+        f"password={_jaas_quote(cfg.kafka_sasl_password)};"
     )
     return {
         "kafka.security.protocol": "SASL_PLAINTEXT",

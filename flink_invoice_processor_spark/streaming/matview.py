@@ -3,7 +3,16 @@
 Pattern: a streaming source feeds ``foreachBatch``; each micro-batch
 recomputes ONLY the (hour, event_type) partitions it touches and rewrites
 exactly those partitions of a parquet "view" table via dynamic partition
-overwrite.  Readers always see a consistent per-partition snapshot.
+overwrite.
+
+ATOMICITY CAVEAT: plain-parquet partition overwrite deletes then
+rewrites files, so a reader listing a touched hour MID-overwrite can see
+it empty or mixed.  Readers that resolve once per query (normal Spark
+scans) see whole files, but there is no cross-file snapshot; production
+deployments wanting atomic swaps should back the view with a table
+format that commits atomically (Delta/Iceberg) or a version-marker swap
+like ``streaming/sketch_rollup.py`` uses.  Untouched partitions are
+never rewritten, so history stays stable either way.
 
 Replay safety: a plain append of the raw batch would NOT be idempotent —
 if the job dies after the append commits but before the streaming

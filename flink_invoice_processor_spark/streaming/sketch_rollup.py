@@ -35,20 +35,27 @@ _SKETCH_SCHEMA = "segment STRING, h LONG"
 
 def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
     """Current sketch partials, or an empty frame before the first batch."""
-    marker = os.path.join(path, _VERSION)
-    if not os.path.exists(marker):
+    version = _current_version(path)
+    if version is None:
         return spark.createDataFrame([], _SKETCH_SCHEMA)
-    with open(marker) as fh:
-        version = fh.read().strip()
     return spark.read.parquet(os.path.join(path, version))
 
 
-def _current_version(path: str) -> str | None:
+def _marker_state(path: str) -> tuple[str | None, int | None]:
+    """(current version dir, last merged batch id) from the marker.
+    One file holds both so they commit atomically together."""
     marker = os.path.join(path, _VERSION)
     if not os.path.exists(marker):
-        return None
+        return None, None
     with open(marker) as fh:
-        return fh.read().strip()
+        parts = fh.read().split()
+    version = parts[0] if parts else None
+    batch = int(parts[1]) if len(parts) > 1 else None
+    return version, batch
+
+
+def _current_version(path: str) -> str | None:
+    return _marker_state(path)[0]
 
 
 def _swap_in(df: DataFrame, path: str, batch_id: int) -> None:
@@ -67,7 +74,7 @@ def _swap_in(df: DataFrame, path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(os.path.join(path, version))
     tmp = os.path.join(path, _VERSION + ".tmp")
     with open(tmp, "w") as fh:
-        fh.write(version)
+        fh.write(f"{version} {batch_id}")
     os.replace(tmp, os.path.join(path, _VERSION))
     # retire superseded version dirs, keeping the new current one and the
     # immediately prior marker target (a reader that resolved the marker
@@ -121,6 +128,18 @@ def cms_rollup_writer(key, table_path: str, depth: int = 3, width: int = 1024):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         os.makedirs(table_path, exist_ok=True)
+        # CMS cells merge by SUM, which is NOT idempotent: a replayed
+        # epoch (foreachBatch is at-least-once) whose previous attempt
+        # already committed the swap would double-count every key in the
+        # batch.  The marker records the last merged batch id atomically
+        # with the version, so a replay of an already-merged batch is a
+        # no-op.  (KMV needs no fence: min-k of a set re-merges to
+        # itself.)  Consequence: one CMS table belongs to ONE stream
+        # lineage — a fresh checkpoint restarts ids at 0 and its batches
+        # would be fenced off; use a new table path for a new stream.
+        _, last_merged = _marker_state(table_path)
+        if last_merged is not None and batch_id <= last_merged:
+            return
         batch_counters = cms_counters(batch_df, key, depth=depth, width=width)
         prev = read_cms_table(spark, table_path)
         merged = (
@@ -138,11 +157,9 @@ _CMS_SCHEMA = "row_i INT, bucket LONG, cnt LONG"
 
 def read_cms_table(spark: SparkSession, path: str) -> DataFrame:
     """Current CMS counter partials, or empty before the first batch."""
-    marker = os.path.join(path, _VERSION)
-    if not os.path.exists(marker):
+    version = _current_version(path)
+    if version is None:
         return spark.createDataFrame([], _CMS_SCHEMA)
-    with open(marker) as fh:
-        version = fh.read().strip()
     return spark.read.parquet(os.path.join(path, version))
 
 

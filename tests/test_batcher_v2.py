@@ -42,6 +42,11 @@ class FakeListState:
 
     def put(self, new):
         self.rows = list(new)
+        self.n_puts = getattr(self, "n_puts", 0) + 1
+
+    def appendList(self, new):
+        self.rows.extend(new)
+        self.n_appends = getattr(self, "n_appends", 0) + 1
 
     def clear(self):
         self.rows = []
@@ -218,3 +223,18 @@ def test_v2_e2e_count_flush(spark, tmp_path):
     flushes = sorted(rows, key=lambda r: r.batch_seq)
     assert [r.item_count for r in flushes] == [100, 100]
     assert {r.flush_reason for r in flushes} == {FLUSH_COUNT}
+
+
+def test_v2_quiet_buffering_appends_without_rewrite():
+    """Arrivals that don't flush must use the O(1)-per-row appendList
+    path, never clear+put of the whole buffer (the v2 API's point)."""
+    p, h = make(batch_size=100, timeout_ms=3000)
+    for i in range(3):
+        feed(p, ("k",), [f"p{i}"], now_ms=1_000 + i)
+    buf = h.states["buffer"]
+    assert getattr(buf, "n_appends", 0) == 3
+    assert getattr(buf, "n_puts", 0) == 0
+    assert [t[0] for t in buf.rows] == ["p0", "p1", "p2"]
+    # a count flush rewrites (prefix consumed), then quiet arrivals append
+    feed(p, ("k",), [f"q{i}" for i in range(101)], now_ms=2_000)
+    assert getattr(h.states["buffer"], "n_puts", 0) == 1

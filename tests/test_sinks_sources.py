@@ -252,3 +252,25 @@ def test_poll_sources_predicate_and_hwm(spark, db):
 
     dfo, hwmo = poll_async_inv_out(spark, db, CFG, last_id=0)
     assert [r.sid for r in dfo.collect()] == ["SO"] and hwmo == 1
+
+
+def test_retry_stale_claim_reaper(spark, db):
+    emits = spark.createDataFrame(
+        [("CREATE", None, "S-9", "Y-9", "REQUEST", "{}", "boom", "Exception",
+          0, "PENDING", -120)],
+        RETRY_EMIT_SCHEMA,
+    )
+    write_retry_emissions(emits, db, CFG, now=NOW)
+    # a claimer takes the row, then dies before its sink runs
+    assert claim_retry_batch(spark, db, "REQUEST", CFG, now=NOW).count() == 1
+    # without the reaper the row is stranded in PROCESSING forever
+    assert claim_retry_batch(spark, db, "REQUEST", CFG, now=NOW).count() == 0
+    # the sweep gives claims a lease: the row (due 120 s ago) flips back
+    # to PENDING and is re-claimed in the same call
+    again = claim_retry_batch(
+        spark, db, "REQUEST", CFG, now=NOW, reap_processing_after_s=60
+    )
+    assert [r.sid for r in again.collect()] == ["S-9"]
+    assert q(db, "SELECT state FROM invoice_retry WHERE sid='S-9'") == [
+        ("PROCESSING",)
+    ]

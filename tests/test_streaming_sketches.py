@@ -160,3 +160,28 @@ def test_cms_rollup_equals_batch_counters(spark, tmp_path):
     assert est["hot"] >= 100
     assert est["k0"] >= 1
     assert est["nope"] >= 0  # unseen key: pure collision noise, still >= 0
+
+
+def test_cms_rollup_replayed_epoch_is_fenced(spark, tmp_path):
+    from flink_invoice_processor_spark.streaming.sketch_rollup import (
+        cms_rollup_writer,
+        read_cms_table,
+    )
+
+    table = tmp_path / "cms"
+    writer = cms_rollup_writer(F.col("seg"), str(table), depth=2, width=16)
+    batch = spark.createDataFrame([("s", i) for i in range(30)], SCHEMA)
+    writer(batch, 0)
+    once = sorted(map(tuple, read_cms_table(spark, str(table)).collect()))
+    # foreachBatch replays the SAME epoch after a crash-before-commit:
+    # CMS cells merge by sum, so without the fence this would double-count
+    writer(batch, 0)
+    again = sorted(map(tuple, read_cms_table(spark, str(table)).collect()))
+    assert once == again
+    # the next real epoch still merges
+    writer(spark.createDataFrame([("s", 100)], SCHEMA), 1)
+    after = dict(
+        ((r.row_i, r.bucket), r.cnt)
+        for r in read_cms_table(spark, str(table)).collect()
+    )
+    assert sum(after.values()) == sum(c for *_ , c in once) + 2  # depth=2
