@@ -140,3 +140,66 @@ def test_boilerplate_strip_matches_python_model(spark, texts, min_df):
         ).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-5, 60)), min_size=1, max_size=30
+    ),
+    lo=st.integers(0, 10),
+    hi=st.integers(20, 50),
+)
+def test_dq_checks_match_python_model(spark, vals, lo, hi):
+    from flink_invoice_processor_spark.functions import quality as DQ
+
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    out = {
+        r.check_name: r.violations
+        for r in DQ.run_checks(
+            df, [DQ.not_null("x"), DQ.in_range("x", lo, hi), DQ.unique("x")]
+        ).collect()
+    }
+    nn = sum(1 for v in vals if v is None)
+    rng = sum(1 for v in vals if v is None or v < lo or v > hi)
+    uni = len(vals) - len({v for v in vals if v is not None})
+    # count_distinct ignores NULLs, so every NULL row counts as a dup
+    assert out["not_null(x)"] == nn
+    assert out["range(x)"] == rng
+    assert out["unique(x)"] == uni
+
+
+@settings(**_SETTINGS)
+@given(
+    ranks_a=st.lists(st.integers(1, 8), min_size=0, max_size=6, unique=True),
+    ranks_b=st.lists(st.integers(1, 8), min_size=0, max_size=6, unique=True),
+)
+def test_rrf_matches_python_model(spark, ranks_a, ranks_b):
+    from flink_invoice_processor_spark.functions import retrieval as RET
+
+    # doc_id == 10*rank so both lists rank disjoint-ish doc sets with
+    # deterministic overlap on equal ranks
+    a = [("q", 10 * r, i + 1) for i, r in enumerate(sorted(ranks_a))]
+    b = [("q", 10 * r, i + 1) for i, r in enumerate(sorted(ranks_b))]
+    docs = {d for _, d, _ in a} | {d for _, d, _ in b}
+    if not docs:
+        return
+    ra = {d: r for _, d, r in a}
+    rb = {d: r for _, d, r in b}
+    model = {
+        d: round(
+            (1 / (60 + ra[d]) if d in ra else 0.0)
+            + (1 / (60 + rb[d]) if d in rb else 0.0),
+            6,
+        )
+        for d in docs
+    }
+    order = sorted(docs, key=lambda d: (-model[d], d))[:10]
+    schema = "term string, doc_id long, rank int"
+    got = RET.rrf_fuse(
+        spark.createDataFrame(a or [("_", -1, 1)], schema).where("doc_id >= 0"),
+        spark.createDataFrame(b or [("_", -1, 1)], schema).where("doc_id >= 0"),
+        k=10,
+    ).collect()
+    assert {r.doc_id: r.rrf_score for r in got} == {d: model[d] for d in order}
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.fused_rank)] == order
