@@ -106,6 +106,21 @@ class EngineConfig:
     def max_wait_time_ms(self) -> int:
         return 2 * self.response_batch_timeout_ms
 
+    @property
+    def processing_lease_s(self) -> int:
+        """Stale-claim lease for the retry queue: a PROCESSING row claimed
+        more than this many seconds ago is assumed orphaned by a crashed
+        claimer and swept back to PENDING (``claim_retry_batch``'s
+        ``reap_processing_after_s``).  Ten trigger beats — comfortably
+        above any one epoch's processing time, so live claims are never
+        stolen mid-flight — floored at 60 s."""
+        beat_ms = max(
+            self.mysql_batch_interval_ms,
+            self.response_batch_timeout_ms,
+            self.retry_polling_interval_ms,
+        )
+        return max(60, 10 * beat_ms // 1000)
+
 
 _KEY_MAP = {
     # properties-file key → EngineConfig field

@@ -684,7 +684,16 @@ def distributed_prefix_sum(
     back) — never a single-partition window over row data.
 
     ``order_cols`` must be a total order; the weight column is emitted
-    as ``_w`` alongside ``out_col``."""
+    as ``_w`` alongside ``out_col``.  ``_w``/``_pid``/``_local``/``_off``
+    are reserved: an input that already carries one would be silently
+    clobbered by the ``withColumn`` below (``_w`` is even part of the
+    public output contract), so collide loudly instead."""
+    reserved = {"_w", "_pid", "_local", "_off"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "distributed_prefix_sum reserves column(s) "
+            f"{sorted(reserved)}; rename them on the input DataFrame"
+        )
     ranged = (
         df.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())

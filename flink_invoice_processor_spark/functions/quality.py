@@ -193,6 +193,14 @@ def gated_writer(
     ``<good_path>/_dq_reports`` (an underscore path, so table readers of
     the good directory skip it), with ``batch_id`` carried by the
     partition directory.
+
+    Replay idempotence assumes a stable batch_id↔data mapping — ONE
+    checkpoint lineage per (good_path, quarantine_path) pair, the same
+    contract ``cms_rollup_writer`` documents.  Against the id-REUSE case
+    (a fresh checkpoint restarting ids at 0 over existing tables, where
+    batch N's verdict may flip between lineages) the writer also deletes
+    the SIBLING table's ``batch_id=N`` partition before writing: a batch
+    can land in the good table or quarantine, never both.
     """
 
     def process(batch_df, batch_id: int) -> None:
@@ -204,11 +212,20 @@ def gated_writer(
         worst = max((r.violations for r in rows), default=0)
         bad = n > 0 and worst > max_violation_frac * n
         target = quarantine_path if bad else good_path
+        sibling = good_path if bad else quarantine_path
         part = f"batch_id={batch_id}"
+        spark = batch_df.sparkSession
+        # drop the other lineage's copy of this batch_id first (Hadoop FS,
+        # so the path scheme — local, HDFS, s3a — doesn't matter)
+        sib = spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(sibling, part)
+        )
+        fs = sib.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(sib):
+            fs.delete(sib, True)
         batch_df.write.mode("overwrite").parquet(
             os.path.join(target, part)
         )
-        spark = batch_df.sparkSession
         spark.createDataFrame(rows).write.mode("overwrite").parquet(
             os.path.join(good_path, "_dq_reports", part)
         )

@@ -160,11 +160,25 @@ def claim_retry_batch(
     single-threaded source never needed this, its docstring just assumed
     one poller).
 
+    The claim also pushes the row's ``next_retry_time`` forward to the
+    claim instant, making it double as the lease start: the stale-claim
+    sweep below measures staleness from WHEN THE CLAIM HAPPENED, not from
+    the original due time.  (Measuring from the due time re-introduced
+    double processing for backlogged rows: a row due two minutes ago that
+    was claimed milliseconds ago looked instantly stale to a concurrent
+    sweeper.)  Returned rows still carry the pre-claim ``next_retry_time``
+    from the SELECT snapshot; a sink that re-arms the row overwrites the
+    column with the next backoff anyway, and a reaped row becomes due
+    immediately — both exactly what retry semantics want.
+
     ``reap_processing_after_s`` (optional) runs a stale-claim sweep
-    first: PROCESSING rows for this job whose ``next_retry_time`` is at
-    least that many seconds in the past are flipped back to PENDING.  A
-    claimer that died between the claim commit and its sink otherwise
-    strands rows in PROCESSING forever; the sweep gives claims a lease.
+    first: PROCESSING rows for this job claimed (see above) at least that
+    many seconds ago are flipped back to PENDING.  A claimer that died
+    between the claim commit and its sink otherwise strands rows in
+    PROCESSING forever; the sweep gives claims a lease.  Size it
+    comfortably above the job's trigger interval
+    (``EngineConfig.processing_lease_s``) so live epochs never lose rows
+    mid-flight.
 
     Under a ``server_side_interval`` dialect the due check is the
     reference's ``next_retry_time <= CURRENT_TIMESTAMP`` (DB clock,
@@ -179,8 +193,12 @@ def claim_retry_batch(
         f"WHERE state = '{RETRY_STATE_PENDING}' AND next_retry_time <= {due} "
         f"AND job = {q} ORDER BY next_retry_time LIMIT {cfg.retry_fetch_size}"
     )
+    # the claim stamps next_retry_time = claim instant (the lease start
+    # the reap sweep measures from — see docstring)
+    lease_start = "CURRENT_TIMESTAMP" if dialect.server_side_interval else q
     claim_sql = (
-        f"UPDATE invoice_retry SET state = '{RETRY_STATE_PROCESSING}' "
+        f"UPDATE invoice_retry SET state = '{RETRY_STATE_PROCESSING}', "
+        f"next_retry_time = {lease_start} "
         f"WHERE id = {q} AND state = '{RETRY_STATE_PENDING}'"
     )
     select_params = (job,) if dialect.server_side_interval else (when, job)
@@ -200,8 +218,9 @@ def claim_retry_batch(
         cur.execute(select_sql, select_params)
         rows = cur.fetchall()
         claimed = []
+        claim_params_head = () if dialect.server_side_interval else (when,)
         for r in rows:
-            cur.execute(claim_sql, (r[0],))
+            cur.execute(claim_sql, (*claim_params_head, r[0]))
             # rowcount 1 = we won the claim; 0 = a concurrent poller did
             if cur.rowcount == 1:
                 claimed.append(r)

@@ -62,7 +62,13 @@ def request_micro_batch(
     of ``foreachBatch``."""
     valid, retry = parse_request_packets(packets_df, cfg)
     if claim_retries:
-        claimed = claim_retry_batch(spark, conn_factory, RETRY_JOB_REQUEST, cfg)
+        # the reap lease revives claims orphaned by an epoch that died
+        # between its claim commit and its sink (the replayed epoch
+        # cannot re-claim them itself — the flip already committed)
+        claimed = claim_retry_batch(
+            spark, conn_factory, RETRY_JOB_REQUEST, cfg,
+            reap_processing_after_s=cfg.processing_lease_s,
+        )
         r_valid, r_retry = transform_retry_records(claimed, cfg)
         valid = valid.unionByName(r_valid)
         retry = retry.unionByName(r_retry)
@@ -114,7 +120,10 @@ def response_cycle(
 
     retry_emits = None
     if claim_retries:
-        claimed = claim_retry_batch(spark, conn_factory, RETRY_JOB_RESPONSE, cfg)
+        claimed = claim_retry_batch(
+            spark, conn_factory, RETRY_JOB_RESPONSE, cfg,
+            reap_processing_after_s=cfg.processing_lease_s,
+        )
         recovered, retry_emits = transform_response_retry_records(claimed, cfg)
         envelope = envelope.unionByName(recovered)
 
@@ -193,8 +202,13 @@ def run_invoice_response_stream_job(
         # stream job itself enqueues would sit PENDING forever in a
         # stream-only deployment
         spark_b = batch_df.sparkSession
+        # lease-swept claim: if a prior epoch died after its claim
+        # committed but before the sinks ran, its rows sit in PROCESSING
+        # where the replayed epoch cannot re-claim them — the reap
+        # revives them once the lease (10 trigger beats) expires
         claimed = claim_retry_batch(
-            spark_b, conn_factory, RETRY_JOB_RESPONSE, cfg
+            spark_b, conn_factory, RETRY_JOB_RESPONSE, cfg,
+            reap_processing_after_s=cfg.processing_lease_s,
         )
         recovered, retry_emits = transform_response_retry_records(
             claimed, cfg

@@ -381,6 +381,16 @@ def test_distributed_row_number_matches_total_order(spark):
     assert "windowspecdefinition(_pid" in plan  # never a global window
 
 
+def test_prefix_sum_rejects_reserved_column_collision(spark):
+    """An input already carrying ``_w`` (part of the public output
+    contract) must fail loudly instead of silently losing the column."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "k long, _w long")
+    with pytest.raises(ValueError, match="_w"):
+        CUR.distributed_prefix_sum(df, [F.col("k")], F.lit(1))
+
+
 def test_feature_hashing_sparse_counts(spark):
     df = docs_df(spark, [(1, "a a b"), (2, ""), (3, "b")])
     out = CUR.feature_hashing(df, n_buckets=8).collect()

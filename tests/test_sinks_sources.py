@@ -265,10 +265,19 @@ def test_retry_stale_claim_reaper(spark, db):
     assert claim_retry_batch(spark, db, "REQUEST", CFG, now=NOW).count() == 1
     # without the reaper the row is stranded in PROCESSING forever
     assert claim_retry_batch(spark, db, "REQUEST", CFG, now=NOW).count() == 0
-    # the sweep gives claims a lease: the row (due 120 s ago) flips back
-    # to PENDING and is re-claimed in the same call
+    # the lease measures from the CLAIM, not the original due time: even
+    # though the row was due 120 s before the claim, a sweep right after
+    # the claim must NOT steal it back (the claimer may still be working)
+    fresh = claim_retry_batch(
+        spark, db, "REQUEST", CFG,
+        now=NOW + timedelta(seconds=5), reap_processing_after_s=60,
+    )
+    assert fresh.count() == 0
+    # once the lease (60 s from the claim) expires, the sweep flips the
+    # row back to PENDING and it is re-claimed in the same call
     again = claim_retry_batch(
-        spark, db, "REQUEST", CFG, now=NOW, reap_processing_after_s=60
+        spark, db, "REQUEST", CFG,
+        now=NOW + timedelta(seconds=120), reap_processing_after_s=60,
     )
     assert [r.sid for r in again.collect()] == ["S-9"]
     assert q(db, "SELECT state FROM invoice_retry WHERE sid='S-9'") == [

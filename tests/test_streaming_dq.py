@@ -60,3 +60,25 @@ def test_gate_quarantines_bad_batch_passes_good(spark, tmp_path):
     }
     assert all(name == "range(q)" for _, name in failed)
     assert len(failed) == 1
+
+
+def test_gate_id_reuse_across_lineages_never_duplicates(spark, tmp_path):
+    """A fresh checkpoint lineage reuses batch_id=N: if the new lineage's
+    batch N lands in the OTHER table (verdict flipped), the stale copy in
+    the sibling must be cleaned — a batch id exists in good or quarantine,
+    never both."""
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    checks = [DQ.in_range("q", 1, 50)]
+    writer = DQ.gated_writer(checks, good, quar)
+    bad = spark.createDataFrame([(1, 999.0, "A")], SCHEMA)
+    ok = spark.createDataFrame([(1, 5.0, "A")], SCHEMA)
+    writer(bad, 0)  # lineage 1: batch 0 -> quarantine
+    writer(ok, 0)   # lineage 2 (ids restart): batch 0 -> good
+    assert spark.read.parquet(good).count() == 1
+    # the quarantined copy of batch_id=0 is gone, not duplicated
+    import os
+    assert not os.path.exists(os.path.join(quar, "batch_id=0"))
+    # and the reverse flip cleans the good side
+    writer(bad, 0)
+    assert not os.path.exists(os.path.join(good, "batch_id=0"))
+    assert spark.read.parquet(quar).count() == 1
