@@ -4041,17 +4041,40 @@ def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index substring search: docs containing the literal phrase
-    'slow join', found via the trigram postings index (candidates must
-    hold ALL non-stop query trigrams; only candidates are verified) — at
-    corpus scale a search reads the query's posting lists, never the
-    text.  The stop-trigram cap (doc-freq > 1000 ⇒ excluded from the
-    gate) bounds the candidate join against hot trigrams exactly like
+    'slow join', found by PROBING the persisted trigram index (candidates
+    must hold ALL non-stop query trigrams; only candidates are verified)
+    — at corpus scale the index is a maintained artifact
+    (``build_trigram_index`` / ``update_trigram_index``) and a search
+    reads only the query's posting-list buckets, never the text.  The
+    stop-trigram cap (doc-freq > 1000 ⇒ excluded from the gate) bounds
+    the candidate join against hot trigrams exactly like
     ``jaccard_pairs``' ``max_shingle_doc_freq``; the exact verification
     makes the result cap-independent, so the ground-truth oracle (a full
     scan — correct by definition) needs no matching cap.  The Spark side
-    must reach the same rows through the index."""
+    must reach the same rows through the index.  Standalone (no suite
+    cache) the index is built fresh into a process-scoped temp dir —
+    same correctness, the driver gate sees no behavior change; under the
+    suite cache the build happens once per pass and every later call is
+    probe-bound."""
+    import hashlib
+    import os
+    import tempfile
+
     docs = load_table(spark, sf_dir, "documents")
-    return RET.substring_search(docs, "slow join", max_trigram_doc_freq=1000)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"fips_tri_index_{os.getpid()}",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+
+    def build() -> str:
+        RET.build_trigram_index(docs, idx, n_buckets=32)
+        return idx
+
+    path = SC.memo(("trigram_index", sf_dir), build)
+    return RET.substring_search_indexed(
+        docs, "slow join", path, max_trigram_doc_freq=1000
+    )
 
 
 @register(

@@ -62,6 +62,85 @@ def test_substring_search_cap_is_result_transparent(docs, cap):
     assert capped == base
 
 
+def test_indexed_search_matches_direct(docs, tmp_path):
+    """Probing the persisted index must reach exactly the rows the
+    per-query posting build reaches, capped or not."""
+    idx = str(tmp_path / "tri_idx")
+    RET.build_trigram_index(docs, idx, n_buckets=8)
+    base = {
+        (r.doc_id, r.n_occurrences)
+        for r in RET.substring_search(docs, "slow join").collect()
+    }
+    for cap in (None, 1, 1000):
+        got = {
+            (r.doc_id, r.n_occurrences)
+            for r in RET.substring_search_indexed(
+                docs, "slow join", idx, max_trigram_doc_freq=cap
+            ).collect()
+        }
+        assert got == base
+
+
+def test_index_incremental_update_no_rebuild(spark, docs, tmp_path):
+    """An appended batch updates the index without touching the original
+    files (no full rebuild), and probes see old + new docs."""
+    import os
+
+    idx = str(tmp_path / "tri_idx")
+    old = docs.where("doc_id <= 4")
+    new = docs.where("doc_id > 4").unionByName(
+        spark.createDataFrame(
+            [Row(doc_id=7, text="another slow join arrival", source="z")]
+        )
+    )
+    RET.build_trigram_index(old, idx, n_buckets=8)
+
+    def parquet_files():
+        out = {}
+        for root, _dirs, files in os.walk(idx):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = parquet_files()
+    RET.update_trigram_index(new, idx)
+    after = parquet_files()
+    # every original file survives untouched; the update only appended
+    for p, mtime in before.items():
+        assert p in after and after[p] == mtime
+    assert len(after) > len(before)
+    got = {
+        (r.doc_id, r.n_occurrences)
+        for r in RET.substring_search_indexed(
+            docs.unionByName(
+                spark.createDataFrame(
+                    [Row(doc_id=7, text="another slow join arrival",
+                         source="z")]
+                )
+            ),
+            "slow join", idx, max_trigram_doc_freq=1000,
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 1), (7, 1)}
+
+
+def test_indexed_search_survives_duplicate_ingest(docs, tmp_path):
+    """Re-ingesting a batch duplicates postings; the probe's distinct
+    counting must keep the candidate gate and results exact."""
+    idx = str(tmp_path / "tri_idx")
+    RET.build_trigram_index(docs, idx, n_buckets=8)
+    RET.update_trigram_index(docs.where("doc_id = 1"), idx)  # duplicate
+    got = {
+        (r.doc_id, r.n_occurrences)
+        for r in RET.substring_search_indexed(
+            docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
 def test_bigram_familiarity_empty_and_single_token(docs):
     out = {r.doc_id: r for r in CUR.bigram_familiarity(docs).collect()}
     assert set(out) == {1, 2, 3, 4, 5, 6}  # every doc gets a row
