@@ -594,6 +594,7 @@ def dsir_weights(
     target_filter: Column,
     n_buckets: int = 8192,
     text_col: str = "text",
+    exact_mode: str = "int64",
 ) -> DataFrame:
     """DSIR-inspired importance weights from hashed-bigram features.
 
@@ -617,11 +618,18 @@ def dsir_weights(
     Scale shape: the bucket table is <= n_buckets rows — broadcast back;
     two linear scans, one hash-agg each, no skew (md5 buckets).
 
-    Magnitude note: ``(tgt_cnt+1) * (T_raw+n_buckets) * 1e6`` fits int64
-    up to ~3e8 corpus bigrams per job (same class of bound as
-    pmi_bigrams); beyond that run per-shard and merge bucket counts, or
-    move the product to DECIMAL(38,0) — the plan is unchanged.
+    ``exact_mode`` picks the fixed-point width (same contract as
+    ``pmi_bigrams``):
+
+    - ``"int64"`` (default): ``(tgt_cnt+1) * (T_raw+n_buckets) * 1e6``
+      fits int64 up to ~3e8 corpus bigrams per job.  Exceeding the bound
+      can NEVER silently wrap: a division-only ``assert_true`` guard
+      fails the job loudly at any ANSI setting and names the fix.
+    - ``"decimal"``: the wide path — identical expression in
+      DECIMAL(38,0) (any corpus), cast back to BIGINT; plan unchanged.
     """
+    if exact_mode not in ("int64", "decimal"):
+        raise ValueError(f"exact_mode must be int64|decimal, got {exact_mode!r}")
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     base = df.select("doc_id", target_filter.alias("_tgt"), toks.alias("_toks"))
     bigrams = F.when(
@@ -649,13 +657,40 @@ def dsir_weights(
     totals = buckets.agg(
         F.sum("raw_cnt").alias("t_raw"), F.sum("tgt_cnt").alias("t_tgt")
     )
-    ratio6 = F.expr(
-        f"(tgt_cnt + 1) * (t_raw + {n_buckets}) * 1000000"
-        f" DIV ((raw_cnt + 1) * (t_tgt + {n_buckets}))"
-    )
+    if exact_mode == "decimal":
+        ratio6 = F.expr(
+            f"CAST(CAST(tgt_cnt + 1 AS DECIMAL(38,0)) * (t_raw + {n_buckets})"
+            f" * 1000000 DIV (CAST(raw_cnt + 1 AS DECIMAL(38,0))"
+            f" * (t_tgt + {n_buckets})) AS BIGINT)"
+        )
+        guard = F.lit(True)
+    else:
+        from .text import _MAXL
+
+        # divisions only — proves both int64 products fit before they run
+        guard = F.assert_true(
+            (
+                F.col("tgt_cnt") + 1
+                <= F.expr(f"({_MAXL} DIV 1000000) DIV (t_raw + {n_buckets})")
+            )
+            & (
+                F.col("raw_cnt") + 1
+                <= F.expr(f"{_MAXL} DIV (t_tgt + {n_buckets})")
+            ),
+            F.lit(
+                "dsir_weights: int64 fixed-point would overflow on this"
+                " corpus — use exact_mode='decimal' (or shard and merge"
+                " bucket counts)"
+            ),
+        ).isNull()
+        ratio6 = F.expr(
+            f"(tgt_cnt + 1) * (t_raw + {n_buckets}) * 1000000"
+            f" DIV ((raw_cnt + 1) * (t_tgt + {n_buckets}))"
+        )
     scored = (
         bg.join(F.broadcast(buckets), "bucket")
         .crossJoin(F.broadcast(totals))
+        .where(guard)
         .select("doc_id", ratio6.alias("_r6"))
     )
     agg = scored.groupBy("doc_id").agg(

@@ -186,11 +186,17 @@ def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: int64 max, for the division-only overflow guards below (divisions can
+#: never overflow, so the guard itself is safe under any ANSI setting).
+_MAXL = 9223372036854775807
+
+
 def pmi_bigrams(
     df: DataFrame,
     min_count: int = 5,
     min_ratio6: int = 1_300_000,
     text_col: str = "text",
+    exact_mode: str = "int64",
 ) -> DataFrame:
     """Collocation mining: adjacent-bigram pointwise mutual information.
 
@@ -204,10 +210,23 @@ def pmi_bigrams(
 
     Output: (w1, w2, n_ab, pmi6).
 
-    Magnitude note: n_ab * n_tokens * 1e6 fits int64 up to ~3e6 tokens
-    per job; beyond that (the 100 TB corpus) run per-shard and merge, or
-    move the product to DECIMAL(38,0) — the plan is unchanged.
+    ``exact_mode`` picks the fixed-point arithmetic width:
+
+    - ``"int64"`` (default): ``n_ab * n_tokens * 1e6`` must fit int64
+      (~3e6 corpus tokens when one pair dominates).  Exceeding the bound
+      can NEVER silently wrap: a division-only ``assert_true`` guard
+      (safe at any width, any ANSI setting) fails the job loudly and
+      names the fix.  (Under Spark's default ANSI mode the multiply
+      itself would also throw — the guard makes the failure mode
+      contractual rather than configuration-dependent.)
+    - ``"decimal"``: the promised wide path — the same expression in
+      DECIMAL(38,0) (good to ~1e38, i.e. any corpus), result cast back
+      to BIGINT.  Identical values wherever both modes are defined; the
+      plan shape (two hash-aggs + vocabulary join) is unchanged, decimal
+      arithmetic just runs a little heavier per row.
     """
+    if exact_mode not in ("int64", "decimal"):
+        raise ValueError(f"exact_mode must be int64|decimal, got {exact_mode!r}")
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     base = df.select(toks.alias("_toks"))
     uni = base.select(F.explode("_toks").alias("w"))
@@ -247,7 +266,26 @@ def pmi_bigrams(
         )
         .crossJoin(F.broadcast(totals))
     )
-    pmi6 = F.expr("n_ab * n_tokens * 1000000 DIV (n_a * n_b)")
+    if exact_mode == "decimal":
+        pmi6 = F.expr(
+            "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tokens * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        )
+    else:
+        # divisions only — the guard itself cannot overflow; it proves
+        # n_ab*n_tokens*1e6 and n_a*n_b both fit int64 before they run
+        joined = joined.where(
+            F.assert_true(
+                (F.col("n_ab") <= F.expr(f"({_MAXL} DIV 1000000) DIV n_tokens"))
+                & (F.col("n_a") <= F.expr(f"{_MAXL} DIV n_b")),
+                F.lit(
+                    "pmi_bigrams: int64 fixed-point would overflow on this"
+                    " corpus — use exact_mode='decimal' (or shard and merge"
+                    " unigram/bigram counts)"
+                ),
+            ).isNull()
+        )
+        pmi6 = F.expr("n_ab * n_tokens * 1000000 DIV (n_a * n_b)")
     return (
         joined.select("w1", "w2", "n_ab", pmi6.alias("pmi6"))
         .where(F.col("pmi6") >= min_ratio6)

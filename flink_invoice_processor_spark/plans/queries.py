@@ -4769,6 +4769,102 @@ def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pmi_bigrams(docs, min_count=5, min_ratio6=1_300_000)
 
 
+@register(
+    "pmi_bigrams_wide_docs",
+    f"""
+    WITH t AS (
+        SELECT list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS n_w FROM u GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_tokens FROM u),
+    bg AS (
+        SELECT toks[j] AS w1, toks[j + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS j)
+        WHERE len(toks) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, n_ab, pmi6 FROM (
+        SELECT bc.w1, bc.w2, bc.n_ab,
+               CAST(CAST(bc.n_ab AS HUGEINT) * tot.n_tokens * 1000000
+                    // (CAST(a.n_w AS HUGEINT) * b.n_w) AS BIGINT) AS pmi6
+        FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+        CROSS JOIN tot
+    ) WHERE pmi6 >= 1300000
+    """,
+)
+def pmi_bigrams_wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI's DECIMAL(38,0) wide path — the documented beyond-int64
+    fallback, oracle-matched against DuckDB HUGEINT arithmetic.  On any
+    corpus where int64 mode is defined the two modes agree exactly; this
+    query proves the wide expression itself, not just the docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pmi_bigrams(
+        docs, min_count=5, min_ratio6=1_300_000, exact_mode="decimal"
+    )
+
+
+@register(
+    "dsir_weights_wide_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, lang = 'en' AS tgt, toks[j] || ' ' || toks[j + 1]
+                   AS bigram
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS j)
+        WHERE len(toks) >= 2
+    ),
+    b2 AS (
+        SELECT doc_id, tgt,
+               ('0x' || substr(md5(bigram), 1, 15))::BIGINT % 8192 AS bucket
+        FROM bg
+    ),
+    bu AS (
+        SELECT bucket, COUNT(*) AS raw_cnt,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tgt_cnt
+        FROM b2 GROUP BY 1
+    ),
+    tt AS (
+        SELECT COUNT(*) AS t_raw,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_tgt
+        FROM b2
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(CAST(tgt_cnt + 1 AS HUGEINT) * (t_raw + 8192) * 1000000
+                    // (CAST(raw_cnt + 1 AS HUGEINT) * (t_tgt + 8192))
+                    AS BIGINT) AS r6
+        FROM b2 JOIN bu USING (bucket) CROSS JOIN tt
+    ),
+    a AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(r6) AS BIGINT) AS imp_sum
+        FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.imp_sum, 0) AS imp_sum,
+           COALESCE(round(a.imp_sum / (a.n_bigrams * 1000000.0), 6), 0.0)
+               AS imp_avg
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def dsir_weights_wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's DECIMAL(38,0) wide path — the documented beyond-int64
+    fallback, oracle-matched against DuckDB HUGEINT arithmetic
+    (functions/curation.py:dsir_weights, exact_mode='decimal')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.dsir_weights(docs, F.col("lang") == "en", exact_mode="decimal")
+
+
 # ---------------------------------------------------------------------------
 # Round-5 retrieval/embedding family: SemDeDup, hybrid RRF fusion
 # ---------------------------------------------------------------------------
