@@ -292,6 +292,86 @@ def pmi_bigrams(
     )
 
 
+def bpe_merges(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """BPE tokenizer training, the full iterative loop: ``n_merges``
+    rounds of (count adjacent symbol pairs over the weighted vocabulary →
+    pick the most frequent pair → apply the merge greedily left-to-right
+    within every word), i.e. what "training a BPE tokenizer" means
+    (Sennrich et al. 2016) — :func:`bpe_pair_counts` is round one's
+    counting step.
+
+    Words are carried as SENTINEL-WRAPPED symbol strings (each symbol
+    wrapped in ``\\x01``: ``\\x01a\\x01\\x01b\\x01…``), which makes the
+    merge a single ``replace`` of ``\\x01a\\x01\\x01b\\x01`` with
+    ``\\x01ab\\x01``: exact symbol boundaries on both sides, and SQL
+    ``replace`` scans left-to-right consuming matches — precisely BPE's
+    greedy non-overlapping application (``aaaa`` + merge ``(a,a)`` →
+    ``aa aa``, never three overlapping pairs).  Both engines share this
+    semantic, so a DuckDB oracle replays the loop unrolled.
+
+    Argmax per round is a bounded aggregation (``min`` over
+    ``(-n, pair)`` structs — max count, ties to the lexicographically
+    smallest pair), read back as ONE driver-side row per round — the
+    kmeans/PageRank iterative pattern; ``localCheckpoint`` per round
+    cuts the lineage.  Scale shape: each round is one linear scan of the
+    |distinct words| vocabulary (corpus-size-independent after the first
+    aggregate) + a |charset|²-bounded pair agg; nothing global but the
+    1-row argmax.
+
+    Output: (step, pair_a, pair_b, n_pair) for step 1..n_merges (fewer
+    if the vocabulary runs out of pairs).
+    """
+    spark = df.sparkSession
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    wrap = F.expr(
+        "concat_ws('', transform(sequence(1, length(w)),"
+        " i -> concat(chr(1), substring(w, i, 1), chr(1))))"
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(wrap.alias("wrapped"), "wc")
+        .localCheckpoint()
+    )
+    syms = F.split(
+        F.expr("substring(wrapped, 2, length(wrapped) - 2)"), "\x01\x01"
+    )
+    pairs = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+        " (a, b) -> struct(a AS pa, b AS pb))"
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        counted = (
+            vocab.select("wc", syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select("wc", F.explode(pairs).alias("p"))
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("wc").alias("n"))
+        )
+        top = counted.agg(
+            F.min(F.struct((-F.col("n")).alias("nn"), "pa", "pb")).alias("t")
+        ).collect()[0]["t"]
+        if top is None:
+            break
+        pa, pb, n = top["pa"], top["pb"], -top["nn"]
+        merges.append((step, pa, pb, n))
+        vocab = vocab.select(
+            F.replace(
+                F.col("wrapped"),
+                F.lit(f"\x01{pa}\x01\x01{pb}\x01"),
+                F.lit(f"\x01{pa}{pb}\x01"),
+            ).alias("wrapped"),
+            "wc",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, pair_a string, pair_b string, n_pair long"
+    )
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE tokenizer training, step 1: adjacent-symbol pair frequencies.
 

@@ -5029,6 +5029,62 @@ def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(docs)
 
 
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Generate the unrolled DuckDB replay of ``bpe_merges`` — one
+    (pair-count → argmax → replace) CTE block per merge round, the same
+    unrolled-iteration oracle pattern kmeans/PageRank use.  Both engines
+    share the sentinel-wrapped `replace` semantics (exact boundaries,
+    left-to-right non-overlapping), so values must match bit-for-bit."""
+    blocks = [f"""
+    WITH tok AS (
+        SELECT unnest(list_transform({_TOKENS_SQL}, x -> lower(x))) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    v0 AS (
+        SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(1)),
+                   '') AS wrapped,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM tok GROUP BY w
+    )"""]
+    for r in range(n_merges):
+        blocks.append(f""",
+    p{r} AS (
+        SELECT s[i] AS pa, s[i + 1] AS pb, CAST(SUM(wc) AS BIGINT) AS n
+        FROM (SELECT string_split(wrapped[2:-2], chr(1) || chr(1)) AS s, wc
+              FROM v{r}) ss,
+             LATERAL (SELECT unnest(range(1, len(s))) AS i) ii
+        GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT {r + 1} AS step, pa, pb, n FROM p{r}
+             ORDER BY n DESC, pa ASC, pb ASC LIMIT 1)""")
+        if r + 1 < n_merges:
+            blocks.append(f""",
+    v{r + 1} AS (
+        SELECT replace(wrapped,
+                       chr(1) || pa || chr(1) || chr(1) || pb || chr(1),
+                       chr(1) || pa || pb || chr(1)) AS wrapped, wc
+        FROM v{r} CROSS JOIN b{r}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, pa AS pair_a, pb AS pair_b,"
+        f" n AS n_pair FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "".join(blocks) + "\n    " + union
+
+
+@register("bpe_merges_docs", _bpe_merges_oracle(8))
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training: 8 greedy merge rounds over the
+    weighted vocabulary — pair counting, 1-row argmax, sentinel-wrapped
+    replace per round (functions/text.py:bpe_merges).  The oracle replays
+    the loop unrolled; each round is vocabulary-sized, never
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_merges(docs, n_merges=8)
+
+
 @register(
     "triangle_counts_docs",
     f"""

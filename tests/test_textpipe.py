@@ -108,3 +108,57 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     assert out[("bc")] == 3
     # 1-char words contribute no pairs
     assert "x" not in "".join(out) or all(len(p) == 2 for p in out)
+
+
+def _py_bpe(words: dict[str, int], n_merges: int):
+    """Reference BPE trainer: greedy left-to-right non-overlapping merge
+    application, max-count argmax with lexicographic tie-break."""
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (pa, pb), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, pa, pb, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_sennrich_toy_corpus(spark):
+    """The canonical BPE example: first merges are ('e','s') then
+    ('es','t') on the low/lower/newest/widest corpus."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="low low lower newest newest newest widest")]
+    )
+    got = [tuple(r) for r in TX.bpe_merges(df, n_merges=3).collect()]
+    words = {"low": 2, "lower": 1, "newest": 3, "widest": 1}
+    assert got == _py_bpe(words, 3)
+    assert got[0][1:] == ("e", "s", 4) and got[1][1:] == ("es", "t", 4)
+
+
+def test_bpe_merges_greedy_nonoverlap_and_exhaustion(spark):
+    """'aaaa' merges to two 'aa' symbols (non-overlapping), then to one
+    'aaaa'; the loop stops early when no pairs remain."""
+    df = spark.createDataFrame([Row(doc_id=1, text="aaaa aaaa aaaa")])
+    got = [tuple(r) for r in TX.bpe_merges(df, n_merges=10).collect()]
+    assert got == _py_bpe({"aaaa": 3}, 10)
+    # ('a','a') count 9 (3 per word, greedy pairs), then ('aa','aa'),
+    # then nothing: early exhaustion
+    assert got[0][1:] == ("a", "a", 9)
+    assert got[1][1:] == ("aa", "aa", 3)
+    assert len(got) == 2
