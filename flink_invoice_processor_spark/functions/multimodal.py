@@ -1,16 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The engine treats media as ``binary`` plus typed metadata — the schema,
-partitioning, UDF signatures and Arrow batch shapes are real and tested;
-only the codec calls are stubbed (PIL/ffmpeg/torchaudio are not in this
-container).  Each processor:
+partitioning, UDF signatures and Arrow batch shapes are real and tested.
+Each processor:
 
 - runs as ``mapInPandas`` (Arrow-batched, one Python worker per partition —
   the only sane shape for CPU-bound media work at scale; never a row-UDF);
-- is gated: ``backend="real"`` raises ``NotImplementedError`` with the
-  dependency it needs, ``backend="fake"`` (default) produces deterministic
-  md5-derived pseudo-outputs so pipelines and tests exercise the full
-  plumbing end-to-end.
+- has TWO backends: ``backend="real"`` decodes what the standard library
+  can (PPM P6 / uncompressed 24bpp BMP images, 16-bit WAV PCM audio) and
+  raises ``NotImplementedError`` naming the dependency (Pillow / ffmpeg /
+  librosa) for formats beyond that — the gate sits per-format inside the
+  decoder, not on the whole call; ``backend="fake"`` (default) produces
+  deterministic md5-derived pseudo-outputs so pipelines and tests exercise
+  the full plumbing end-to-end without media fixtures.  Video frame
+  sampling has no stdlib codec and stays fully gated on ffmpeg/PyAV.
 
 Partitioning guidance baked into the helpers: media rows are wide (MBs), so
 ``repartition`` by byte-size budget before heavy decode stages, and keep
@@ -49,6 +52,122 @@ def _digest(data: bytes | None) -> str:
     return hashlib.sha256(data or b"").hexdigest()
 
 
+# ---------------------------------------------------------------------------
+# Stdlib-only REAL codecs: PPM (P6) / BMP (uncompressed 24bpp) images and
+# WAV PCM audio parse with bytes/struct/wave + numpy only — so
+# ``backend="real"`` genuinely decodes at least one format per modality in
+# any environment.  Formats beyond these still gate on the named third-party
+# dependency (Pillow/ffmpeg), loudly, per row batch.
+# ---------------------------------------------------------------------------
+
+
+def _decode_rgb(data: bytes):
+    """Decode PPM-P6 / 24bpp-BMP bytes → (H, W, 3) uint8 ndarray.  Raises
+    ``NotImplementedError`` naming Pillow for any other format — the
+    honest gate, now per-format instead of per-call."""
+    import numpy as np
+
+    if data[:2] == b"P6":
+        # P6 header: three whitespace-separated ints, '#' comments allowed
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(data) and data[pos:pos + 1].isspace():
+                pos += 1
+            if data[pos:pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos:pos + 1].isspace():
+                pos += 1
+            vals.append(int(data[start:pos]))
+        pos += 1  # single whitespace byte after maxval
+        w, h, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM needs Pillow")
+        px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+    if data[:2] == b"BM":
+        import struct
+
+        off, = struct.unpack_from("<I", data, 10)
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp, = struct.unpack_from("<H", data, 28)
+        comp, = struct.unpack_from("<I", data, 30)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp} needs Pillow "
+                "(stdlib backend reads uncompressed 24bpp only)"
+            )
+        topdown = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            data, np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not topdown:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(
+        "image format not supported by the stdlib backend (PPM P6 and "
+        "uncompressed 24bpp BMP only); install Pillow for the rest"
+    )
+
+
+def _rgb_features(img, n_features: int) -> list[float]:
+    """Deterministic real features: per-channel means then stds (both
+    /255), truncated/zero-padded to ``n_features``."""
+    feats = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
+    feats += [float(img[:, :, c].std()) / 255.0 for c in range(3)]
+    return (feats + [0.0] * n_features)[:n_features]
+
+
+def _encode_ppm(img) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def _decode_wav(data: bytes):
+    """WAV PCM bytes → (sample_rate, n_frames, mono float32 samples in
+    [-1, 1]) via the stdlib ``wave`` module.  16-bit PCM only; other
+    widths/codecs gate on torchaudio/librosa."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {wf.getsampwidth()} needs "
+                "torchaudio/librosa (stdlib backend reads 16-bit PCM only)"
+            )
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        ch = wf.getnchannels()
+    samples = np.frombuffer(raw, "<i2").astype("float32") / 32768.0
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return rate, n, samples
+
+
+def _wav_energy_features(samples, n_bands: int) -> list[float]:
+    """Windowed RMS energies over ``n_bands`` equal time slices — real
+    signal-derived features in MFCC's slot (actual MFCCs need librosa;
+    that gate stands for users who want them)."""
+    import numpy as np
+
+    if len(samples) == 0:
+        return [0.0] * n_bands
+    bounds = np.linspace(0, len(samples), n_bands + 1).astype(int)
+    out = []
+    for i in range(n_bands):
+        seg = samples[bounds[i]:bounds[i + 1]]
+        out.append(float(np.sqrt((seg ** 2).mean())) if len(seg) else 0.0)
+    return out
+
+
 def _fake_dims(data: bytes | None) -> tuple[int, int, int]:
     d = hashlib.md5(data or b"").digest()
     return 64 + d[0] % 1984, 64 + d[1] % 1984, 1 + d[2] % 3
@@ -59,15 +178,39 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract image binaries → IMAGE_FEATURES_SCHEMA.
 
-    ``backend="real"`` is the PIL/torchvision integration point (not
-    available in this container); ``backend="fake"`` emits deterministic
-    md5-derived dimensions and features with the exact schema and batch
-    shape the real path will use.
+    ``backend="real"`` decodes PPM (P6) and uncompressed 24bpp BMP with
+    stdlib byte parsing (no dependencies) and emits per-channel
+    mean/std features; any other format raises ``NotImplementedError``
+    naming Pillow — the dependency gate moved from the whole call down
+    to the formats that truly need it.  ``backend="fake"`` emits
+    deterministic md5-derived dimensions and features with the exact
+    schema and batch shape the real path uses.
     """
     if backend == "real":
-        raise NotImplementedError(
-            "real image decode needs Pillow/torchvision; install them and "
-            "implement the branch below with PIL.Image.open(io.BytesIO(b))"
+
+        def process_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                media = pdf["media"].tolist()
+                imgs = [_decode_rgb(b or b"") for b in media]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "width": [i.shape[1] for i in imgs],
+                        "height": [i.shape[0] for i in imgs],
+                        "n_channels": [3] * len(imgs),
+                        "sha256": [_digest(b) for b in media],
+                        "features": [
+                            _rgb_features(i, n_features) for i in imgs
+                        ],
+                    }
+                )
+
+        return (
+            df.where(F.col("media_type") == "image")
+            .select("media_id", "media")
+            .mapInPandas(process_real, IMAGE_FEATURES_SCHEMA)
         )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,13 +284,39 @@ def extract_audio_features(
     df: DataFrame, backend: str = "fake", n_mfcc: int = 4
 ) -> DataFrame:
     """Audio binaries → duration/sample-rate/MFCC-shaped features
-    (AUDIO_FEATURES_SCHEMA).  ``backend="real"`` is the librosa/torchaudio
-    integration point; the fake backend derives deterministic values
-    (1 byte ≙ 1 ms, fixed 16 kHz) so the Arrow plumbing is testable and
-    oracle-reproducible."""
+    (AUDIO_FEATURES_SCHEMA).  ``backend="real"`` parses 16-bit WAV PCM
+    with the stdlib ``wave`` module — real sample rate, duration, and
+    windowed RMS energies in the mfcc slot (actual MFCCs still gate on
+    librosa/torchaudio, per format, inside the decoder); the fake
+    backend derives deterministic values (1 byte ≙ 1 ms, fixed 16 kHz)
+    so the Arrow plumbing is testable and oracle-reproducible."""
     if backend == "real":
-        raise NotImplementedError(
-            "real audio features need librosa/torchaudio; wire them here"
+
+        def process_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                media = pdf["media"].tolist()
+                rows = [_decode_wav(b or b"") for b in media]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "duration_ms": [
+                            int(n * 1000 // rate) for rate, n, _ in rows
+                        ],
+                        "sample_rate": [rate for rate, _, _ in rows],
+                        "sha256": [_digest(b) for b in media],
+                        "mfcc": [
+                            _wav_energy_features(s, n_mfcc)
+                            for _, _, s in rows
+                        ],
+                    }
+                )
+
+        return (
+            df.where(F.col("media_type") == "audio")
+            .select("media_id", "media")
+            .mapInPandas(process_real, AUDIO_FEATURES_SCHEMA)
         )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,10 +349,41 @@ def resize_images(
     """Resize image binaries → MEDIA_SCHEMA rows with the target dims in
     ``meta`` (generator-preserving: one row per input image).  The fake
     backend emits a deterministic digest-derived payload with the real
-    schema and batch shape; ``backend="real"`` is the PIL resize point."""
+    schema and batch shape; ``backend="real"`` nearest-neighbor-resizes
+    PPM/BMP inputs with stdlib decode + numpy indexing and re-encodes as
+    PPM P6 (other formats gate on Pillow inside the decoder)."""
     if backend == "real":
-        raise NotImplementedError(
-            "real resize needs Pillow; implement with PIL.Image.resize here"
+
+        def process_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                media = pdf["media"].tolist()
+                out = []
+                for b in media:
+                    img = _decode_rgb(b or b"")
+                    h, w = img.shape[:2]
+                    ys = (np.arange(height) * h // height)
+                    xs = (np.arange(width) * w // width)
+                    out.append(_encode_ppm(img[ys][:, xs]))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "media": out,
+                        "media_type": ["image"] * len(media),
+                        "meta": [
+                            {"width": str(width), "height": str(height),
+                             "resized": "true", "format": "ppm"}
+                        ] * len(media),
+                    }
+                )
+
+        return (
+            df.where(F.col("media_type") == "image")
+            .select("media_id", "media")
+            .mapInPandas(process_real, MEDIA_SCHEMA)
         )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -248,9 +248,11 @@ def test_multimodal_plumbing(docs):
         assert len(r.sha256) == 64
     frames = sample_frames(media).collect()
     assert all(f.frame_idx % 10 == 0 for f in frames)
-    # real backend is explicitly gated
-    with pytest.raises(NotImplementedError):
-        decode_images(media, backend="real")
+    # the real backend's gate moved per-format INSIDE the decoder: these
+    # utf-8 payloads are no stdlib-supported image, so the job fails
+    # loudly at execution naming the dependency
+    with pytest.raises(Exception, match="Pillow"):
+        decode_images(media, backend="real").collect()
 
 
 def test_multimodal_audio_and_resize(docs):
@@ -277,10 +279,11 @@ def test_multimodal_audio_and_resize(docs):
         assert r.media_type == "image"
         assert r.meta["width"] == "224" and r.meta["resized"] == "true"
         assert len(r.media) == 32  # sha256-derived fake payload
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 2, 2, backend="real")
-    with pytest.raises(NotImplementedError):
-        extract_audio_features(media, backend="real")
+    # per-format gates: utf-8 payloads are neither stdlib images nor WAV
+    with pytest.raises(Exception, match="Pillow"):
+        resize_images(media, 2, 2, backend="real").collect()
+    with pytest.raises(Exception):
+        extract_audio_features(media, backend="real").collect()
 
 
 def test_salted_join_and_aggregate_match_plain(spark, sf_dir):

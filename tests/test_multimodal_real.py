@@ -1,0 +1,161 @@
+"""Real stdlib codecs for the multimodal processors: PPM/BMP image
+decode + resize and WAV PCM audio features run genuinely (synthesized
+bytes, value-checked against numpy), the fake/real plumbing stays
+schema-identical, and unsupported formats still gate loudly on the named
+third-party dependency."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from flink_invoice_processor_spark.functions import multimodal as MM
+
+
+def ppm_bytes(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.astype(
+        np.uint8
+    ).tobytes()
+
+
+def bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal bottom-up uncompressed 24bpp BMP."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows, BGR
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()
+        px += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(px), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    )
+    return header + bytes(px)
+
+
+def wav_bytes(samples: np.ndarray, rate: int = 8000, ch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def img(spark):
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+
+
+def media_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(media_id=i, media=b, media_type=t, meta={}) for i, b, t in rows],
+        MM.MEDIA_SCHEMA,
+    )
+
+
+def test_real_decode_ppm_and_bmp(spark, img):
+    df = media_df(
+        spark,
+        [(1, ppm_bytes(img), "image"), (2, bmp_bytes(img), "image")],
+    )
+    out = {r.media_id: r for r in MM.decode_images(df, backend="real").collect()}
+    expect = [float(img[:, :, c].mean()) / 255.0 for c in range(3)] + [
+        float(img[:, :, c].std()) / 255.0 for c in range(3)
+    ]
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r.width, r.height, r.n_channels) == (4, 5, 3)
+        assert np.allclose(r.features[:6], expect, atol=1e-6)
+        assert r.features[6:] == [0.0, 0.0]
+
+
+def test_real_decode_unsupported_format_gates_on_pillow(spark):
+    df = media_df(spark, [(1, b"\x89PNG\r\n" + b"x" * 50, "image")])
+    with pytest.raises(Exception, match="Pillow"):
+        MM.decode_images(df, backend="real").collect()
+
+
+def test_real_resize_nearest_neighbor_roundtrip(spark, img):
+    df = media_df(spark, [(1, ppm_bytes(img), "image")])
+    out = MM.resize_images(df, width=2, height=3, backend="real").collect()[0]
+    assert out.meta["format"] == "ppm" and out.meta["resized"] == "true"
+    # re-decode the emitted PPM and check exact nearest-neighbor pixels
+    got = MM._decode_rgb(bytes(out.media))
+    ys = np.arange(3) * 5 // 3
+    xs = np.arange(2) * 4 // 2
+    assert got.shape == (3, 2, 3)
+    assert np.array_equal(got, img[ys][:, xs])
+
+
+def test_real_wav_features(spark):
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype("<i2")
+    stereo = np.repeat(samples, 2)  # L == R
+    df = media_df(
+        spark,
+        [(1, wav_bytes(samples, rate), "audio"),
+         (2, wav_bytes(stereo, rate, ch=2), "audio")],
+    )
+    out = {
+        r.media_id: r
+        for r in MM.extract_audio_features(df, backend="real").collect()
+    }
+    mono = samples.astype("float32") / 32768.0
+    bounds = np.linspace(0, len(mono), 5).astype(int)
+    expect = [
+        float(np.sqrt((mono[bounds[i]:bounds[i + 1]] ** 2).mean()))
+        for i in range(4)
+    ]
+    for mid in (1, 2):  # stereo downmixes to the same mono signal
+        r = out[mid]
+        assert (r.duration_ms, r.sample_rate) == (1000, rate)
+        assert np.allclose(r.mfcc, expect, atol=1e-6)
+
+
+def test_real_wav_width_gate(spark):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)  # 8-bit: not the stdlib path
+        wf.setframerate(8000)
+        wf.writeframes(b"\x80" * 100)
+    df = media_df(spark, [(1, buf.getvalue(), "audio")])
+    with pytest.raises(Exception, match="torchaudio|librosa"):
+        MM.extract_audio_features(df, backend="real").collect()
+
+
+def test_fake_real_schema_parity(spark, img):
+    """The two backends must agree on schema and partition-safe plan
+    shape — swapping backends can never break a downstream pipeline."""
+    df = media_df(
+        spark,
+        [(1, ppm_bytes(img), "image"),
+         (2, wav_bytes(np.zeros(10, dtype="<i2")), "audio")],
+    )
+    for fn, kw in [
+        (MM.decode_images, {}),
+        (MM.extract_audio_features, {}),
+        (MM.resize_images, {"width": 2, "height": 2}),
+    ]:
+        fake = fn(df, backend="fake", **kw)
+        real = fn(df, backend="real", **kw)
+        assert fake.schema == real.schema
+        real.collect()  # and the real path actually runs on these bytes
+
+
+def test_video_stays_gated(spark):
+    df = media_df(spark, [(1, b"xx", "video")])
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.sample_frames(df, backend="real")
