@@ -50,6 +50,17 @@ def main() -> None:
     from flink_invoice_processor_spark.plans.queries import QUERIES
 
     HEADLINE = _headline()
+    # system load at start: concurrent Spark jobs (pytest, oracle sweeps)
+    # pollute timings with phantom warm>cold anomalies (r5 postmortem) —
+    # record the 1-min load average, and flag when it exceeds half the
+    # bench's own CPU budget so readers can tell noise from leaks without
+    # a re-run
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_at_start = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    load_warning = (
+        load_at_start is not None and load_at_start > n_cpus / 2
+    )
+
     spark = get_spark("bench")
     # warm up the JVM, the Python/Arrow UDF workers, and parquet footers so
     # per-query timings measure the queries, not process startup
@@ -105,7 +116,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_at_start": load_at_start,
     }
+    if load_warning:
+        detail["load_warning"] = (
+            f"1-min load {load_at_start} > {n_cpus / 2:g} at bench start: "
+            "timings likely polluted by concurrent work; rerun solo before "
+            "reading regressions"
+        )
     if errors:
         detail["errors"] = errors
     if os.environ.get("SPARK_GRAFT_COLD_ONLY") != "1":
@@ -149,6 +167,8 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
     }
+    if load_warning:
+        out["load_warning"] = detail["load_warning"]
     if "value_warm" in detail:
         out["value_warm"] = detail["value_warm"]
         # a query that succeeds cold but crashes warm silently shrinks

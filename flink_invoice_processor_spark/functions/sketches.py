@@ -214,6 +214,11 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
     return (
         sketch.unionByName(union_k)
         .groupBy("segment")
+        # max over the KEPT set == the k-th smallest hash ONLY because the
+        # sketch invariantly holds exactly the k smallest distinct hashes
+        # (kmv_sketch/_k_smallest preserve this for any n_salts; the
+        # precondition is property-pinned in test_sketches) — a sketch
+        # holding anything else would silently bias est_distinct downward
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_min"))
         .crossJoin(F.broadcast(n_reserved))
         .where(

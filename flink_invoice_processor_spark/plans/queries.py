@@ -5245,7 +5245,7 @@ def dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # SURVEY §2 reference-surface (driver-green r1/r2; keep their rows)
+    # SURVEY §2 reference-surface (driver-green every round; keep pinned)
     "request_parse_explode",
     "request_validation_split",
     "retry_backoff_schedule",
@@ -5253,46 +5253,25 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # heterogeneous_union + json_extract_keying rotate OUT of the window in
-    # round 4 (driver-green r1+r2+r3 — triple-confirmed) to make room for
-    # the two queries that have never had a driver row:
-    "large_quantity_orders",
-    "order_count_distribution",
-    # vector/retrieval extensions needing their first driver row
-    "ivf_pq_topk_embeddings",  # registered round 4 (IVF+PQ composition)
+    # round-6 additions — never driver-gated
+    "bpe_merges_docs",
+    "pmi_bigrams_wide_docs",
+    "dsir_weights_wide_docs",
+    # changed implementation in round 6 (now probes the persisted trigram
+    # index) — stays in the window for a fresh driver row on the new path
+    "substring_search_docs",
+    # r4/r5-era rows kept for one more confirmation
+    "ivf_pq_topk_embeddings",
     "pq_codes_embeddings",
     "pq_adq_topk_embeddings",
-    # round-4 additions — never driver-gated; rotated in over 12 rows that
-    # went driver-green in r3 (kmeans_clusters, ann_ivf_kmeans_topk,
-    # ann_recall_report, bm25_topk_docs, tfidf_doc_similarity,
-    # embedding_quantize, label_centroids, doc_chunking,
-    # stratified_sample_docs, gopher_repetition_docs, pii_redaction_docs,
-    # tfidf_top_terms — all keep their union rows and stay replica-checked)
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "substring_search_docs",
     "bigram_familiarity_docs",
     "domain_mix_weights_docs",
     "length_bucket_batches_docs",
     "ivf_pq_sampled_topk_embeddings",
     "pagerank_docs",
     "events_zorder_keys",
-    "cohort_retention_orders",
     "rfm_segments_customers",
-    # training-data curation extensions
-    "training_mix_pipeline",
-    "decontaminate_docs",
-    "pack_sequences_docs",
-    "bigram_lm_counts",
-    "fuzzy_prefix_pairs",
-    # round-5 additions — never driver-gated; rotated in over 8 rows that
-    # are double-confirmed driver-green (r2/r3 + r4: corpus_top_tokens,
-    # corpus_shuffle_positions, feature_hashing_docs, vocab_index,
-    # kfold_split_docs, events_value_histogram, events_type_transitions,
-    # events_unpivot_counts, events_gap_fill, q14_promo_revenue,
-    # q19_disjunctive_filter, q17_small_quantity_revenue — all stay
-    # registered and replica-checked)
+    # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
     "events_kmv_distinct",
     "boilerplate_strip_docs",
@@ -5304,22 +5283,33 @@ _DRIVER_FIRST = [
     "triangle_counts_docs",
     "pps_sample_docs",
     "dq_checks_lineitem",
-    # event analytics extensions
-    "events_user_rolling",
     "bpe_pair_counts_docs",
-    "events_funnel",
-    "events_retention_hourly",
-    "events_approx_topk",
-    # TPC-H shapes added in round 2
-    "q6_revenue_filter",
-    "q10_returned_items",
-    "revenue_grouping_sets",
-    # round-5 rotation: q15_top_supplier and q22_idle_wealthy_customers
-    # (driver-green r2 AND r4 — double-confirmed) rotate out for the only
-    # two registry queries that have never had a driver CORRECTNESS row
-    # (added in round 4 after the 50-entry window was already full):
     "events_equidepth_histogram",
     "events_hll_mergeability",
+    "events_user_rolling",
+    "events_funnel",
+    "q10_returned_items",
+    # round-6 rotation: 15 confirmed rows rotate OUT (triple-confirmed
+    # r3+r4+r5: training_mix_pipeline, decontaminate_docs,
+    # pack_sequences_docs, bigram_lm_counts, fuzzy_prefix_pairs,
+    # events_retention_hourly, events_approx_topk, q6_revenue_filter,
+    # revenue_grouping_sets; double-confirmed r4+r5: large_quantity_orders,
+    # order_count_distribution, q7_nation_volume, q8_market_share,
+    # q9_product_profit, cohort_retention_orders — all stay registered and
+    # replica-checked) so the 12 OLDEST rows — last driver-green in r2 —
+    # get a fresh driver row before their oracles age further:
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corpus_curation",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "doc_fingerprint",
+    "doc_quality",
+    "dup_clusters_docs",
+    "embedding_cosine_topk",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "events_asof_join",
 ]
 
 

@@ -117,3 +117,36 @@ def test_kmv_estimator_accuracy_order_of_magnitude(spark):
     assert row.n_kept == 64
     # KMV with k=64 has ~1/sqrt(62) ~ 13% stddev; allow 3 sigma
     assert 20000 * 0.6 <= row.est_distinct <= 20000 * 1.4
+
+
+@pytest.mark.parametrize("n_salts", [1, 3, 64])
+def test_kmv_kth_min_is_truly_kth_smallest_under_merge(spark, n_salts):
+    """The estimator's precondition: for any n_salts tuning and any
+    merge of partial sketches, a full segment's kth_min (max over the
+    kept set) must equal the k-th smallest DISTINCT hash of the raw
+    values — the invariant that makes ``F.max('h')`` an honest name."""
+    k = 8
+    vals = [f"v{i}" for i in range(60)]
+    df = spark.createDataFrame([("s", v) for v in vals], "seg string, v string")
+    # merge of two disjoint-ish partials (overlap on purpose: distinctness
+    # must hold across the union too)
+    part_a = SK.kmv_sketch(
+        df.where(F.col("v") < "v4"), F.col("seg"), F.col("v"), k=k,
+        n_salts=n_salts,
+    )
+    part_b = SK.kmv_sketch(
+        df.where(F.col("v") >= "v2"), F.col("seg"), F.col("v"), k=k,
+        n_salts=n_salts,
+    )
+    merged = SK.kmv_merge(part_a.unionByName(part_b), k=k, n_salts=n_salts)
+    est = {r.segment: r for r in SK.kmv_estimates(merged, k=k).collect()}
+    truth = sorted(
+        r.h
+        for r in df.select(
+            SK._md5_int44(F.col("v")).alias("h")
+        ).distinct().collect()
+    )
+    assert est["s"].n_kept == k
+    assert est["s"].kth_min == truth[k - 1]
+    # and the merged sketch holds exactly the k smallest, not just k rows
+    assert sorted(r.h for r in merged.collect()) == truth[:k]
