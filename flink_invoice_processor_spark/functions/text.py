@@ -372,6 +372,48 @@ def bpe_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a TRAINED BPE: apply ``merges`` (ordered (pair_a,
+    pair_b) list, e.g. from :func:`bpe_merges`) to every document and
+    report subword statistics — the serving half of the tokenizer.
+
+    Each document becomes a sentinel-wrapped symbol string (words joined
+    by a space, every initial symbol wrapped in ``\\x01``), and each merge
+    is one ``replace`` — the same greedy left-to-right non-overlapping
+    application as training, N chained column expressions, zero shuffles
+    (a pure map over the corpus; at 100 TB this runs at scan speed).
+    Merge patterns never span the space separator, so the word-boundary
+    guarantee holds at the document level.
+
+    Output: (doc_id, n_words, n_pieces) where n_pieces counts the
+    resulting subword symbols (= wrapped-sentinel pairs)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    wrap_word = (
+        "x -> concat_ws('', transform(sequence(1, length(x)),"
+        " i -> concat(chr(1), substring(x, i, 1), chr(1))))"
+    )
+    s = F.concat_ws(
+        " ", F.expr(f"transform(_toks, {wrap_word})")
+    )
+    for pa, pb in merges:
+        s = F.replace(
+            s, F.lit(f"\x01{pa}\x01\x01{pb}\x01"), F.lit(f"\x01{pa}{pb}\x01")
+        )
+    n_pieces = (
+        (F.length(s) - F.length(F.replace(s, F.lit("\x01"), F.lit(""))))
+        / 2
+    ).cast("long")
+    return df.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_words"),
+        n_pieces.alias("n_pieces"),
+    )
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE tokenizer training, step 1: adjacent-symbol pair frequencies.
 

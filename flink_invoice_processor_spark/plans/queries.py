@@ -4456,13 +4456,68 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash near-duplicate graph — rank mass concentrates in dense dup
     clusters, a centrality signal for canonical-document selection.  Each
     iteration is one src-keyed join + one dst-keyed aggregate; ranks are
-    integers in 1e-12 units so the oracle replays the exact trajectory."""
+    integers in 1e-12 units so the oracle replays the exact trajectory.
+
+    Scale note: the Hamming<=16-of-32 threshold makes the EDGE SET itself
+    near-quadratic in documents (at 10x sf0.1 the graph no longer fits
+    one node's heap — measured in round 6); the iteration shape is linear
+    in edges, but this graph definition is a small-scale stress only.
+    ``pagerank_tight_docs`` (Hamming<=3, triangle_counts' graph) is the
+    corpus-scale path and carries the decade scaling evidence."""
     docs = load_table(spark, sf_dir, "documents")
     # same parameters as simhash_pairs_docs — the oracle embeds that
     # query's SQL verbatim, so the edge sets must match exactly
     pairs = SC.memo(
         (sf_dir, "simhash_pairs", 32, 16),
         lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+        )
+    )
+    return GR.pagerank_integer(edges, iters=3, damping_pct=85).select(
+        "id", "rank_1e12"
+    )
+
+
+@register(
+    "pagerank_tight_docs",
+    f"""
+    WITH pairs AS ({ORACLES["simhash_pairs_docs"].replace("<= 16", "<= 3")}),
+    e AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT id
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+        SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+        FROM nodes CROSS JOIN nn
+    ),
+    {",".join(_pagerank_iter_sql(k) for k in (1, 2, 3))}
+    SELECT id, CAST(rank AS BIGINT) AS rank_1e12 FROM r3
+    """,
+)
+def pagerank_tight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the TIGHT SimHash graph (Hamming <= 3 of 32 bits —
+    triangle_counts' edge set, memo-shared with it): the corpus-scale
+    variant of ``pagerank_docs``.  The tight threshold keeps the edge
+    set ~linear in documents (near-dup pairs, not half-density
+    similarity), so the linear-per-iteration join+agg shape actually
+    holds a 10x decade — proven in SCALING_r06.json; the <=16 dense
+    graph blows up quadratically before PageRank even starts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SC.memo(
+        (sf_dir, "simhash_pairs", 32, 3),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=3),
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -5074,6 +5129,15 @@ def _bpe_merges_oracle(n_merges: int) -> str:
     return "".join(blocks) + "\n    " + union
 
 
+def _bpe_merge_rows(sf_dir: str, docs: DataFrame, n: int) -> list[tuple]:
+    """Train-once helper: the 8 learned merges as driver-side tuples,
+    suite-memoized so training and encoding queries share one run."""
+    return SC.memo(
+        (sf_dir, "bpe_merges", n),
+        lambda: [tuple(r) for r in TX.bpe_merges(docs, n_merges=n).collect()],
+    )
+
+
 @register("bpe_merges_docs", _bpe_merges_oracle(8))
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training: 8 greedy merge rounds over the
@@ -5082,7 +5146,58 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop unrolled; each round is vocabulary-sized, never
     corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.bpe_merges(docs, n_merges=8)
+    rows = _bpe_merge_rows(sf_dir, docs, 8)
+    return spark.createDataFrame(
+        rows, "step long, pair_a string, pair_b string, n_pair long"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled replay of train-then-ENCODE: the merge-training CTEs of
+    ``_bpe_merges_oracle`` plus a per-document apply chain (one replace
+    per learned merge, in training order)."""
+    train = _bpe_merges_oracle(n_merges)
+    train = train[: train.rindex("\n    SELECT CAST(step")]  # keep CTEs only
+    blocks = [train, f""",
+    a0 AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_words,
+               CASE WHEN length(trim(text)) = 0 THEN ''
+                    ELSE array_to_string(list_transform(
+                        list_transform({_TOKENS_SQL}, t -> lower(t)),
+                        x -> array_to_string(list_transform(
+                            range(1, length(x) + 1),
+                            i -> chr(1) || substr(x, CAST(i AS INT), 1)
+                                 || chr(1)), '')), ' ') END AS s
+        FROM documents
+    )"""]
+    for r in range(n_merges):
+        blocks.append(f""",
+    a{r + 1} AS (
+        SELECT doc_id, n_words,
+               replace(s, chr(1) || b.pa || chr(1) || chr(1) || b.pb
+                          || chr(1), chr(1) || b.pa || b.pb || chr(1)) AS s
+        FROM a{r} CROSS JOIN b{r} b
+    )""")
+    return "".join(blocks) + f"""
+    SELECT doc_id, n_words,
+           CAST((length(s) - length(replace(s, chr(1), ''))) // 2
+                AS BIGINT) AS n_pieces
+    FROM a{n_merges}"""
+
+
+@register("bpe_encode_docs", _bpe_encode_oracle(8))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE serving: train the 8 merges (shared with ``bpe_merges_docs``
+    via the suite cache), then tokenize every document by applying them
+    in order — N chained replaces over the sentinel-wrapped text, a pure
+    map with zero shuffles (functions/text.py:bpe_encode).  Output is
+    per-doc word and subword-piece counts; the oracle replays training
+    AND the apply chain unrolled."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = _bpe_merge_rows(sf_dir, docs, 8)
+    return TX.bpe_encode(docs, [(r[1], r[2]) for r in rows])
 
 
 @register(
@@ -5253,8 +5368,10 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # round-6 additions — never driver-gated
+    # round-6 additions — never driver-gated (q10_returned_items,
+    # driver-green r4+r5, rotates out for bpe_encode_docs)
     "bpe_merges_docs",
+    "bpe_encode_docs",
     "pmi_bigrams_wide_docs",
     "dsir_weights_wide_docs",
     # changed implementation in round 6 (now probes the persisted trigram
@@ -5287,8 +5404,9 @@ _DRIVER_FIRST = [
     "events_equidepth_histogram",
     "events_hll_mergeability",
     "events_user_rolling",
-    "events_funnel",
-    "q10_returned_items",
+    # new in round 6: the corpus-scale PageRank variant (events_funnel,
+    # driver-green r4+r5, rotates out to make room)
+    "pagerank_tight_docs",
     # round-6 rotation: 15 confirmed rows rotate OUT (triple-confirmed
     # r3+r4+r5: training_mix_pipeline, decontaminate_docs,
     # pack_sequences_docs, bigram_lm_counts, fuzzy_prefix_pairs,

@@ -162,3 +162,32 @@ def test_bpe_merges_greedy_nonoverlap_and_exhaustion(spark):
     assert got[0][1:] == ("a", "a", 9)
     assert got[1][1:] == ("aa", "aa", 3)
     assert len(got) == 2
+
+
+def test_bpe_encode_matches_python_model(spark):
+    """Applying trained merges compresses pieces exactly as the Python
+    trainer's final vocabulary predicts."""
+    corpus = "low low lower newest newest newest widest"
+    df = spark.createDataFrame([Row(doc_id=1, text=corpus),
+                                Row(doc_id=2, text=""),
+                                Row(doc_id=3, text="unseen tokens")])
+    merges = [(pa, pb) for _, pa, pb, _ in _py_bpe(
+        {"low": 2, "lower": 1, "newest": 3, "widest": 1}, 4)]
+    got = {r.doc_id: (r.n_words, r.n_pieces)
+           for r in TX.bpe_encode(df, merges).collect()}
+    # python model: apply the same merges to every word, count pieces
+    def encode(word):
+        syms = list(word)
+        for pa, pb in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+    exp1 = sum(encode(w) for w in corpus.split())
+    assert got[1] == (7, exp1)
+    assert got[2] == (0, 0)
+    assert got[3] == (2, sum(encode(w) for w in ["unseen", "tokens"]))

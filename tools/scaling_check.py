@@ -6,9 +6,19 @@ a plan with a quadratic join or a single-task funnel shows much worse.
 Constant-ish times at both SFs mean fixed overhead dominates — fine.
 
 Usage: python tools/scaling_check.py [small_sf_dir] [large_sf_dir]
+                                     [xlarge_dir]
 Prints one JSON line:
   {"sf_ratio": R, "queries": {name: {"small_s": a, "large_s": b,
    "ratio": b/a}}}
+
+With a third directory (a 10x-sf0.1 set from
+tools/make_scaling_decade.py) an extra DECADE section runs the three
+historically worst-scaling families one more decade up
+(large -> xlarge), under the suite cache and timed twice per point:
+``*_build`` (first call — includes maintained-artifact builds: the
+trigram index, memoized SimHash pairs) and the bare name (second call —
+the steady state a long-running cluster pays).  ``ratio`` is the
+steady-state ratio; ``ratio_build`` the build-inclusive one.
 """
 
 from __future__ import annotations
@@ -42,10 +52,26 @@ REPRESENTATIVE = [
 ]
 
 
+# the three families SCALING_r05 named as the worst scalers; they read
+# only documents/events, which make_scaling_decade.py synthesizes at 10x
+DECADE_FAMILIES = [
+    "substring_search_docs",
+    "events_heavy_hitters",
+    # the corpus-scale PageRank (tight Hamming<=3 graph): the dense
+    # pagerank_docs graph definition is itself near-quadratic in docs and
+    # exhausts one node's heap at the decade point — that finding is the
+    # round-6 scaling result for the dense variant, recorded in its
+    # docstring; the linear-iteration claim is proven on this one
+    "pagerank_tight_docs",
+]
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     large = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    xlarge = sys.argv[3] if len(sys.argv) > 3 else None
 
+    from flink_invoice_processor_spark.functions import suite_cache
     from flink_invoice_processor_spark.plans.queries import QUERIES
     from flink_invoice_processor_spark.session import get_spark
 
@@ -62,6 +88,31 @@ def main() -> None:
         times["ratio"] = round(times["large_s"] / max(times["small_s"], 1e-9), 2)
         out[name] = times
 
+    decade: dict[str, dict[str, float]] = {}
+    if xlarge:
+        suite_cache.enable()
+        try:
+            for name in DECADE_FAMILIES:
+                fn = QUERIES[name]
+                times = {}
+                for label, sf_dir in (("large", large), ("xlarge", xlarge)):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()  # builds maintained artifacts
+                    times[f"{label}_s_build"] = round(time.perf_counter() - t0, 3)
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()  # steady state
+                    times[f"{label}_s"] = round(time.perf_counter() - t0, 3)
+                times["ratio"] = round(
+                    times["xlarge_s"] / max(times["large_s"], 1e-9), 2
+                )
+                times["ratio_build"] = round(
+                    times["xlarge_s_build"] / max(times["large_s_build"], 1e-9),
+                    2,
+                )
+                decade[name] = times
+        finally:
+            suite_cache.disable()
+
     def _sf(d: str) -> float:
         try:
             return float(d.rstrip("/").rsplit("sf", 1)[-1])
@@ -69,7 +120,10 @@ def main() -> None:
             return float("nan")
 
     ratio = round(_sf(large) / _sf(small), 2)
-    print(json.dumps({"sf_ratio": ratio, "queries": out}))
+    result = {"sf_ratio": ratio, "queries": out}
+    if decade:
+        result["decade"] = {"sf_ratio": 10.0, "queries": decade}
+    print(json.dumps(result))
     spark.stop()
 
 
