@@ -168,9 +168,16 @@ def build_trigram_index(
     # co-locate each bucket before the partitioned write: without this,
     # every shuffle task writes into every bucket dir (tasks × buckets
     # small files); with it, one file per bucket — and the probe's
-    # pruned read opens |query-trigram buckets| files, not thousands
-    posts = posts.repartition(n_buckets, "tri_bucket")
-    posts.write.mode("overwrite").partitionBy("tri_bucket").parquet(index_path)
+    # pruned read opens |query-trigram buckets| files, not thousands.
+    # The second partition level, ``batch``, is the increment id: -1 is
+    # the bootstrap build; streaming maintenance targets (bucket, epoch)
+    # partitions with dynamic overwrite so replayed epochs are idempotent.
+    posts = posts.withColumn("batch", F.lit(-1)).repartition(
+        n_buckets, "tri_bucket"
+    )
+    posts.write.mode("overwrite").partitionBy("tri_bucket", "batch").parquet(
+        index_path
+    )
     # metadata rides in an underscore dir (partition discovery skips it),
     # written through Spark so any FS scheme the index lives on works
     meta = json.dumps({"n_buckets": n_buckets, "text_col": text_col})
@@ -187,12 +194,21 @@ def _read_index_meta(spark, index_path: str) -> dict:
     )
 
 
-def update_trigram_index(new_docs: DataFrame, index_path: str) -> None:
+def update_trigram_index(
+    new_docs: DataFrame, index_path: str, batch_id: int | None = None
+) -> None:
     """Incrementally maintain a trigram index: compute postings for ONLY
-    the new documents and APPEND them under the same bucket layout — the
+    the new documents and add them under the same bucket layout — the
     matview pattern (`streaming/matview.py`) applied to the inverted
     index.  Existing index files are never rewritten; the update cost is
     one linear pass over the new batch, independent of corpus size.
+
+    ``batch_id=None`` (ad-hoc batch ingest) appends into the bootstrap
+    ``batch=-1`` partitions.  A streaming maintainer passes its epoch id:
+    the write then DYNAMIC-OVERWRITES exactly the (bucket, batch=epoch)
+    partitions, so a replayed epoch (foreachBatch is at-least-once)
+    rewrites its own increment with identical content instead of
+    appending duplicate postings.
 
     Contract: ``new_docs`` holds doc_ids not already indexed (the
     append-only ingest case).  A re-ingested doc_id duplicates its
@@ -204,8 +220,16 @@ def update_trigram_index(new_docs: DataFrame, index_path: str) -> None:
         "tri_bucket",
         F.pmod(F.crc32(F.col("tri")), F.lit(meta["n_buckets"])),
     )
-    posts = posts.repartition(meta["n_buckets"], "tri_bucket")
-    posts.write.mode("append").partitionBy("tri_bucket").parquet(index_path)
+    posts = posts.withColumn(
+        "batch", F.lit(-1 if batch_id is None else int(batch_id))
+    ).repartition(meta["n_buckets"], "tri_bucket")
+    writer = posts.write.partitionBy("tri_bucket", "batch")
+    if batch_id is None:
+        writer.mode("append").parquet(index_path)
+    else:
+        writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(index_path)
 
 
 def substring_search_indexed(

@@ -1,0 +1,61 @@
+"""Streaming maintenance of the persisted trigram substring-search index.
+
+The 100 TB search story has two halves: `functions/retrieval.py` builds
+and probes the index; this job keeps it CURRENT as documents arrive.
+Each micro-batch of new documents computes postings for ONLY that batch
+(one linear pass, corpus-size-independent) and lands them as the index's
+``(tri_bucket, batch=epoch)`` partitions via dynamic partition overwrite
+— a replayed epoch (foreachBatch is at-least-once) rewrites its own
+increment with identical content instead of appending duplicates, the
+same idempotence contract as ``streaming/matview.py`` and the sketch
+rollups.  Searches running concurrently keep probing the already-
+committed buckets; they pick up a new batch's documents once its files
+land (no index rebuild, no search downtime).
+
+One-lineage contract (same as the DQ gate / CMS rollup): epoch ids must
+map stably to batches, i.e. one checkpoint lineage per index path — a
+fresh checkpoint over an existing index would reuse epoch ids and
+dynamic overwrite would DROP the old lineage's increments for those ids.
+Bootstrap the index with ``build_trigram_index`` (its partitions live
+under ``batch=-1`` and are never touched by the stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.retrieval import update_trigram_index
+
+
+def index_micro_batch(
+    batch_df: DataFrame, epoch_id: int, index_path: str
+) -> None:
+    """One maintenance increment: postings for this batch's documents →
+    the index's (bucket, batch=epoch) partitions, replay-idempotent."""
+    if batch_df.isEmpty():
+        return
+    update_trigram_index(batch_df, index_path, batch_id=epoch_id)
+
+
+def run_trigram_index_job(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """Start the index-maintenance job over a streaming documents
+    DataFrame (columns: doc_id LONG, text STRING).  The index at
+    ``index_path`` must already exist (``build_trigram_index`` — its
+    ``_index_meta`` carries n_buckets/text_col so the stream can never
+    drift from the bootstrap layout)."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        index_micro_batch(batch_df, epoch_id, index_path)
+
+    return (
+        docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
