@@ -73,6 +73,14 @@ ALLOWED_SOFT = {
         "1-row corpus-totals aggregate (T_raw, T_tgt), broadcast back"
     ),
     "pmi_bigrams_docs": "1-row token-count aggregate, broadcast back",
+    "dsir_weights_wide_docs": (
+        "1-row corpus-totals aggregate (T_raw, T_tgt), broadcast back — "
+        "same shape as the int64 twin, DECIMAL arithmetic only"
+    ),
+    "pmi_bigrams_wide_docs": (
+        "1-row token-count aggregate, broadcast back — same shape as the "
+        "int64 twin, DECIMAL arithmetic only"
+    ),
     "hybrid_rrf_docs": (
         "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, "
         "broadcast back"
