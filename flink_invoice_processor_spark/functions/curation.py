@@ -487,6 +487,44 @@ def domain_mix_weights(
     )
 
 
+def materialize_mix(
+    df: DataFrame,
+    total_budget: int = 1000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE the temperature-sampled training mix that
+    :func:`domain_mix_weights` only allocates: per source, select exactly
+    ``alloc_docs`` documents by deterministic md5 rank — the actual
+    document list a mix job hands to training, reproducible under
+    retries (same hash order every run, no RNG state).
+
+    Output: (id_col, source_col, mix_rank) — selected docs only,
+    ``mix_rank`` 1..alloc within each source.
+
+    Scale shape: the allocation table is |sources| rows (broadcast);
+    ranking is a window PARTITIONED BY source — a keyed window, never
+    global.  A single source bigger than one executor's sort budget is
+    the standard keyed-window caveat: pre-filter with a sampled md5
+    threshold per source (keep ~2× alloc by hash range, then rank) to
+    bound the sorted set; the hash ranking makes the two-step refinement
+    exact."""
+    alloc = domain_mix_weights(df, total_budget, source_col).select(
+        source_col, "alloc_docs"
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.select(id_col, source_col)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .join(F.broadcast(alloc), source_col)
+        .where(F.col("mix_rank") <= F.col("alloc_docs"))
+        .select(id_col, source_col, "mix_rank")
+    )
+
+
 def length_bucket_batches(
     df: DataFrame,
     bucket_width: int = 64,

@@ -113,6 +113,51 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup family of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every ``span_tokens``-token window of every document,
+    aggregated corpus-wide; spans appearing in at least ``min_docs``
+    DISTINCT documents are the memorization-prone duplicated text that
+    span-level dedup cuts (where document-level MinHash/SimHash sees two
+    long documents sharing one boilerplate paragraph as unrelated).
+
+    Output: (span, n_docs, n_occurrences), duplicated spans only.
+
+    Scale shape: the window explode is linear in corpus tokens (each
+    token starts at most one span) and the aggregate is a plain hash-agg
+    with map-side combine.  The GROUP BY key here is the span text
+    itself (what the DuckDB oracle can replay); at 100 TB key on
+    ``md5(span)`` instead and carry ``min(span)`` alongside — same
+    plan, 16-byte shuffle keys, and the digest doubles as the span id
+    the removal pass joins on.  Zipf skew is absorbed by the partial
+    aggregation (a boilerplate span repeated a billion times is ONE
+    row per map partition before the shuffle)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    spans = F.expr(
+        f"transform(sequence(1, size(_toks) - {span_tokens - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {span_tokens})))"
+    )
+    exploded = (
+        df.select("doc_id", toks.alias("_toks"))
+        .where(F.size("_toks") >= span_tokens)
+        .select("doc_id", F.explode(spans).alias("span"))
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,

@@ -4141,6 +4141,66 @@ def domain_mix_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_sample_docs",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_1e6
+          FROM c),
+    t AS (SELECT CAST(SUM(weight_1e6) AS BIGINT) AS sum_w FROM w),
+    a AS (SELECT source,
+                 CAST(least(n_docs, 1000 * weight_1e6 // sum_w) AS BIGINT)
+                     AS alloc_docs
+          FROM w CROSS JOIN t),
+    r AS (SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS INT) AS mix_rank
+          FROM documents)
+    SELECT doc_id, source, mix_rank
+    FROM r JOIN a USING (source) WHERE mix_rank <= alloc_docs
+    """,
+)
+def mix_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training mix: the actual per-source document
+    selection (deterministic md5 rank, retry-reproducible) for the
+    sqrt-temperature allocation ``domain_mix_weights_docs`` computes
+    (functions/curation.py:materialize_mix).  Allocation broadcast;
+    ranking a source-keyed window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.materialize_mix(docs, total_budget=1000)
+
+
+@register(
+    "duplicate_spans_docs",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sp AS (
+        SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS span
+        FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+        WHERE len(t) >= 8
+    )
+    SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (Lee et al. 2022 substring-dedup
+    family): 8-token windows shared by >= 2 distinct documents — the
+    memorization-prone boilerplate that document-level near-dup methods
+    miss (functions/dedup.py:duplicate_spans).  Linear window explode +
+    one map-side-combined hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs, span_tokens=8, min_docs=2)
+
+
+@register(
     "length_bucket_batches_docs",
     f"""
     WITH tk AS (
@@ -5369,11 +5429,14 @@ _DRIVER_FIRST = [
     "response_topic_routing",
     "response_dedup",
     # round-6 additions — never driver-gated (q10_returned_items,
-    # driver-green r4+r5, rotates out for bpe_encode_docs)
+    # events_user_rolling, events_zorder_keys — each driver-green r4+r5 —
+    # rotate out to make room)
     "bpe_merges_docs",
     "bpe_encode_docs",
     "pmi_bigrams_wide_docs",
     "dsir_weights_wide_docs",
+    "duplicate_spans_docs",
+    "mix_sample_docs",
     # changed implementation in round 6 (now probes the persisted trigram
     # index) — stays in the window for a fresh driver row on the new path
     "substring_search_docs",
@@ -5386,7 +5449,6 @@ _DRIVER_FIRST = [
     "length_bucket_batches_docs",
     "ivf_pq_sampled_topk_embeddings",
     "pagerank_docs",
-    "events_zorder_keys",
     "rfm_segments_customers",
     # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
@@ -5403,7 +5465,6 @@ _DRIVER_FIRST = [
     "bpe_pair_counts_docs",
     "events_equidepth_histogram",
     "events_hll_mergeability",
-    "events_user_rolling",
     # new in round 6: the corpus-scale PageRank variant (events_funnel,
     # driver-green r4+r5, rotates out to make room)
     "pagerank_tight_docs",

@@ -476,3 +476,46 @@ def test_bm25_relevance_ordering(spark):
     assert ranked.index(2) < ranked.index(3)  # length normalization
     scores = {r["doc_id"]: r["score"] for r in out}
     assert scores[1] > scores[2] > scores[3] > 0
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    from flink_invoice_processor_spark.functions import dedup as DD
+
+    boiler = "all rights reserved by the original content owner here"
+    df = docs_df(spark, [
+        (1, f"intro text {boiler}"),
+        (2, f"{boiler} and a different tail entirely follows now"),
+        (3, "short doc"),
+        (4, "self repeat self repeat self repeat self repeat self repeat"),
+    ])
+    out = {r.span: (r.n_docs, r.n_occurrences)
+           for r in DD.duplicate_spans(df, span_tokens=8, min_docs=2).collect()}
+    # the 9-token boilerplate yields two 8-token spans shared by docs 1,2
+    b = boiler.split()
+    assert out[" ".join(b[:8])] == (2, 2)
+    assert out[" ".join(b[1:9])] == (2, 2)
+    # doc 4's within-doc repeats never reach min_docs=2
+    assert all("self repeat" not in s for s in out)
+    # and min_docs=1 sees them with occurrence counts > doc count
+    solo = {r.span: (r.n_docs, r.n_occurrences)
+            for r in DD.duplicate_spans(df, span_tokens=8, min_docs=1).collect()}
+    assert solo["self repeat self repeat self repeat self repeat"] == (1, 2)
+
+
+def test_materialize_mix_matches_allocation(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    alloc = {r.source: r.alloc_docs
+             for r in CUR.domain_mix_weights(df, total_budget=20).collect()}
+    picked = CUR.materialize_mix(df, total_budget=20).collect()
+    by_src = {}
+    for r in picked:
+        by_src.setdefault(r.source, []).append(r.mix_rank)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, alloc[src] + 1))
+    assert set(by_src) == {s for s, a in alloc.items() if a > 0}
+    # deterministic under re-run (retry safety)
+    again = CUR.materialize_mix(df, total_budget=20).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, picked))

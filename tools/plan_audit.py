@@ -48,6 +48,11 @@ ALLOWED_SOFT = {
         "1-row kept-query-trigram count aggregate, broadcast back"
     ),
     "domain_mix_weights_docs": "1-row weight-sum over |sources| rows, broadcast back",
+    "mix_sample_docs": (
+        "1-row weight-sum over |sources| rows inside the allocation leg "
+        "(domain_mix_weights), broadcast back — selection itself is a "
+        "source-keyed window + broadcast join"
+    ),
     "rfm_segments_customers": (
         "<=P-row per-partition offset cumsum (distributed_row_number x3)"
     ),
