@@ -664,7 +664,9 @@ def dsir_weights(
       can NEVER silently wrap: a division-only ``assert_true`` guard
       fails the job loudly at any ANSI setting and names the fix.
     - ``"decimal"``: the wide path — identical expression in
-      DECIMAL(38,0) (any corpus), cast back to BIGINT; plan unchanged.
+      DECIMAL(38,0), cast back to BIGINT; plan unchanged.  Carries its
+      own loud guard on the bigram total (~9.2e12) because the QUOTIENT
+      is still a 1e-6-unit int64 ratio.
     """
     if exact_mode not in ("int64", "decimal"):
         raise ValueError(f"exact_mode must be int64|decimal, got {exact_mode!r}")
@@ -696,12 +698,25 @@ def dsir_weights(
         F.sum("raw_cnt").alias("t_raw"), F.sum("tgt_cnt").alias("t_tgt")
     )
     if exact_mode == "decimal":
+        from .text import _MAXL
+
         ratio6 = F.expr(
             f"CAST(CAST(tgt_cnt + 1 AS DECIMAL(38,0)) * (t_raw + {n_buckets})"
             f" * 1000000 DIV (CAST(raw_cnt + 1 AS DECIMAL(38,0))"
             f" * (t_tgt + {n_buckets})) AS BIGINT)"
         )
-        guard = F.lit(True)
+        # Spark's DIV returns LONG: the QUOTIENT must fit int64 even in
+        # decimal mode (under ansi=off an overflow would be a silent
+        # NULL).  ratio6 <= (t_raw + n_buckets) * 1e6 always (tgt_cnt <=
+        # raw_cnt), so guarding the bigram total guards the quotient
+        guard = F.assert_true(
+            F.col("t_raw") + n_buckets <= _MAXL // 1_000_000,
+            F.lit(
+                "dsir_weights[decimal]: the 1e-6-unit ratio itself would"
+                " overflow int64 on this corpus — shard and merge bucket"
+                " counts"
+            ),
+        ).isNull()
     else:
         from .text import _MAXL
 

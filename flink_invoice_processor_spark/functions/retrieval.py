@@ -198,7 +198,10 @@ def _read_index_meta(spark, index_path: str) -> dict:
 
 
 def update_trigram_index(
-    new_docs: DataFrame, index_path: str, batch_id: int | None = None
+    new_docs: DataFrame,
+    index_path: str,
+    batch_id: int | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Incrementally maintain a trigram index: compute postings for ONLY
     the new documents and add them under the same bucket layout — the
@@ -216,9 +219,15 @@ def update_trigram_index(
     Contract: ``new_docs`` holds doc_ids not already indexed (the
     append-only ingest case).  A re-ingested doc_id duplicates its
     postings; probes stay CORRECT regardless (they count distinct
-    trigrams per candidate), only wasting the duplicate rows' scan."""
+    trigrams per candidate), only wasting the duplicate rows' scan.
+
+    ``meta``: pass the dict from :func:`_read_index_meta` to skip the
+    per-call metadata read — the streaming maintainer reads it once at
+    job start instead of launching a read job every micro-batch (the
+    meta is immutable after bootstrap)."""
     spark = new_docs.sparkSession
-    meta = _read_index_meta(spark, index_path)
+    if meta is None:
+        meta = _read_index_meta(spark, index_path)
     posts = trigram_postings(new_docs, meta["text_col"]).withColumn(
         "tri_bucket",
         F.pmod(F.crc32(F.col("tri")), F.lit(meta["n_buckets"])),
@@ -264,6 +273,14 @@ def substring_search_indexed(
     q_tris = sorted({q[i:i + 3] for i in range(len(q) - 2)})
     spark = df.sparkSession
     meta = _read_index_meta(spark, index_path)
+    if text_col != meta["text_col"]:
+        # candidates would gate on one column while verification counts
+        # another — silently wrong results, so collide loudly
+        raise ValueError(
+            f"index at {index_path} was built over text_col="
+            f"{meta['text_col']!r}; probing {text_col!r} would verify a"
+            " different column than the candidate gate"
+        )
     buckets = sorted({
         zlib.crc32(t.encode()) % meta["n_buckets"] for t in q_tris
     })

@@ -220,10 +220,14 @@ def pmi_bigrams(
       itself would also throw — the guard makes the failure mode
       contractual rather than configuration-dependent.)
     - ``"decimal"``: the promised wide path — the same expression in
-      DECIMAL(38,0) (good to ~1e38, i.e. any corpus), result cast back
-      to BIGINT.  Identical values wherever both modes are defined; the
-      plan shape (two hash-aggs + vocabulary join) is unchanged, decimal
-      arithmetic just runs a little heavier per row.
+      DECIMAL(38,0) (products good to ~1e38), result cast back to
+      BIGINT.  The QUOTIENT is still a 1e-6-unit int64 ratio, so this
+      mode carries its own loud guard on the token total (~9.2e12
+      tokens ≈ tens of PB of text) — past that the ratio itself stops
+      being representable and you shard-and-merge.  Identical values
+      wherever both modes are defined; the plan shape (two hash-aggs +
+      vocabulary join) is unchanged, decimal arithmetic just runs a
+      little heavier per row.
     """
     if exact_mode not in ("int64", "decimal"):
         raise ValueError(f"exact_mode must be int64|decimal, got {exact_mode!r}")
@@ -267,6 +271,21 @@ def pmi_bigrams(
         .crossJoin(F.broadcast(totals))
     )
     if exact_mode == "decimal":
+        # the PRODUCTS are safe to 1e38, but Spark's DIV (IntegralDivide)
+        # returns LONG — a quotient beyond int64 would be NULL under
+        # ansi=off and silently vanish through the min_ratio6 filter.
+        # pmi6 <= n_tokens*1e6 always (n_ab <= n_a and n_ab <= n_b), so
+        # guarding the token total guards the quotient, loudly
+        joined = joined.where(
+            F.assert_true(
+                F.col("n_tokens") <= _MAXL // 1_000_000,
+                F.lit(
+                    "pmi_bigrams[decimal]: the 1e-6-unit ratio itself"
+                    " would overflow int64 on this corpus — shard and"
+                    " merge unigram/bigram counts"
+                ),
+            ).isNull()
+        )
         pmi6 = F.expr(
             "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tokens * 1000000"
             " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"

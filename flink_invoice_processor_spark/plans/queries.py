@@ -4056,19 +4056,22 @@ def substring_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same correctness, the driver gate sees no behavior change; under the
     suite cache the build happens once per pass and every later call is
     probe-bound."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"fips_tri_index_{os.getpid()}",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
+    # pid-scoped so concurrent processes never race on one tree, and
+    # atexit-cleaned so repeated gate/bench/pytest processes don't leak
+    # index trees into the temp dir forever
+    root = os.path.join(tempfile.gettempdir(), f"fips_tri_index_{os.getpid()}")
+    idx = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
 
     def build() -> str:
         RET.build_trigram_index(docs, idx, n_buckets=32)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         return idx
 
     path = SC.memo(("trigram_index", sf_dir), build)
@@ -5233,12 +5236,19 @@ def _bpe_encode_oracle(n_merges: int) -> str:
         FROM documents
     )"""]
     for r in range(n_merges):
+        # a bare CROSS JOIN b{r} would annihilate every document when a
+        # training round finds no pair (vocabulary exhausted before
+        # n_merges) while the Spark side just applies fewer merges; the
+        # coalesced 1-row aggregate turns an empty round into a no-op
+        # replace (chr(2) never appears as a wrapped symbol pattern)
         blocks.append(f""",
     a{r + 1} AS (
         SELECT doc_id, n_words,
                replace(s, chr(1) || b.pa || chr(1) || chr(1) || b.pb
                           || chr(1), chr(1) || b.pa || b.pb || chr(1)) AS s
-        FROM a{r} CROSS JOIN b{r} b
+        FROM a{r} CROSS JOIN
+             (SELECT coalesce(max(pa), chr(2)) AS pa,
+                     coalesce(max(pb), chr(2)) AS pb FROM b{r}) b
     )""")
     return "".join(blocks) + f"""
     SELECT doc_id, n_words,

@@ -206,15 +206,29 @@ def claim_retry_batch(
     try:
         cur = conn.cursor()
         if reap_processing_after_s is not None:
-            stale_cutoff = (now or _utcnow()) - timedelta(
-                seconds=reap_processing_after_s
-            )
-            cur.execute(
-                f"UPDATE invoice_retry SET state = '{RETRY_STATE_PENDING}' "
-                f"WHERE state = '{RETRY_STATE_PROCESSING}' AND job = {q} "
-                f"AND next_retry_time <= {q}",
-                (job, stale_cutoff),
-            )
+            # the cutoff must live in the SAME clock domain as the lease
+            # start the claim stamped: DB clock under server_side_interval
+            # (a client-clock cutoff vs a DB-clock lease re-opens the
+            # skew-induced instant-reap this dialect exists to prevent),
+            # client clock otherwise
+            if dialect.server_side_interval:
+                cur.execute(
+                    f"UPDATE invoice_retry SET state = '{RETRY_STATE_PENDING}' "
+                    f"WHERE state = '{RETRY_STATE_PROCESSING}' AND job = {q} "
+                    f"AND next_retry_time <= "
+                    f"CURRENT_TIMESTAMP - INTERVAL {q} SECOND",
+                    (job, int(reap_processing_after_s)),
+                )
+            else:
+                stale_cutoff = (now or _utcnow()) - timedelta(
+                    seconds=reap_processing_after_s
+                )
+                cur.execute(
+                    f"UPDATE invoice_retry SET state = '{RETRY_STATE_PENDING}' "
+                    f"WHERE state = '{RETRY_STATE_PROCESSING}' AND job = {q} "
+                    f"AND next_retry_time <= {q}",
+                    (job, stale_cutoff),
+                )
         cur.execute(select_sql, select_params)
         rows = cur.fetchall()
         claimed = []

@@ -25,17 +25,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.retrieval import update_trigram_index
+from ..functions.retrieval import _read_index_meta, update_trigram_index
 
 
 def index_micro_batch(
-    batch_df: DataFrame, epoch_id: int, index_path: str
+    batch_df: DataFrame, epoch_id: int, index_path: str,
+    meta: dict | None = None,
 ) -> None:
     """One maintenance increment: postings for this batch's documents →
-    the index's (bucket, batch=epoch) partitions, replay-idempotent."""
+    the index's (bucket, batch=epoch) partitions, replay-idempotent.
+    Pass ``meta`` (read once at job start) to keep the per-epoch hot
+    path free of metadata read jobs."""
     if batch_df.isEmpty():
         return
-    update_trigram_index(batch_df, index_path, batch_id=epoch_id)
+    update_trigram_index(batch_df, index_path, batch_id=epoch_id, meta=meta)
 
 
 def run_trigram_index_job(
@@ -48,10 +51,13 @@ def run_trigram_index_job(
     DataFrame (columns: doc_id LONG, text STRING).  The index at
     ``index_path`` must already exist (``build_trigram_index`` — its
     ``_index_meta`` carries n_buckets/text_col so the stream can never
-    drift from the bootstrap layout)."""
+    drift from the bootstrap layout).  The meta is read ONCE here — it
+    is immutable after bootstrap, and a per-epoch read job at a 2 s
+    trigger is a pure tax on the streaming hot path."""
+    meta = _read_index_meta(docs.sparkSession, index_path)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        index_micro_batch(batch_df, epoch_id, index_path)
+        index_micro_batch(batch_df, epoch_id, index_path, meta=meta)
 
     return (
         docs.writeStream.foreachBatch(on_batch)

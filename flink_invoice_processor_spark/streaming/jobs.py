@@ -196,6 +196,13 @@ def run_invoice_response_stream_job(
         "_arrival_ts"
     )
 
+    trigger_ms = trigger_ms or cfg.response_batch_timeout_ms
+    # the lease must stay comfortably above THIS job's actual trigger
+    # beat — a caller-supplied trigger_ms can exceed every cfg interval
+    # the config-derived lease knows about, and a lease below one beat
+    # would let a concurrent claimer reap live claims mid-epoch
+    lease_s = max(cfg.processing_lease_s, 10 * trigger_ms // 1000)
+
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # claim + revive due RESPONSE retries each batch, exactly like the
         # driver-loop `response_cycle` — without this, retry rows the
@@ -208,7 +215,7 @@ def run_invoice_response_stream_job(
         # revives them once the lease (10 trigger beats) expires
         claimed = claim_retry_batch(
             spark_b, conn_factory, RETRY_JOB_RESPONSE, cfg,
-            reap_processing_after_s=cfg.processing_lease_s,
+            reap_processing_after_s=lease_s,
         )
         recovered, retry_emits = transform_response_retry_records(
             claimed, cfg
@@ -222,7 +229,6 @@ def run_invoice_response_stream_job(
             result.retry.unionByName(retry_emits), conn_factory, cfg
         )
 
-    trigger_ms = trigger_ms or cfg.response_batch_timeout_ms
     return (
         deduped.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)

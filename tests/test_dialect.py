@@ -197,3 +197,18 @@ def test_table_queue_mysql_backend_wires_factory():
     assert isinstance(r._factory, MySQLConnFactory)
     with pytest.raises(ImportError):
         r._connect()
+
+
+def test_mysql_reap_uses_db_clock(spark, tmp_path):
+    """The stale-claim sweep must compare in the SAME clock domain the
+    claim stamped: under MYSQL the lease start is CURRENT_TIMESTAMP, so
+    the cutoff must be DB-side arithmetic, never a client datetime."""
+    log = str(tmp_path / "mysql_reap.jsonl")
+    claim_retry_batch(
+        spark, RecordingConnFactory(log), "SendInvoiceJob", CFG,
+        dialect=MYSQL, reap_processing_after_s=60,
+    )
+    stmts = RecordingConnFactory(log).read()
+    reap = [s for s in stmts if "PROCESSING" in s["sql"] and "PENDING" in s["sql"]][0]
+    assert "CURRENT_TIMESTAMP - INTERVAL %s SECOND" in reap["sql"]
+    assert reap["params"] == ["SendInvoiceJob", 60]

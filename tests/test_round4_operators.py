@@ -279,3 +279,10 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank_integer(empty, iters=2)
     assert out.columns == ["id", "rank_1e12"]
     assert out.count() == 0
+
+
+def test_indexed_search_rejects_text_col_mismatch(docs, tmp_path):
+    idx = str(tmp_path / "tri_idx")
+    RET.build_trigram_index(docs, idx, n_buckets=8)
+    with pytest.raises(ValueError, match="text_col"):
+        RET.substring_search_indexed(docs, "slow join", idx, text_col="title")

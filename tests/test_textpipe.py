@@ -191,3 +191,27 @@ def test_bpe_encode_matches_python_model(spark):
     assert got[1] == (7, exp1)
     assert got[2] == (0, 0)
     assert got[3] == (2, sum(encode(w) for w in ["unseen", "tokens"]))
+
+
+def test_bpe_encode_oracle_survives_early_exhaustion(spark):
+    """A vocabulary exhausted before n_merges must leave the oracle's
+    per-document apply chain intact (an empty training round is a no-op
+    merge, not a row annihilator) and match Spark exactly."""
+    import duckdb
+    import pandas as pd
+    from flink_invoice_processor_spark.plans.queries import (
+        QUERIES, ORACLES,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aaaa aaaa aaaa", "aa bb"]}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = sorted(map(tuple, con.execute(ORACLES["bpe_encode_docs"]).fetchall()))
+    assert len(oracle) == 2  # the chain survived the empty rounds
+    sdf = spark.createDataFrame(pdf)
+    merges = [tuple(r)[1:3] for r in TX.bpe_merges(sdf, n_merges=8).collect()]
+    assert len(merges) < 8  # exhaustion actually happened
+    got = sorted(map(tuple, TX.bpe_encode(sdf, merges).collect()))
+    assert got == oracle
