@@ -809,6 +809,58 @@ def pq_adq_topk(
     )
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    cache_token: tuple | None = None,
+) -> DataFrame:
+    """Two-stage ANN serving: a compressed-domain ADQ shortlist (top
+    ``shortlist`` codes per query, :func:`pq_adq_topk`) followed by an
+    EXACT integer-L2 re-rank of only those candidates — the standard
+    production vector-search shape (FAISS's `IndexRefineFlat`): the PQ
+    scan bounds the work, the re-rank restores full precision on
+    |Q|·shortlist rows, and quantization error can no longer reorder the
+    final top-k within the shortlist.
+
+    Scale shape: the shortlist (|Q|·C rows) BROADCASTS into one equi-join
+    against the full-precision corpus points (the only corpus-sized
+    input; no shuffle of the corpus), the per-query vectors are a second
+    broadcast, and the final ranking is a per-query window over ≤C rows.
+    Output: (query_id, neighbor_id, exact_dist, rank), rank 1..k by
+    (exact_dist ASC, neighbor_id ASC) — engine-exact integers."""
+    short = pq_adq_topk(
+        corpus, queries, m=m, ksub=ksub, k=shortlist,
+        id_col=id_col, vec_col=vec_col, iters=iters,
+        cache_token=cache_token,
+    ).select("query_id", "neighbor_id")
+    cpts = _int_points(corpus, vec_col, id_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qpts = _int_points(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), F.col("v6").alias("c6")
+    )
+    rer = (
+        cpts.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qpts), "query_id")
+        .select("query_id", "neighbor_id", _int_dist().alias("exact_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

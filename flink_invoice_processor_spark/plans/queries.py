@@ -3891,6 +3891,62 @@ _PQ_ADQ_ORACLE = f"""
 """
 
 
+_PQ_RERANK_ORACLE = f"""
+    WITH {_PQ_BASE_SQL},
+    lut AS (
+        SELECT q.vec_id AS query_id, c.s, c.cid,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> (q.w6[j] - c.c6[j]) * (q.w6[j] - c.c6[j])))
+                    AS BIGINT) AS dd
+        FROM sp q JOIN cc2 c ON c.s = q.s
+        WHERE q.vec_id < 10
+    ),
+    cand AS (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               CAST(SUM(l.dd) AS BIGINT) AS adq_dist
+        FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+        WHERE l.query_id <> co.vec_id
+        GROUP BY l.query_id, co.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adq_dist ASC, neighbor_id ASC) AS rn
+            FROM cand
+        ) WHERE rn <= 20
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                    j -> (pq.v6[j] - pn.v6[j]) * (pq.v6[j] - pn.v6[j])))
+                    AS BIGINT) AS exact_dist
+        FROM short s
+        JOIN p pn ON pn.vec_id = s.neighbor_id
+        JOIN p pq ON pq.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, exact_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY exact_dist ASC, neighbor_id ASC) AS INT)
+                   AS rank
+        FROM rer
+    ) WHERE rank <= 5
+"""
+
+
+@register("pq_rerank_topk_embeddings", _PQ_RERANK_ORACLE)
+def pq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving: compressed-domain ADQ shortlist (top 20)
+    → exact integer-L2 re-rank → top-5 (functions/similarity.py:
+    pq_rerank_topk).  The codebook/codes are suite-cache-shared with the
+    other PQ queries; the oracle composes the green ADQ CTEs with an
+    exact re-rank over the full-precision integer points."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5,
+        shortlist=20, cache_token=(sf_dir, "emb"),
+    )
+
+
 @register("pq_adq_topk_embeddings", _PQ_ADQ_ORACLE)
 def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN: top-5 by asymmetric PQ distance for the
@@ -5447,6 +5503,9 @@ _DRIVER_FIRST = [
     "dsir_weights_wide_docs",
     "duplicate_spans_docs",
     "mix_sample_docs",
+    # (length_bucket_batches_docs, driver-green r4+r5, rotates out for
+    # the two-stage PQ re-rank)
+    "pq_rerank_topk_embeddings",
     # changed implementation in round 6 (now probes the persisted trigram
     # index) — stays in the window for a fresh driver row on the new path
     "substring_search_docs",
@@ -5456,7 +5515,6 @@ _DRIVER_FIRST = [
     "pq_adq_topk_embeddings",
     "bigram_familiarity_docs",
     "domain_mix_weights_docs",
-    "length_bucket_batches_docs",
     "ivf_pq_sampled_topk_embeddings",
     "pagerank_docs",
     "rfm_segments_customers",

@@ -361,3 +361,39 @@ def test_windows_tumbling_and_session(spark, sf_dir):
     assert total == events.count()
     s = W.session_counts(events.limit(200), gap="10 minutes")
     assert s.agg(F.sum("n_events")).collect()[0][0] == 200
+
+
+def test_pq_rerank_restores_exact_precision(spark, sf_dir):
+    """The two-stage path: (a) its top-k is drawn from the ADQ shortlist,
+    (b) exact_dist equals the true integer L2 (not the quantized ADQ
+    distance), (c) within the shortlist the final order is the exact
+    order — quantization error cannot reorder it."""
+    from flink_invoice_processor_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    short = SIM.pq_adq_topk(emb, queries, m=8, ksub=8, k=10)
+    rer = SIM.pq_rerank_topk(emb, queries, m=8, ksub=8, k=4, shortlist=10)
+    short_set = {(r.query_id, r.neighbor_id) for r in short.collect()}
+    got = rer.collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} <= short_set
+    # exact_dist equals the brute-force integer L2 for every output pair
+    pts = {
+        r.vec_id: r.v6
+        for r in SIM._int_points(emb, "embedding", "vec_id").collect()
+    }
+    for r in got:
+        true_d = sum(
+            (a - b) * (a - b)
+            for a, b in zip(pts[r.query_id], pts[r.neighbor_id])
+        )
+        assert r.exact_dist == true_d
+    # per query: ranks 1..4 ordered by (exact_dist, neighbor_id)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.exact_dist, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)

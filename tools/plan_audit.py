@@ -86,6 +86,11 @@ ALLOWED_SOFT = {
         "1-row token-count aggregate, broadcast back — same shape as the "
         "int64 twin, DECIMAL arithmetic only"
     ),
+    "pq_rerank_topk_embeddings": (
+        "Catalyst-injected runtime bloom filter (bloom_filter_agg over "
+        "the broadcast shortlist side) — a 1-row optimizer artifact that "
+        "PRUNES the corpus scan, not a data funnel"
+    ),
     "hybrid_rrf_docs": (
         "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, "
         "broadcast back"
