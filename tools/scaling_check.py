@@ -63,6 +63,16 @@ DECADE_FAMILIES = [
     # round-6 scaling result for the dense variant, recorded in its
     # docstring; the linear-iteration claim is proven on this one
     "pagerank_tight_docs",
+    # relational / window / curation / dedup / ANN families, once the
+    # generator covers customer/orders/lineitem/embeddings too
+    "q6_revenue_filter",
+    "q3_shipping_priority",
+    "events_user_rolling",
+    "pack_sequences_docs",
+    "minhash_lsh_docs",
+    "dup_clusters_docs",
+    "semantic_dedup_embeddings",
+    "ivf_pq_sampled_topk_embeddings",
 ]
 
 
