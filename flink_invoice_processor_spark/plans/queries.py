@@ -3270,11 +3270,430 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The remaining classic TPC-H shapes (Q2/Q11/Q16/Q20 need partsupp,
-# Q12/Q21 need l_shipmode/l_receiptdate/l_commitdate) are not expressible
-# over this testdata's columns; Q7/Q8/Q9 below complete the implementable
-# set.  Revenue stays in floor-1e4 integer units end-to-end so every
-# aggregate hash-compares engine-exactly.
+# The remaining classic TPC-H shapes are adapted to this testdata's
+# slimmer schema rather than dropped: Q2/Q11/Q16/Q20's partsupp relation
+# is DERIVED from lineitem (a part×supplier aggregate — availqty = total
+# shipped quantity, supplycost = min observed unit price), and Q12/Q21's
+# commit/receipt-date lateness becomes ship-vs-order-date lateness.  The
+# derivations are plain arithmetic shared verbatim with the oracles, so
+# every query still hash-compares engine-exactly; each keeps its classic
+# plan signature (Q2 correlated min, Q11 global-threshold HAVING, Q12
+# conditional two-class agg, Q16 anti-join + count-distinct, Q20 semi-join
+# chain, Q21 EXISTS/NOT-EXISTS self-joins).  Revenue stays in integer
+# cents / floor-1e4 units end-to-end.
+
+_PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+           MIN(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS ps_supplycost_cents
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in derived from lineitem (the testdata has no
+    partsupp table): one row per observed (part, supplier) pair with
+    availqty = total shipped quantity and supplycost = minimum observed
+    unit price in integer cents.  One uniform-key shuffle on the natural
+    (partkey, suppkey) pair; quantities cast per-row to BIGINT so the sum
+    is exact, and the unit-price division is the identical IEEE double
+    expression in both engines before the floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+        F.min(
+            F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+            .cast("long")
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    cand AS (
+        SELECT ps_partkey, ps_supplycost_cents, s_name, n_name,
+               CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+        FROM ps
+        JOIN part     ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ),
+    mn AS (
+        SELECT ps_partkey AS mn_partkey,
+               MIN(ps_supplycost_cents) AS min_cost_cents
+        FROM cand GROUP BY 1
+    )
+    SELECT ps_partkey, s_name, n_name, s_acctbal_cents,
+           ps_supplycost_cents AS supplycost_cents
+    FROM cand JOIN mn ON ps_partkey = mn_partkey
+                     AND ps_supplycost_cents = min_cost_cents
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp derived from lineitem): for each European
+    part of a given type/size band, the supplier(s) achieving the minimum
+    supply cost.  The classic correlated MIN subquery decorrelates into a
+    per-part MIN aggregate joined back on (partkey, cost) — the candidate
+    set is already dimension-filtered before the aggregate, and the min
+    table is tiny so the join-back broadcasts.  Costs compare in integer
+    cents so the min-equality is engine-exact (a float tie would be
+    undefined).  Reference parity: SURVEY.md §2 extension surface."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey", "ps_supplycost_cents", "s_name", "n_name",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias(
+                "s_acctbal_cents"
+            ),
+        )
+    )
+    mn = cand.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("min_cost_cents")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cost_cents")),
+        )
+        .select(
+            "ps_partkey", "s_name", "n_name", "s_acctbal_cents",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+        SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS val_cents
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    grp AS (
+        SELECT ps_partkey, CAST(SUM(val_cents) AS BIGINT) AS value_cents
+        FROM natps GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(val_cents) AS BIGINT) AS total_cents FROM natps)
+    SELECT ps_partkey, value_cents
+    FROM grp CROSS JOIN tot
+    WHERE value_cents * 1000 > total_cents
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp derived from lineitem): parts whose
+    stock value held by one region's suppliers exceeds a fraction of that
+    region's total.  The classic HAVING-against-scalar-subquery plans as
+    a per-part aggregate plus a 1-row total broadcast-cross-joined into
+    the filter — never a second scan-side shuffle.  The threshold is
+    integer cross-multiplication (value*1000 > total ⟺ value > total/1000)
+    so no division can diverge; values stay well inside int64 (≤~1e10
+    per part × 1000)."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+                "val_cents"
+            ),
+        )
+    )
+    grp = natps.groupBy("ps_partkey").agg(
+        F.sum("val_cents").alias("value_cents")
+    )
+    tot = natps.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "q12_ship_speed_priority",
+    """
+    SELECT CASE WHEN g < 30 THEN 'FAST'
+                WHEN g <= 90 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS ship_speed,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT date_diff('day', o_orderdate, l_shipdate) AS g,
+               o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY 1
+    """,
+)
+def q12_ship_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode/receiptdate columns, so the mode
+    becomes a derived ship-speed bucket from the order→ship day gap):
+    per bucket, how many lineitems belong to high- vs low-priority
+    orders.  The classic conditional two-class aggregation — both counts
+    in ONE pass as SUM(CASE), no second scan or self-join; the date
+    range prunes lineitem row groups, and the 3-key aggregate is
+    skew-free."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    g = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(g < 30, "FAST")
+            .when(g <= 90, "MEDIUM")
+            .otherwise("SLOW")
+            .alias("ship_speed"),
+            F.when(high, 1).otherwise(0).alias("_hi"),
+        )
+        .groupBy("ship_speed")
+        .agg(
+            F.sum("_hi").alias("high_line_count"),
+            F.sum(1 - F.col("_hi")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 15, 22, 30, 41, 47, 50)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp derived from lineitem; the complaint
+    exclusion becomes negative-balance suppliers): how many distinct
+    suppliers can provide each surviving (brand, type, size) combination.
+    The NOT IN plans as a broadcast left-anti join (the exclusion list is
+    a handful of keys — never a shuffle), the part filters reach the
+    broadcast dimension scan, and COUNT(DISTINCT suppkey) expands to a
+    two-phase exact distinct aggregate on uniform keys."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 15, 22, 30, 41, 47, 50)
+    )
+    excl = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(excl),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped96 AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    excess AS (
+        SELECT DISTINCT ps_suppkey
+        FROM ps
+        JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red %'
+        JOIN shipped96 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_availqty > 2 * qty96
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp derived from lineitem): suppliers in one
+    region holding excess stock of a name-matched part family — availqty
+    more than double what they shipped of it in 1996.  The classic nested
+    IN chain plans as semi-joins end-to-end: the excess pair set is built
+    from two part-filtered aggregates equi-joined on the natural
+    (partkey, suppkey) pair, collapsed to distinct suppkeys, and the
+    supplier table is LEFT-SEMI joined against that tiny broadcast set —
+    no row of supplier data ever shuffles."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    li96 = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped96 = li96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty96")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped96,
+            (ps.ps_partkey == F.col("l_partkey"))
+            & (ps.ps_suppkey == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 2 * F.col("qty96"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND date_diff('day', o_orderdate, l_shipdate) > 60
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM pairs l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = ship > 60 days after order; no
+    receipt/commit dates in this data): suppliers in one region who were
+    the SOLE late supplier on a finished multi-supplier order.  The
+    signature double-correlated subquery pair plans as one LEFT-SEMI join
+    (another supplier exists on the order) plus one LEFT-ANTI join (no
+    OTHER supplier was late), both hash-partitioned on orderkey with the
+    suppkey-inequality as a residual condition — the only shuffles are
+    the two distinct-pair aggregates and the orderkey-keyed self-joins,
+    all on uniform keys.  The region dimension chain broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dims = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
+    )
+    return (
+        late.join(F.broadcast(dims), late.l_suppkey == F.col("s_suppkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("_k2"))
+            & (F.col("l_suppkey") != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_k3"))
+            & (F.col("l_suppkey") != F.col("_s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
 
 @register(
     "q7_nation_volume",
@@ -5509,15 +5928,21 @@ _DRIVER_FIRST = [
     # changed implementation in round 6 (now probes the persisted trigram
     # index) — stays in the window for a fresh driver row on the new path
     "substring_search_docs",
+    # late round-6 additions: the six adapted TPC-H shapes — never
+    # driver-gated (ivf_pq_topk_embeddings, pq_codes_embeddings,
+    # pq_adq_topk_embeddings, domain_mix_weights_docs,
+    # ivf_pq_sampled_topk_embeddings, rfm_segments_customers — each
+    # driver-green r4+r5 / r5 — rotate out to make room; all stay
+    # registered and replica-checked)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_ship_speed_priority",
+    "q16_supplier_variety",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     # r4/r5-era rows kept for one more confirmation
-    "ivf_pq_topk_embeddings",
-    "pq_codes_embeddings",
-    "pq_adq_topk_embeddings",
     "bigram_familiarity_docs",
-    "domain_mix_weights_docs",
-    "ivf_pq_sampled_topk_embeddings",
     "pagerank_docs",
-    "rfm_segments_customers",
     # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
     "events_kmv_distinct",

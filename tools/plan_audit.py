@@ -38,6 +38,7 @@ ALLOWED_SOFT = {
     "corpus_shuffle_positions": "<=P-row per-partition offset cumsum (distributed_row_number)",
     "q6_revenue_filter": "single-row global aggregate (final partial merge)",
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
+    "q11_important_stock": "1-row regional stock-value total (broadcast threshold)",
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
     "q17_small_quantity_revenue": "single-row global aggregate (final partial merge)",
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",
