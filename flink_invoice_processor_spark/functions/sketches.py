@@ -231,3 +231,99 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
             "segment", "n_kept", "kth_min", est.alias("est_distinct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+
+#: Bits per filter word.  60 (not 64) so every mask is a positive int64 —
+#: ``1 << 60..63`` would wander into the sign bit, and signed-shift
+#: semantics at the boundary are exactly the kind of engine edge the
+#: oracle compare exists to avoid.
+BLOOM_WORD_BITS = 60
+
+
+def _bloom_positions(v: Column, m_bits: int, k: int) -> Column:
+    """Array of the k bit positions for one value: md5("i:" || v) % m."""
+    return F.array(
+        *[
+            _md5_int63(F.concat(F.lit(f"{i}:"), v)) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_words(
+    values: DataFrame, value_col: Column, m_bits: int = 1020, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as (word_idx, word) rows.
+
+    The filter is ``m_bits`` bits stored as ``m_bits / 60`` int64 words
+    (``m_bits`` must be a multiple of BLOOM_WORD_BITS).  Each value sets
+    ``k`` md5-derived bit positions; words aggregate with ``bit_or`` —
+    which IS the merge operator, so shard partials OR together into the
+    corpus filter with no re-scan (and unlike CMS's SUM-merge, bit-OR is
+    idempotent: replaying a shard cannot corrupt the filter).  At 100 TB
+    the build is one explode (k rows per distinct value) plus a bounded
+    aggregate of ≤ m_bits/60 result rows — map-side combined, no sort;
+    the finished filter is a few KB, broadcast everywhere it is probed.
+
+    The reference engine has no membership sketch (nearest behavior is
+    the retry-dedup composite key, `REF/process/response/
+    InvoiceResponseDeduplicator.java`); this is the 100 TB extension for
+    "have we seen this key" questions where an exact set would shuffle.
+    """
+    if m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    v = values.select(value_col.cast("string").alias("_bv")).distinct()
+    pos = v.select(
+        F.explode(_bloom_positions(F.col("_bv"), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    value_col: Column,
+    words: DataFrame,
+    m_bits: int = 1020,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a Bloom filter: (value, bloom_hit) per distinct candidate.
+
+    ``bloom_hit`` is true iff ALL k of the candidate's bit positions are
+    set — the one-sided guarantee: never a false negative, false
+    positives at the designed rate.  The filter side is a broadcast hash
+    join (≤ m_bits/60 rows), so probing N candidates is a pure map pass:
+    k broadcast lookups per candidate, no shuffle of candidate data
+    beyond the per-value distinct.  Words absent from the build (no bit
+    ever set) read as 0 via the left join.
+    """
+    c = candidates.select(value_col.cast("string").alias("value")).distinct()
+    ex = c.select(
+        "value",
+        F.explode(_bloom_positions(F.col("value"), m_bits, k)).alias("pos"),
+    )
+    j = ex.select(
+        "value",
+        F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("_mask"),
+    ).join(F.broadcast(words), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
+    )
+    return j.groupBy("value").agg(F.bool_and(hit).alias("bloom_hit"))

@@ -5180,6 +5180,79 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_estimates(sketch, k=64)
 
 
+@register(
+    "events_bloom_membership",
+    """
+    WITH members AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE event_type = 'purchase' AND value > 250.0
+    ),
+    i3 AS (SELECT unnest(range(0, 3)) AS i),
+    mpos AS (
+        SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15))
+                   ::BIGINT % 1020 AS pos
+        FROM members CROSS JOIN i3
+    ),
+    words AS (
+        SELECT pos // 60 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word
+        FROM mpos GROUP BY 1
+    ),
+    cand AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events),
+    cpos AS (
+        SELECT value,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || value), 1, 15))
+                   ::BIGINT % 1020 AS pos
+        FROM cand CROSS JOIN i3
+    ),
+    probe AS (
+        SELECT value,
+               bool_and((COALESCE(word, 0)
+                         & (1::BIGINT << CAST(pos % 60 AS INT))) <> 0)
+                   AS bloom_hit
+        FROM cpos LEFT JOIN words ON pos // 60 = word_idx
+        GROUP BY value
+    )
+    SELECT CAST(p.value AS BIGINT) AS user_id, p.bloom_hit,
+           m.v IS NOT NULL AS is_member
+    FROM probe p LEFT JOIN members m ON p.value = m.v
+    """,
+)
+def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: build a 1020-bit / 3-hash filter
+    over high-value purchasers, probe EVERY distinct user against it,
+    and emit (user_id, bloom_hit, is_member) with the exact answer
+    alongside — the oracle re-derives the identical filter bit-for-bit,
+    which proves the one-sided guarantee (bloom_hit ⊇ is_member) as a
+    hash equality rather than a tolerance.
+
+    Scale shape: the filter is a ≤17-row bit_or aggregate (bit-OR is the
+    merge law AND idempotent under replay — contrast the CMS epoch fence
+    in streaming/sketch_rollup.py); probing broadcasts those rows, so
+    membership over 10^11 candidates is a map pass.  The md5 positions
+    are the same portable integer hashing the KMV/MinHash family uses."""
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250.0)
+    ).select("user_id")
+    words = SK.bloom_words(members, F.col("user_id"), m_bits=1020, k=3)
+    cand = ev.select("user_id")
+    probed = SK.bloom_probe(cand, F.col("user_id"), words, m_bits=1020, k=3)
+    mem = members.select(
+        F.col("user_id").cast("string").alias("_mv")
+    ).distinct()
+    return (
+        probed.join(
+            F.broadcast(mem), probed.value == F.col("_mv"), "left"
+        )
+        .select(
+            F.col("value").cast("long").alias("user_id"),
+            "bloom_hit",
+            F.col("_mv").isNotNull().alias("is_member"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 text-pipeline family: boilerplate strip, quality classifier,
 # DSIR importance weights, PMI collocations
@@ -5940,9 +6013,12 @@ _DRIVER_FIRST = [
     "q16_supplier_variety",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    # r4/r5-era rows kept for one more confirmation
+    # Bloom membership sketch (new round 6; pagerank_docs — driver-green
+    # r5, its corpus-scale successor pagerank_tight_docs already in the
+    # window — rotates out to make room)
+    "events_bloom_membership",
+    # r4/r5-era row kept for one more confirmation
     "bigram_familiarity_docs",
-    "pagerank_docs",
     # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
     "events_kmv_distinct",

@@ -150,3 +150,79 @@ def test_kmv_kth_min_is_truly_kth_smallest_under_merge(spark, n_salts):
     assert est["s"].kth_min == truth[k - 1]
     # and the merged sketch holds exactly the k smallest, not just k rows
     assert sorted(r.h for r in merged.collect()) == truth[:k]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_never_false_negative_and_tiny_filter_false_positives(spark):
+    """The one-sided guarantee on a deliberately saturated 60-bit filter:
+    every member hits; with 40 members in 60 bits some non-members MUST
+    hit too (pigeonhole: 3*40 positions over 60 bits)."""
+    members = spark.createDataFrame([Row(v=i) for i in range(40)])
+    words = SK.bloom_words(members, F.col("v"), m_bits=60, k=3)
+    cands = spark.createDataFrame([Row(v=i) for i in range(200)])
+    got = {
+        int(r["value"]): r["bloom_hit"]
+        for r in SK.bloom_probe(
+            cands, F.col("v"), words, m_bits=60, k=3
+        ).collect()
+    }
+    assert all(got[i] for i in range(40))  # no false negatives, ever
+    assert any(got[i] for i in range(40, 200))  # saturated -> FPs exist
+
+
+def test_bloom_shard_merge_is_bitor_and_idempotent(spark):
+    """bit_or over shard partials == whole-set build, and replaying a
+    shard (OR-ing it in twice) changes nothing — the property that lets
+    streaming rollups merge bloom partials without an epoch fence."""
+    a = spark.createDataFrame([Row(v=i) for i in range(0, 30)])
+    b = spark.createDataFrame([Row(v=i) for i in range(30, 60)])
+    whole = spark.createDataFrame([Row(v=i) for i in range(60)])
+    wa = SK.bloom_words(a, F.col("v"), m_bits=300, k=3)
+    wb = SK.bloom_words(b, F.col("v"), m_bits=300, k=3)
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in wa.unionByName(wb)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    direct = {
+        r["word_idx"]: r["word"]
+        for r in SK.bloom_words(whole, F.col("v"), m_bits=300, k=3).collect()
+    }
+    assert merged == direct
+    replayed = {
+        r["word_idx"]: r["word"]
+        for r in wa.unionByName(wb)
+        .unionByName(wa)  # shard A delivered twice
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    assert replayed == direct
+
+
+def test_bloom_probe_of_empty_filter_all_miss(spark):
+    empty = spark.createDataFrame([], "v long")
+    words = SK.bloom_words(empty, F.col("v"), m_bits=300, k=3)
+    cands = spark.createDataFrame([Row(v=i) for i in range(10)])
+    rows = SK.bloom_probe(cands, F.col("v"), words, m_bits=300, k=3).collect()
+    assert len(rows) == 10 and not any(r["bloom_hit"] for r in rows)
+
+
+def test_bloom_rejects_unaligned_m_bits(spark):
+    with pytest.raises(ValueError):
+        SK.bloom_words(
+            spark.createDataFrame([Row(v=1)]), F.col("v"), m_bits=100, k=3
+        )
+
+
+def test_bloom_masks_always_positive(spark):
+    """60-bit words keep every mask clear of the int64 sign bit."""
+    members = spark.createDataFrame([Row(v=i) for i in range(500)])
+    words = SK.bloom_words(members, F.col("v"), m_bits=1020, k=3)
+    assert words.where(F.col("word") < 0).count() == 0
+    assert words.count() <= 17  # 1020 / 60
