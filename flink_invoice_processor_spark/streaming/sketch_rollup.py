@@ -26,7 +26,13 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions.sketches import cms_bucket, cms_counters, kmv_merge, kmv_sketch
+from ..functions.sketches import (
+    bloom_words,
+    cms_bucket,
+    cms_counters,
+    kmv_merge,
+    kmv_sketch,
+)
 
 _VERSION = "_VERSION"
 
@@ -150,6 +156,47 @@ def cms_rollup_writer(key, table_path: str, depth: int = 3, width: int = 1024):
         _swap_in(merged, table_path, batch_id)
 
     return process
+
+
+def bloom_rollup_writer(
+    value: Column, table_path: str, m_bits: int = 1020, k: int = 3
+):
+    """``foreachBatch`` function maintaining a Bloom membership filter
+    across micro-batches: each batch's values become a partial filter
+    (``bloom_words``) that bit-ORs into the stored words.
+
+    Of the three rollups this one needs the LEAST machinery: bit-OR is
+    the merge law AND idempotent, so — like KMV's min-k and unlike CMS's
+    SUM — a replayed at-least-once epoch re-ORs the same bits to no
+    effect, and no batch-id fence is required.  State is ≤ m_bits/60
+    rows forever; the stored filter answers "was this key EVER seen on
+    the stream" via ``bloom_probe`` with the one-sided no-false-negative
+    guarantee.  Same version-directory swap as the other rollups."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(table_path, exist_ok=True)
+        batch_words = bloom_words(batch_df, value, m_bits=m_bits, k=k)
+        prev = read_bloom_table(spark, table_path)
+        merged = (
+            prev.unionByName(batch_words)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        ).localCheckpoint()
+        _swap_in(merged, table_path, batch_id)
+
+    return process
+
+
+_BLOOM_SCHEMA = "word_idx LONG, word LONG"
+
+
+def read_bloom_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current Bloom filter words, or empty before the first batch."""
+    version = _current_version(path)
+    if version is None:
+        return spark.createDataFrame([], _BLOOM_SCHEMA)
+    return spark.read.parquet(os.path.join(path, version))
 
 
 _CMS_SCHEMA = "row_i INT, bucket LONG, cnt LONG"

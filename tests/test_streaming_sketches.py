@@ -185,3 +185,67 @@ def test_cms_rollup_replayed_epoch_is_fenced(spark, tmp_path):
         for r in read_cms_table(spark, str(table)).collect()
     )
     assert sum(after.values()) == sum(c for *_ , c in once) + 2  # depth=2
+
+
+def test_bloom_rollup_equals_batch_filter_and_replay_safe(spark, tmp_path):
+    """Streamed bloom partials OR into exactly the batch-built filter of
+    everything seen, probes answer with no false negatives, and
+    re-merging a batch's words (the at-least-once replay) is a no-op —
+    bloom needs no epoch fence, unlike CMS."""
+    from flink_invoice_processor_spark.streaming.sketch_rollup import (
+        bloom_rollup_writer,
+        read_bloom_table,
+    )
+
+    src, table = tmp_path / "in", tmp_path / "bloom"
+    rows_a = [{"seg": "x", "val": i} for i in range(0, 40)]
+    rows_b = [{"seg": "x", "val": i} for i in range(20, 80)]
+    _write(src, "a.jsonl", rows_a)
+    time.sleep(0.01)
+    _write(src, "b.jsonl", rows_b)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            bloom_rollup_writer(F.col("val"), str(table), m_bits=300, k=3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = read_bloom_table(spark, str(table))
+    assert stored.count() <= 5  # 300 / 60 words, state bounded
+
+    all_rows = spark.createDataFrame(
+        [(r["seg"], r["val"]) for r in rows_a + rows_b], SCHEMA
+    )
+    direct = SK.bloom_words(all_rows, F.col("val"), m_bits=300, k=3)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # no false negatives for everything the stream saw
+    probe = SK.bloom_probe(
+        all_rows, F.col("val"), stored, m_bits=300, k=3
+    )
+    assert probe.where(~F.col("bloom_hit")).count() == 0
+
+    # replay safety: OR-ing batch A's words in again changes nothing
+    wa = SK.bloom_words(
+        spark.createDataFrame([(r["seg"], r["val"]) for r in rows_a], SCHEMA),
+        F.col("val"), m_bits=300, k=3,
+    )
+    remerged = (
+        stored.unionByName(wa)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    assert sorted(map(tuple, remerged.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
