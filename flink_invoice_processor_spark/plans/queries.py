@@ -2806,6 +2806,66 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_scd2_history",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type
+        FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                AS BIGINT) AS version
+    FROM changes
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each user's event_type
+    as a versioned state with [valid_from, valid_to) intervals — the
+    MERGE-style dimension-maintenance operator warehouses run on every
+    load, expressed as one batch plan.  Consecutive duplicate states
+    collapse into one version (the SCD2 no-op-update rule); the open
+    interval (valid_to NULL) marks the current state.
+
+    Scale shape: both windows and the change-filter share ONE user_id
+    partitioning — Catalyst plans a single exchange, and per-user
+    ordering is partition-local ((user_id, ts) is unique in this data,
+    so the order is total and the lag/lead deterministic).  At 100 TB
+    this is the incremental-merge pattern's full-rebuild oracle: the
+    streaming path would upsert only changed users via the matview
+    partition-overwrite machinery (streaming/matview.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    changes = (
+        ev.select(
+            "user_id", "ts", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+@register(
     "q10_returned_items",
     """
     WITH rev AS (
@@ -6017,8 +6077,9 @@ _DRIVER_FIRST = [
     # r5, its corpus-scale successor pagerank_tight_docs already in the
     # window — rotates out to make room)
     "events_bloom_membership",
-    # r4/r5-era row kept for one more confirmation
-    "bigram_familiarity_docs",
+    # SCD2 state history (new round 6; bigram_familiarity_docs —
+    # driver-green r4+r5 — rotates out to make room)
+    "events_scd2_history",
     # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
     "events_kmv_distinct",

@@ -110,3 +110,26 @@ def test_events_user_rolling_single_user_shuffle(spark, sf_dir):
 def test_embedding_quantize_is_shuffle_free(spark, sf_dir):
     df = QUERIES["embedding_quantize"](spark, sf_dir)
     assert "Exchange" not in _plan(df)  # pure map at scan speed
+
+
+def test_scd2_single_user_shuffle_and_interval_laws(spark, sf_dir):
+    """Both SCD2 windows + the change filter share one user_id exchange,
+    and the output obeys the type-2 laws: exactly one open interval per
+    user, intervals tile (valid_to == next valid_from), versions dense
+    from 1, and no two consecutive versions share a state."""
+    df = QUERIES["events_scd2_history"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    rows = df.collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r["is_current"] for r in hist) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gap-free tiling
+            assert a["state"] != b["state"]  # no no-op versions
