@@ -304,26 +304,36 @@ def bloom_probe(
 
     ``bloom_hit`` is true iff ALL k of the candidate's bit positions are
     set — the one-sided guarantee: never a false negative, false
-    positives at the designed rate.  The filter side is a broadcast hash
-    join (≤ m_bits/60 rows), so probing N candidates is a pure map pass:
-    k broadcast lookups per candidate, no shuffle of candidate data
-    beyond the per-value distinct.  Words absent from the build (no bit
-    ever set) read as 0 via the left join.
+    positives at the designed rate.  The filter side joins as k
+    broadcast hash lookups (≤ m_bits/60 rows each — the cms_estimate
+    pattern), so after the per-value distinct, probing N candidates is a
+    pure map pass: no explode, no re-shuffle of candidate rows to
+    reassemble per-value verdicts.  Words absent from the build (no bit
+    ever set) read as 0 via the left joins.
     """
+    if m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
     c = candidates.select(value_col.cast("string").alias("value")).distinct()
-    ex = c.select(
-        "value",
-        F.explode(_bloom_positions(F.col("value"), m_bits, k)).alias("pos"),
-    )
-    j = ex.select(
-        "value",
-        F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
-        F.expr(
+    hits = []
+    for i in range(k):
+        pos = _md5_int63(F.concat(F.lit(f"{i}:"), F.col("value"))) % m_bits
+        c = c.withColumn(f"_p{i}", pos)
+        wi = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        c = c.join(
+            F.broadcast(wi),
+            F.expr(f"_p{i} DIV {BLOOM_WORD_BITS}") == F.col(f"_wi{i}"),
+            "left",
+        )
+        mask = F.expr(
             f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("_mask"),
-    ).join(F.broadcast(words), "word_idx", "left")
-    hit = (
-        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
-    )
-    return j.groupBy("value").agg(F.bool_and(hit).alias("bloom_hit"))
+            f"CAST(_p{i} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        hits.append(
+            F.coalesce(F.col(f"_w{i}"), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    hit = hits[0]
+    for h in hits[1:]:
+        hit = hit & h
+    return c.select("value", hit.alias("bloom_hit"))

@@ -49,6 +49,11 @@ REPRESENTATIVE = [
     "events_kmv_distinct",
     "boilerplate_strip_docs",
     "semantic_dedup_embeddings",
+    # round-6 families: double self-join EXISTS/NOT-EXISTS (the
+    # join-heaviest TPC-H shape), bloom build+probe, two-window SCD2
+    "q21_waiting_suppliers",
+    "events_bloom_membership",
+    "events_scd2_history",
 ]
 
 
