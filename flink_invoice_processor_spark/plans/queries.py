@@ -3358,18 +3358,27 @@ def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit price in integer cents.  One uniform-key shuffle on the natural
     (partkey, suppkey) pair; quantities cast per-row to BIGINT so the sum
     is exact, and the unit-price division is the identical IEEE double
-    expression in both engines before the floor."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
-        F.min(
-            F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
-            .cast("long")
-        ).alias("ps_supplycost_cents"),
-    )
+    expression in both engines before the floor.
+
+    Four queries (Q2/Q11/Q16/Q20) derive this identical relation, so a
+    suite pass shares one materialization via the opt-in suite cache;
+    standalone, each query builds its own (same contract as the PQ
+    codebooks)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        ).agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+                .cast("long")
+            ).alias("ps_supplycost_cents"),
+        )
+
+    return SC.memo_df(("pseudo_partsupp", sf_dir), build)
 
 
 @register(
