@@ -1,0 +1,65 @@
+"""Change-data-capture MERGE apply: fold a batch of keyed change rows
+(insert / update / delete) into a base snapshot in one batch plan.
+
+This is the warehouse MERGE INTO (Delta/Iceberg upsert) semantics the
+reference's retry-queue DML sink performs row-at-a-time against MySQL
+(`REF/sink/InvoiceRetrySink.java:33-42` — CREATE/UPDATE/DELETE by key);
+here the same contract is expressed set-oriented so a 100 TB snapshot
+folds a change batch with ONE key-partitioned anti join plus a union:
+
+- the anti join shuffles both sides on the natural key (or neither, if
+  base and changes are bucketed on it — see tests/test_bucketing.py);
+- updated/inserted payloads never touch the base scan;
+- the output is a full new snapshot; at scale the write side would be
+  partition-overwrite on the touched partitions only (the matview
+  pattern, streaming/matview.py), which composes with this plan as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Change-row operations: delete, update (payload replaces the base
+#: row), insert (payload is a new row).
+CDC_OPS = ("D", "U", "I")
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """New snapshot from ``base`` + one batch of change rows.
+
+    ``changes`` carries an ``op`` column ('D'/'U'/'I') plus the full
+    payload (base's columns) for 'U' and 'I' rows.  Contract: at most
+    one change row per key per batch (the last-writer-wins collapse of
+    a CDC stream into per-key batch deltas happens upstream — e.g. a
+    max_by(ts) aggregate); duplicate keys in one batch are undefined,
+    matching MERGE INTO.  Output adds ``src``:
+    'kept' (untouched base row), 'updated', 'inserted'.
+    """
+    bad = changes.where(~F.col("op").isin(*CDC_OPS))
+    touched = changes.where(F.col("op").isin("U", "D")).select(keys)
+    kept = base.join(touched, keys, "left_anti").withColumn(
+        "src", F.lit("kept")
+    )
+    replaced = (
+        changes.where(F.col("op").isin("U", "I"))
+        # lazy op-domain guard rides the replaced branch: an unknown op
+        # would otherwise be silently dropped by both filters
+        .crossJoin(
+            F.broadcast(bad.agg(F.count("*").alias("_n_bad")))
+        )
+        .where(
+            F.assert_true(
+                F.col("_n_bad") == 0,
+                F.lit("apply_changes: op must be one of D/U/I"),
+            ).isNull()
+        )
+        .select(
+            *base.columns,
+            F.when(F.col("op") == "U", "updated")
+            .otherwise("inserted")
+            .alias("src"),
+        )
+    )
+    return kept.unionByName(replaced)

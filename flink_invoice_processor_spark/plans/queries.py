@@ -2866,6 +2866,184 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_cdc_apply",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+               o_orderpriority
+        FROM orders
+    ),
+    upd AS (SELECT o_orderkey AS k, totalprice_cents + 500 AS p,
+                   o_custkey AS c, o_orderpriority AS pr
+            FROM base WHERE o_orderkey % 7 = 1),
+    del AS (SELECT o_orderkey AS k FROM base WHERE o_orderkey % 7 = 0),
+    ins AS (SELECT o_orderkey + 10000000 AS k, o_custkey AS c,
+                   totalprice_cents AS p
+            FROM base WHERE o_orderkey % 7 = 2)
+    SELECT b.o_orderkey, b.o_custkey,
+           COALESCE(u.p, b.totalprice_cents) AS totalprice_cents,
+           COALESCE(u.pr, b.o_orderpriority) AS o_orderpriority,
+           CASE WHEN u.k IS NOT NULL THEN 'updated' ELSE 'kept' END AS src
+    FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
+    WHERE b.o_orderkey NOT IN (SELECT k FROM del)
+    UNION ALL
+    SELECT k, c, p, 'CDC-NEW', 'inserted' FROM ins
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (functions/cdc.py): fold a deterministic change
+    batch — deletes (key%7=0), price updates (+5.00, key%7=1), inserts
+    (shifted keys, key%7=2) — into the orders snapshot in one plan.
+    Set-oriented MERGE INTO: one key anti join for deletes/updates, a
+    union for the new payloads; the reference performs these very
+    CREATE/UPDATE/DELETE ops row-at-a-time against MySQL
+    (`REF/sink/InvoiceRetrySink.java:33-42`) — this is the batch form a
+    snapshot store needs.  The oracle replays the merge relationally."""
+    from ..functions import cdc as CDC
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "totalprice_cents"
+        ),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+    deletes = base.where(k % 7 == 0).select(
+        F.lit("D").alias("op"), "o_orderkey", "o_custkey",
+        "totalprice_cents", "o_orderpriority",
+    )
+    updates = base.where(k % 7 == 1).select(
+        F.lit("U").alias("op"), "o_orderkey", "o_custkey",
+        (F.col("totalprice_cents") + 500).alias("totalprice_cents"),
+        "o_orderpriority",
+    )
+    inserts = base.where(k % 7 == 2).select(
+        F.lit("I").alias("op"),
+        (k + 10000000).alias("o_orderkey"), "o_custkey",
+        "totalprice_cents", F.lit("CDC-NEW").alias("o_orderpriority"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return CDC.apply_changes(base, changes, ["o_orderkey"])
+
+
+@register(
+    "events_incident_overlap_join",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '5 minutes'
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL '5 minutes' AS s_end
+        FROM s GROUP BY user_id, sess
+    ),
+    incidents AS (
+        SELECT event_id AS incident_id, ts AS i_start,
+               ts + INTERVAL '10 minutes' AS i_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT user_id, s_start AS session_start, incident_id,
+           -- microseconds, not seconds: DuckDB's date_diff counts
+           -- boundary CROSSINGS while Spark's timestampdiff truncates
+           -- elapsed time; at microsecond precision (the data's own)
+           -- the two definitions coincide exactly
+           CAST(date_diff('microsecond',
+                          greatest(s_start, i_start),
+                          least(s_end, i_end)) AS BIGINT) AS overlap_us
+    FROM sessions JOIN incidents
+      ON s_start < i_end AND i_start < s_end
+    """,
+)
+def events_incident_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join: per-user activity sessions against
+    global error-incident windows, overlap length in whole seconds.
+
+    The oracle states the textbook range join (s.start < i.end AND
+    i.start < s.end — a cartesian in any engine without help); the Spark
+    plan BLOCKS it first: both interval sets explode into the 10-minute
+    epoch buckets they cover, equi-join on bucket, distinct the pair,
+    then apply the exact predicate.  Any truly overlapping pair shares a
+    covered bucket (the overlap region's instants bucket into both
+    sides' covered ranges), so blocking loses nothing; bucket width
+    trades candidate fan-out against explode factor.  At 100 TB this is
+    the standard time-bucketed range-join shape: shuffle keys are
+    (bucket), uniform by construction, and the exact filter runs
+    post-join on candidate pairs only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # exact-timestamp gap rule (microsecond boundaries must match the
+    # oracle's interval comparison — truncated epoch seconds would not)
+    brk = F.when(
+        F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 5 MINUTES"), 0
+    ).otherwise(1)
+    s = ev.select("user_id", "ts", brk.alias("brk")).select(
+        "user_id", "ts",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess"),
+    )
+    sessions = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 5 MINUTES")).alias("s_end"),
+    ).drop("sess")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
+    )
+
+    sb = sessions.select(
+        "*", F.explode(
+            F.sequence(
+                (_epoch_sec("s_start") / 600).cast("long"),
+                (_epoch_sec("s_end") / 600).cast("long"),
+            )
+        ).alias("bucket")
+    )
+    ib = incidents.select(
+        "*", F.explode(
+            F.sequence(
+                (_epoch_sec("i_start") / 600).cast("long"),
+                (_epoch_sec("i_end") / 600).cast("long"),
+            )
+        ).alias("bucket")
+    )
+    cand = (
+        sb.join(ib, "bucket")
+        .select("user_id", "s_start", "s_end", "incident_id", "i_start", "i_end")
+        .distinct()
+    )
+    return (
+        cand.where(
+            (F.col("s_start") < F.col("i_end"))
+            & (F.col("i_start") < F.col("s_end"))
+        )
+        .select(
+            "user_id",
+            F.col("s_start").alias("session_start"),
+            "incident_id",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, greatest(s_start, i_start), "
+                "least(s_end, i_end)) AS BIGINT)"
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@register(
     "q10_returned_items",
     """
     WITH rev AS (
@@ -6089,13 +6267,17 @@ _DRIVER_FIRST = [
     # SCD2 state history (new round 6; bigram_familiarity_docs —
     # driver-green r4+r5 — rotates out to make room)
     "events_scd2_history",
+    # CDC merge-apply + bucketized interval join (new round 6;
+    # dsir_weights_docs and pmi_bigrams_docs — driver-green r5, and their
+    # wide variants stay in the window exercising the same family —
+    # rotate out to make room)
+    "orders_cdc_apply",
+    "events_incident_overlap_join",
     # round-5 additions, driver-green once (r5) — second confirmation
     "events_heavy_hitters",
     "events_kmv_distinct",
     "boilerplate_strip_docs",
     "quality_classifier_docs",
-    "dsir_weights_docs",
-    "pmi_bigrams_docs",
     "semantic_dedup_embeddings",
     "hybrid_rrf_docs",
     "triangle_counts_docs",

@@ -39,6 +39,7 @@ ALLOWED_SOFT = {
     "q6_revenue_filter": "single-row global aggregate (final partial merge)",
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
     "q11_important_stock": "1-row regional stock-value total (broadcast threshold)",
+    "orders_cdc_apply": "1-row bad-op count for the lazy op-domain assert",
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
     "q17_small_quantity_revenue": "single-row global aggregate (final partial merge)",
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",
