@@ -37,24 +37,35 @@ def apply_changes(
     matching MERGE INTO.  Output adds ``src``:
     'kept' (untouched base row), 'updated', 'inserted'.
     """
-    bad = changes.where(~F.col("op").isin(*CDC_OPS))
+    # lazy op-domain guard: an unknown op would be silently dropped by
+    # both branch filters, so a 1-row bad-op count is asserted on BOTH
+    # branches (a guard on one branch alone depends on that branch being
+    # non-empty — or on Catalyst pushing the predicate across the join —
+    # to ever evaluate).  Remaining corner: if base AND the valid
+    # changes are BOTH empty the whole plan has no rows and no lazy
+    # expression can fire — but then nothing was silently produced
+    # either; callers needing an eager check can validate the batch
+    # themselves before calling.
+    n_bad = F.broadcast(
+        changes.where(~F.col("op").isin(*CDC_OPS)).agg(
+            F.count("*").alias("_n_bad")
+        )
+    )
+    guard = F.assert_true(
+        F.col("_n_bad") == 0,
+        F.lit("apply_changes: op must be one of D/U/I"),
+    ).isNull()
     touched = changes.where(F.col("op").isin("U", "D")).select(keys)
-    kept = base.join(touched, keys, "left_anti").withColumn(
-        "src", F.lit("kept")
+    kept = (
+        base.join(touched, keys, "left_anti")
+        .crossJoin(n_bad)
+        .where(guard)
+        .select(*base.columns, F.lit("kept").alias("src"))
     )
     replaced = (
         changes.where(F.col("op").isin("U", "I"))
-        # lazy op-domain guard rides the replaced branch: an unknown op
-        # would otherwise be silently dropped by both filters
-        .crossJoin(
-            F.broadcast(bad.agg(F.count("*").alias("_n_bad")))
-        )
-        .where(
-            F.assert_true(
-                F.col("_n_bad") == 0,
-                F.lit("apply_changes: op must be one of D/U/I"),
-            ).isNull()
-        )
+        .crossJoin(n_bad)
+        .where(guard)
         .select(
             *base.columns,
             F.when(F.col("op") == "U", "updated")

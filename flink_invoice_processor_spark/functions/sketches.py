@@ -244,13 +244,25 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
 BLOOM_WORD_BITS = 60
 
 
+def _bloom_pos(i: int, v: Column, m_bits: int) -> Column:
+    """Bit position of hash function i for one value: md5("i:" || v) % m.
+    Build and probe MUST agree bit-for-bit (the no-false-negative
+    guarantee rests on it), so both go through this single definition."""
+    return _md5_int63(F.concat(F.lit(f"{i}:"), v)) % m_bits
+
+
 def _bloom_positions(v: Column, m_bits: int, k: int) -> Column:
-    """Array of the k bit positions for one value: md5("i:" || v) % m."""
-    return F.array(
-        *[
-            _md5_int63(F.concat(F.lit(f"{i}:"), v)) % m_bits
-            for i in range(k)
-        ]
+    """Array of the k bit positions for one value."""
+    return F.array(*[_bloom_pos(i, v, m_bits) for i in range(k)])
+
+
+def _bloom_mask(pos_sql: str) -> Column:
+    """Single-bit int64 mask for a position expression (SQL fragment).
+    Shared by build and probe for the same bit-for-bit reason as
+    ``_bloom_pos``; BLOOM_WORD_BITS=60 keeps every mask positive."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({pos_sql}) % {BLOOM_WORD_BITS} AS INT))"
     )
 
 
@@ -283,10 +295,7 @@ def bloom_words(
     return (
         pos.select(
             F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-            ).alias("_mask"),
+            _bloom_mask("pos").alias("_mask"),
         )
         .groupBy("word_idx")
         .agg(F.bit_or("_mask").alias("word"))
@@ -316,8 +325,7 @@ def bloom_probe(
     c = candidates.select(value_col.cast("string").alias("value")).distinct()
     hits = []
     for i in range(k):
-        pos = _md5_int63(F.concat(F.lit(f"{i}:"), F.col("value"))) % m_bits
-        c = c.withColumn(f"_p{i}", pos)
+        c = c.withColumn(f"_p{i}", _bloom_pos(i, F.col("value"), m_bits))
         wi = words.select(
             F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
         )
@@ -326,12 +334,11 @@ def bloom_probe(
             F.expr(f"_p{i} DIV {BLOOM_WORD_BITS}") == F.col(f"_wi{i}"),
             "left",
         )
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(_p{i} % {BLOOM_WORD_BITS} AS INT))"
-        )
         hits.append(
-            F.coalesce(F.col(f"_w{i}"), F.lit(0)).bitwiseAND(mask) != 0
+            F.coalesce(F.col(f"_w{i}"), F.lit(0)).bitwiseAND(
+                _bloom_mask(f"_p{i}")
+            )
+            != 0
         )
     hit = hits[0]
     for h in hits[1:]:

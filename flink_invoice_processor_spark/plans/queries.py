@@ -2969,7 +2969,8 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_incident_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap (range) join: per-user activity sessions against
-    global error-incident windows, overlap length in whole seconds.
+    global error-incident windows, overlap length in microseconds
+    (``overlap_us`` — see the oracle's comment for why not seconds).
 
     The oracle states the textbook range join (s.start < i.end AND
     i.start < s.end — a cartesian in any engine without help); the Spark

@@ -31,10 +31,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.cdc import apply_changes
-from .sketch_rollup import _current_version, _marker_state, _swap_in
+from .sketch_rollup import _marker_state, _swap_in, read_versioned
 
 
 def read_snapshot(
@@ -43,10 +43,7 @@ def read_snapshot(
     """Current snapshot rows, or an empty frame before the first batch.
     ``schema`` describes the payload columns (no ``src`` — the snapshot
     stores payloads; provenance labels are per-merge outputs)."""
-    version = _current_version(path)
-    if version is None:
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(os.path.join(path, version))
+    return read_versioned(spark, path, schema)
 
 
 def cdc_snapshot_writer(table_path: str, keys: list[str], schema: str):

@@ -39,12 +39,20 @@ _VERSION = "_VERSION"
 _SKETCH_SCHEMA = "segment STRING, h LONG"
 
 
-def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
-    """Current sketch partials, or an empty frame before the first batch."""
+def read_versioned(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Current rows of a version-swapped table, or an empty frame with
+    ``schema`` before the first batch.  The one resolver every
+    versioned-table reader (KMV/CMS/bloom rollups, the CDC snapshot)
+    delegates to, so a marker-format change has a single home."""
     version = _current_version(path)
     if version is None:
-        return spark.createDataFrame([], _SKETCH_SCHEMA)
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(os.path.join(path, version))
+
+
+def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current sketch partials, or an empty frame before the first batch."""
+    return read_versioned(spark, path, _SKETCH_SCHEMA)
 
 
 def _marker_state(path: str) -> tuple[str | None, int | None]:
@@ -193,10 +201,7 @@ _BLOOM_SCHEMA = "word_idx LONG, word LONG"
 
 def read_bloom_table(spark: SparkSession, path: str) -> DataFrame:
     """Current Bloom filter words, or empty before the first batch."""
-    version = _current_version(path)
-    if version is None:
-        return spark.createDataFrame([], _BLOOM_SCHEMA)
-    return spark.read.parquet(os.path.join(path, version))
+    return read_versioned(spark, path, _BLOOM_SCHEMA)
 
 
 _CMS_SCHEMA = "row_i INT, bucket LONG, cnt LONG"
@@ -204,10 +209,7 @@ _CMS_SCHEMA = "row_i INT, bucket LONG, cnt LONG"
 
 def read_cms_table(spark: SparkSession, path: str) -> DataFrame:
     """Current CMS counter partials, or empty before the first batch."""
-    version = _current_version(path)
-    if version is None:
-        return spark.createDataFrame([], _CMS_SCHEMA)
-    return spark.read.parquet(os.path.join(path, version))
+    return read_versioned(spark, path, _CMS_SCHEMA)
 
 
 def cms_estimate(counters: DataFrame, keys: DataFrame, key, depth: int = 3,

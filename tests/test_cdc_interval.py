@@ -46,6 +46,20 @@ def test_apply_changes_rejects_unknown_op(spark):
     assert "op must be one of D/U/I" in str(ei.value)
 
 
+def test_apply_changes_rejects_unknown_op_in_deletes_only_batch(spark):
+    """The guard must fire even when the replaced (U/I) branch is empty
+    — it rides BOTH branches, so a deletes-plus-typo batch cannot
+    silently drop the typo row (review finding: a one-branch guard only
+    evaluated because Catalyst happened to push the predicate)."""
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [("D", 0, None), ("d", 1, None)], "op string, k long, v string"
+    )
+    with pytest.raises(Exception) as ei:
+        CDC.apply_changes(base, changes, ["k"]).collect()
+    assert "op must be one of D/U/I" in str(ei.value)
+
+
 def test_apply_changes_empty_batch_is_identity(spark):
     base = _base(spark)
     changes = spark.createDataFrame([], "op string, k long, v string")
