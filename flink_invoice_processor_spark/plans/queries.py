@@ -2840,29 +2840,15 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is partition-local ((user_id, ts) is unique in this data,
     so the order is total and the lag/lead deterministic).  At 100 TB
     this is the incremental-merge pattern's full-rebuild oracle: the
-    streaming path would upsert only changed users via the matview
-    partition-overwrite machinery (streaming/matview.py)."""
+    streaming maintainer (streaming/scd2_job.py) recomputes ONLY the
+    touched user-buckets per micro-batch via matview-style dynamic
+    partition overwrite, calling this very function
+    (functions/scd2.py — one definition, batch/stream parity by
+    construction, convergence pinned in tests/test_scd2_job.py)."""
+    from ..functions.scd2 import scd2_history
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    changes = (
-        ev.select(
-            "user_id", "ts", "event_type",
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .where(
-            F.col("prev_type").isNull()
-            | (F.col("prev_type") != F.col("event_type"))
-        )
-    )
-    nxt = F.lead("ts").over(w)
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
-        nxt.isNull().alias("is_current"),
-        F.row_number().over(w).cast("long").alias("version"),
-    )
+    return scd2_history(ev)
 
 
 @register(
