@@ -118,6 +118,7 @@ def duplicate_spans(
     span_tokens: int = 8,
     min_docs: int = 2,
     text_col: str = "text",
+    key_on_digest: bool = False,
 ) -> DataFrame:
     """Exact duplicated-SPAN detection — the substring-dedup family of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -131,13 +132,17 @@ def duplicate_spans(
 
     Scale shape: the window explode is linear in corpus tokens (each
     token starts at most one span) and the aggregate is a plain hash-agg
-    with map-side combine.  The GROUP BY key here is the span text
-    itself (what the DuckDB oracle can replay); at 100 TB key on
-    ``md5(span)`` instead and carry ``min(span)`` alongside — same
-    plan, 16-byte shuffle keys, and the digest doubles as the span id
-    the removal pass joins on.  Zipf skew is absorbed by the partial
-    aggregation (a boilerplate span repeated a billion times is ONE
-    row per map partition before the shuffle)."""
+    with map-side combine.  The default GROUP BY key is the span text
+    itself (what the DuckDB oracle replays, registered as
+    ``duplicate_spans_docs``); ``key_on_digest=True`` is the 100 TB
+    mode — group on ``md5(span)`` and carry ``min(span)`` alongside:
+    same plan, fixed 32-byte shuffle keys instead of whole span strings,
+    and the digest doubles as the span id a removal pass joins on.
+    ``min`` over a digest-equality group is the one span value (md5
+    collisions aside), so the two modes return identical rows —
+    pinned in ``tests/test_curation.py``.  Zipf skew is
+    absorbed by the partial aggregation (a boilerplate span repeated a
+    billion times is ONE row per map partition before the shuffle)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     spans = F.expr(
         f"transform(sequence(1, size(_toks) - {span_tokens - 1}),"
@@ -148,6 +153,18 @@ def duplicate_spans(
         .where(F.size("_toks") >= span_tokens)
         .select("doc_id", F.explode(spans).alias("span"))
     )
+    if key_on_digest:
+        return (
+            exploded.select("doc_id", "span", F.md5("span").alias("span_h"))
+            .groupBy("span_h")
+            .agg(
+                F.min("span").alias("span"),
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_occurrences"),
+            )
+            .where(F.col("n_docs") >= min_docs)
+            .select("span", "n_docs", "n_occurrences")
+        )
     return (
         exploded.groupBy("span")
         .agg(

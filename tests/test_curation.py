@@ -502,6 +502,30 @@ def test_duplicate_spans_cross_doc_only(spark):
     assert solo["self repeat self repeat self repeat self repeat"] == (1, 2)
 
 
+def test_duplicate_spans_digest_mode_matches_text_mode(spark):
+    """key_on_digest=True (the 100 TB fixed-width-shuffle-key mode) must
+    return exactly the rows the oracle-gated text-keyed mode returns."""
+    from flink_invoice_processor_spark.functions import dedup as DD
+
+    boiler = "all rights reserved by the original content owner here"
+    df = docs_df(spark, [
+        (1, f"intro text {boiler}"),
+        (2, f"{boiler} and a different tail entirely follows now"),
+        (3, "self repeat self repeat self repeat self repeat self repeat"),
+    ])
+    for min_docs in (1, 2):
+        text_keyed = sorted(
+            map(tuple, DD.duplicate_spans(
+                df, span_tokens=8, min_docs=min_docs).collect())
+        )
+        digest_keyed = sorted(
+            map(tuple, DD.duplicate_spans(
+                df, span_tokens=8, min_docs=min_docs, key_on_digest=True
+            ).collect())
+        )
+        assert text_keyed == digest_keyed and text_keyed
+
+
 def test_materialize_mix_matches_allocation(spark):
     df = spark.createDataFrame(
         [(i, "big" if i < 90 else "small") for i in range(100)],
