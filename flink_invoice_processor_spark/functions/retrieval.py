@@ -244,6 +244,76 @@ def update_trigram_index(
         ).parquet(index_path)
 
 
+def compact_trigram_index(
+    spark,
+    index_path: str,
+    upto_batch: int,
+    meta: dict | None = None,
+) -> int:
+    """Fold increment partitions ``batch <= upto_batch`` into the
+    bootstrap ``batch=-1`` base — the OPTIMIZE half of the maintained
+    index: without it a long-running stream leaves one
+    ``(bucket, batch=epoch)`` partition per epoch and every probe's
+    pruned read opens O(epochs) small files.  Returns the number of
+    increments folded (0 = nothing to do).
+
+    Shape: ONE pruned read of the affected rows, an exact-duplicate
+    drop (re-ingested postings collapse here — the probe tolerates
+    them, but scanning them forever is a tax), and a dynamic partition
+    overwrite of the ``(bucket, -1)`` base partitions; increment dirs
+    are removed after the rewrite commits.
+
+    Crash safety WITHOUT a table format: the overwrite commits via the
+    job commit protocol (old base stays if the job dies), and a death
+    between commit and the directory sweep leaves increments whose
+    content the base now duplicates — probes stay CORRECT (they
+    distinct-count trigrams per candidate) and a re-run finishes the
+    sweep, so compaction is idempotent and restartable at every point.
+    Deployments on object stores without atomic job commit should back
+    the index with Delta/Iceberg and use its OPTIMIZE instead (same
+    caveat as ``streaming/matview.py``).
+
+    Concurrency contract: run while the maintainer is stopped, or only
+    over epochs the streaming checkpoint has committed (a replay can
+    then only target epochs > ``upto_batch``).  Violating it merely
+    recreates an increment whose content the base already holds —
+    duplicate scan cost, never wrong results, healed by the next
+    compaction.  ``run_trigram_index_job(compact_every=N)`` applies
+    this contract from inside the maintainer."""
+    import glob
+    import os
+    import shutil
+
+    if meta is None:
+        meta = _read_index_meta(spark, index_path)
+    idx = spark.read.parquet(index_path)
+    batches = [
+        r["batch"] for r in idx.select("batch").distinct().collect()
+    ]
+    todo = sorted(b for b in batches if b != -1 and b <= upto_batch)
+    if not todo:
+        return 0
+    merged = (
+        idx.where(F.col("batch") <= upto_batch)
+        .select("tri", "doc_id", "tri_bucket")
+        .dropDuplicates(["tri_bucket", "tri", "doc_id"])
+        .withColumn("batch", F.lit(-1))
+        .repartition(meta["n_buckets"], "tri_bucket")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tri_bucket", "batch")
+        .parquet(index_path)
+    )
+    for b in todo:
+        for d in glob.glob(
+            os.path.join(index_path, "tri_bucket=*", f"batch={b}")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    return len(todo)
+
+
 def substring_search_indexed(
     df: DataFrame,
     query: str,

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.retrieval import _read_index_meta, update_trigram_index
+from ..functions.retrieval import (
+    _read_index_meta,
+    compact_trigram_index,
+    update_trigram_index,
+)
 
 
 def index_micro_batch(
@@ -46,6 +50,7 @@ def run_trigram_index_job(
     index_path: str,
     checkpoint: str,
     trigger_seconds: int = 2,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the index-maintenance job over a streaming documents
     DataFrame (columns: doc_id LONG, text STRING).  The index at
@@ -53,11 +58,24 @@ def run_trigram_index_job(
     ``_index_meta`` carries n_buckets/text_col so the stream can never
     drift from the bootstrap layout).  The meta is read ONCE here — it
     is immutable after bootstrap, and a per-epoch read job at a 2 s
-    trigger is a pure tax on the streaming hot path."""
+    trigger is a pure tax on the streaming hot path.
+
+    ``compact_every=N`` folds increments into the base every N epochs
+    (``compact_trigram_index`` up to ``epoch_id - 1``): epochs below the
+    current one are checkpoint-committed, so a crash-replay can only
+    target the current epoch — whose increment is NOT compacted and
+    stays replay-idempotent.  A replay that re-runs the compaction
+    itself is idempotent too (see ``compact_trigram_index``).  Without
+    it, a long-running stream accumulates one partition per epoch and
+    probe reads open O(epochs) files."""
     meta = _read_index_meta(docs.sparkSession, index_path)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         index_micro_batch(batch_df, epoch_id, index_path, meta=meta)
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_trigram_index(
+                batch_df.sparkSession, index_path, epoch_id - 1, meta=meta
+            )
 
     return (
         docs.writeStream.foreachBatch(on_batch)

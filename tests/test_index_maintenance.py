@@ -88,3 +88,85 @@ def test_streaming_job_extends_probes(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 10}
+
+
+def _batch_dirs(idx):
+    return sorted({
+        b
+        for d in os.listdir(idx) if d.startswith("tri_bucket=")
+        for b in os.listdir(os.path.join(idx, d)) if b.startswith("batch=")
+    })
+
+
+def test_compaction_folds_increments_and_preserves_probes(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = [(1, "slow join base doc"), (2, "nothing to see")]
+    RET.build_trigram_index(_docs(spark, corpus), idx, n_buckets=8)
+    adds = [(3, "slow join increment one"), (4, "slow join increment two")]
+    index_micro_batch(_docs(spark, adds[:1]), 0, idx)
+    index_micro_batch(_docs(spark, adds[1:]), 1, idx)
+    all_docs = _docs(spark, corpus + adds)
+    before = {
+        r.doc_id
+        for r in RET.substring_search_indexed(
+            all_docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()
+    }
+    assert before == {1, 3, 4}
+    assert RET.compact_trigram_index(spark, idx, upto_batch=1) == 2
+    # every increment folded into the base; probe results unchanged
+    assert _batch_dirs(idx) == ["batch=-1"]
+    after = {
+        r.doc_id
+        for r in RET.substring_search_indexed(
+            all_docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()
+    }
+    assert after == before
+    # re-running is a no-op
+    assert RET.compact_trigram_index(spark, idx, upto_batch=5) == 0
+
+
+def test_compaction_collapses_duplicate_postings(spark, tmp_path):
+    """A crash between the base rewrite and the directory sweep (or a
+    violated concurrency contract) leaves increments the base already
+    duplicates — probes stay right and a re-run heals."""
+    idx = str(tmp_path / "idx")
+    doc = [(1, "slow join once")]
+    RET.build_trigram_index(_docs(spark, doc), idx, n_buckets=8)
+    index_micro_batch(_docs(spark, doc), 0, idx)  # re-ingest: duplicates
+    assert RET.compact_trigram_index(spark, idx, upto_batch=0) == 1
+    base = spark.read.parquet(idx)
+    # exact duplicates collapsed in the fold
+    assert base.count() == base.dropDuplicates(["tri", "doc_id"]).count()
+    # simulate the crash window: the same increment reappears post-fold
+    index_micro_batch(_docs(spark, doc), 0, idx)
+    got = {
+        r.doc_id
+        for r in RET.substring_search_indexed(
+            _docs(spark, doc), "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()
+    }
+    assert got == {1}
+    assert RET.compact_trigram_index(spark, idx, upto_batch=0) == 1  # heals
+    assert _batch_dirs(idx) == ["batch=-1"]
+
+
+def test_compaction_leaves_newer_epochs_alone(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    RET.build_trigram_index(_docs(spark, [(1, "slow join a")]), idx,
+                            n_buckets=8)
+    index_micro_batch(_docs(spark, [(2, "slow join b")]), 0, idx)
+    index_micro_batch(_docs(spark, [(3, "slow join c")]), 1, idx)
+    assert RET.compact_trigram_index(spark, idx, upto_batch=0) == 1
+    # epoch 1 still stands as its own replay-idempotent increment
+    assert _batch_dirs(idx) == ["batch=-1", "batch=1"]
+    all_docs = _docs(spark, [(1, "slow join a"), (2, "slow join b"),
+                             (3, "slow join c")])
+    got = {
+        r.doc_id
+        for r in RET.substring_search_indexed(
+            all_docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()
+    }
+    assert got == {1, 2, 3}
