@@ -337,6 +337,51 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     )
 
 
+def tfidf_blocked_pairs(top: DataFrame, max_block_df: int = 100) -> DataFrame:
+    """Candidate-pair integer dot products over a (doc_id, tok, score)
+    top-terms table (the output shape of :func:`tfidf_top_terms`).
+
+    Pairs must share a top term; similarity is the exact integer dot
+    product of the shared-term scores.  The per-doc top-k bound caps one
+    SIDE of the self-join, but NOT the join group: a hub term sitting in
+    d documents' top lists contributes d^2/2 candidate pairs (measured
+    3.7M pairs from 15k top-term rows on the sf0.1 corpus).  So — same
+    discipline as ``dedup.jaccard_pairs``' stop-shingle guard — terms
+    whose block exceeds ``max_block_df`` documents are dropped from the
+    blocking entirely, bounding the pair count at
+    ``sum(min(df, cap)^2)``.  The kept-term table after the cut is at
+    most ``k * n_docs`` rows, so the filter side broadcasts.
+
+    Output: (doc_id_a < doc_id_b, dot, n_shared_terms).
+    """
+    top = top.select("doc_id", "tok", "score")
+    blockdf = top.groupBy("tok").agg(F.count("*").alias("block_df"))
+    top = (
+        top.join(
+            F.broadcast(blockdf.where(F.col("block_df") <= max_block_df)),
+            "tok",
+            "inner",
+        )
+        .drop("block_df")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(
+            F.sum(F.col("a.score") * F.col("b.score")).alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+
+
 def feature_hashing(
     df: DataFrame, n_buckets: int = 32, text_col: str = "text"
 ) -> DataFrame:

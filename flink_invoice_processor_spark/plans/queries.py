@@ -2007,11 +2007,16 @@ def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by integer TF-IDF score
-    (tf * 1e6 div doc_freq — log-free, so the ranking is engine-exact)."""
+    (tf * 1e6 div doc_freq — log-free, so the ranking is engine-exact).
+    Suite-cache-shared with ``tfidf_doc_similarity``, which self-joins
+    exactly this table."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    return CUR.tfidf_top_terms(docs, k=3)
+    return SC.memo_df(
+        (sf_dir, "tfidf_top_terms", 3),
+        lambda: CUR.tfidf_top_terms(docs, k=3),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4247,11 +4252,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM scored
         ) WHERE rn <= 3
     ),
+    blocked AS (
+        SELECT doc_id, tok, score FROM (
+            SELECT doc_id, tok, score,
+                   COUNT(*) OVER (PARTITION BY tok) AS block_df
+            FROM top
+        ) WHERE block_df <= 100
+    ),
     dots AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(SUM(a.score * b.score) AS BIGINT) AS dot,
                COUNT(*) AS n_shared_terms
-        FROM top a JOIN top b
+        FROM blocked a JOIN blocked b
           ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -4265,30 +4277,29 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-blocked document similarity: each doc is reduced to its
     top-3 characteristic terms (integer TF-IDF), candidate pairs must
     share one of those terms, similarity = the exact integer dot product
-    of the shared-term weights.  The blocking bounds the self-join at
-    3 terms per doc regardless of corpus size — the same discipline as
-    the stop-shingle cap, built from ranking instead of frequency — and
-    the integer weights make the global top-20 engine-exact."""
+    of the shared-term weights, and — mandatory at scale — terms whose
+    top-3 block exceeds 100 documents are dropped from the blocking
+    (the per-doc top-3 bound caps one SIDE of the join; the block-size
+    cap caps the GROUP: without it one hub term shared by d documents
+    contributes d^2/2 candidate pairs, measured 3.7M pairs from 15k
+    top-term rows at sf0.1).  Same discipline as jaccard_pairs'
+    stop-shingle guard; the oracle mirrors the cap.  Integer weights
+    keep the global top-20 engine-exact."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    top = CUR.tfidf_top_terms(docs, k=3).select("doc_id", "tok", "score")
-    a, b = top.alias("a"), top.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .agg(
-            F.sum(F.col("a.score") * F.col("b.score")).alias("dot"),
-            F.count("*").alias("n_shared_terms"),
-        )
+    top = SC.memo_df(
+        (sf_dir, "tfidf_top_terms", 3),
+        lambda: CUR.tfidf_top_terms(docs, k=3),
     )
+    if not SC.enabled() and DD.MATERIALIZE_PAIRS:
+        # Standalone, both sides of the self-join below would re-run the
+        # whole tokenize/TF/DF pipeline; materialize the (<= 3*n_docs
+        # rows) top-terms table once instead.  Gated on the same toggle
+        # the dedup pair generators use so plan audits still see the
+        # full lazy pipeline.
+        top = top.localCheckpoint()
+    dots = CUR.tfidf_blocked_pairs(top, max_block_df=100)
     return dots.orderBy(
         F.col("dot").desc(), F.col("doc_id_a"), F.col("doc_id_b")
     ).limit(20)

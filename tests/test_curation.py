@@ -164,6 +164,29 @@ def test_tfidf_prefers_rare_frequent_terms(spark):
     assert all(r["rank"] == 1 for r in out)
 
 
+def test_tfidf_blocked_pairs_drops_hub_terms(spark):
+    # 5 docs all sharing the hub term "hub" (block df 5 > cap 3), two of
+    # them also sharing the rare term "rare" (block df 2 <= cap).  The
+    # hub block must contribute ZERO pairs — without the guard it alone
+    # would produce C(5,2)=10 — leaving exactly the one rare-term pair.
+    rows = [(i, "hub", 100) for i in range(5)]
+    rows += [(1, "rare", 500), (3, "rare", 400)]
+    top = spark.createDataFrame(rows, "doc_id long, tok string, score long")
+    out = CUR.tfidf_blocked_pairs(top, max_block_df=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (1, 3)
+    assert r["dot"] == 500 * 400
+    assert r["n_shared_terms"] == 1
+    # raising the cap readmits the hub block: 10 hub pairs, one of which
+    # (1,3) also shares "rare" and folds into a single two-term row
+    out = CUR.tfidf_blocked_pairs(top, max_block_df=5).collect()
+    assert len(out) == 10
+    both = {(r["doc_id_a"], r["doc_id_b"]): r for r in out}
+    assert both[(1, 3)]["n_shared_terms"] == 2
+    assert both[(1, 3)]["dot"] == 100 * 100 + 500 * 400
+
+
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------
