@@ -151,6 +151,40 @@ def robust_outlier_counts(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-key percentile report over an INTEGER value column —
+    the p50/p90/p99 latency-dashboard shape — computed as
+    ``percentile_disc``-style rank selections from the value histogram:
+    ``p_X = val_at(ceil(X * n / 100))`` with pure-integer ceil division.
+    One (key, val) shuffle + one histogram-sized window per key; no
+    per-group buffering, no float interpolation.
+
+    Output: (key, n, p<X> for each X) — all BIGINT, engine-exact.
+    """
+    hist = _histogram(
+        df.select(F.col(key_col), F.col(val_col).alias("val")),
+        key_col,
+        "val",
+    )
+    totals = _totals(hist, key_col)
+    joined = hist.join(F.broadcast(totals), key_col)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("val"),
+            )
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return joined.groupBy(key_col, "n").agg(*aggs)
+
+
 def winsorized_stats(
     df: DataFrame,
     key_col: str,

@@ -32,6 +32,7 @@ from ..functions import graph as GR
 from ..functions import retrieval as RET
 from ..functions import sketches as SK
 from ..functions import skew as SKEW
+from ..functions import stats as ST
 from ..functions import suite_cache as SC
 from ..functions import similarity as SIM
 from ..functions import text as TX
@@ -4608,6 +4609,7 @@ def pq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_rerank_topk(
         emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5,
         shortlist=20, cache_token=(sf_dir, "emb"),
+        queries_token=("vec_id_lt", 10),
     )
 
 
@@ -4619,7 +4621,7 @@ def pq_adq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_adq_topk(
         emb, emb.where(F.col("vec_id") < 10), m=8, ksub=8, k=5,
-        cache_token=(sf_dir, "emb"),
+        cache_token=(sf_dir, "emb"), queries_token=("vec_id_lt", 10),
     )
 
 
@@ -6207,6 +6209,181 @@ def dq_checks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact distributed order statistics (functions/stats.py): median/MAD and
+# winsorization via value-histogram rank selection — the scale-safe exact
+# alternative to Spark's memory-buffering `percentile` UDAF.
+# ---------------------------------------------------------------------------
+
+# Shared CTE block: value histogram + cumulative counts + per-key totals +
+# doubled median (lower-rank + upper-rank values, never divided).  The md5
+# trick is not needed here — everything is integer rank arithmetic.
+_MEDIAN_CTES = """
+    hist AS (
+        SELECT {key} AS k, {val} AS val, COUNT(*) AS cnt
+        FROM {src} GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT k, val, cnt,
+               SUM(cnt) OVER (PARTITION BY k ORDER BY val) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    med AS (
+        SELECT c.k, t.n,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END)
+             + MIN(CASE WHEN cum >= n // 2 + 1 THEN val END) AS median_x2
+        FROM cum c JOIN tot t USING (k) GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "events_value_outliers",
+    f"""
+    WITH v AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    {_MEDIAN_CTES.format(key="event_type", val="cents", src="v")},
+    dev AS (
+        SELECT h.k, abs(2 * h.val - m.median_x2) AS val,
+               SUM(h.cnt) AS cnt
+        FROM hist h JOIN med m USING (k) GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT k, val, cnt,
+               SUM(cnt) OVER (PARTITION BY k ORDER BY val) AS cum
+        FROM dev
+    ),
+    mad AS (
+        SELECT d.k,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END)
+             + MIN(CASE WHEN cum >= n // 2 + 1 THEN val END) AS mad_x4
+        FROM dcum d JOIN tot t USING (k) GROUP BY 1
+    )
+    SELECT v.event_type, m.n AS n_events,
+           CAST(m.median_x2 AS BIGINT) AS median_cents_x2,
+           CAST(a.mad_x4 AS BIGINT) AS mad_cents_x4,
+           CAST(SUM(CASE WHEN 2 * abs(2 * v.cents - m.median_x2)
+                              > 3 * a.mad_x4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN med m ON m.k = v.event_type
+           JOIN mad a ON a.k = v.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier report: EXACT median and MAD of the
+    value column (as integer cents) computed via value-histogram rank
+    selection (functions/stats.py — scale-safe where Spark's exact
+    ``percentile`` buffers whole groups in executor memory), then the
+    classic ``|v - median| > 3 * MAD`` test applied as pure integer
+    arithmetic (the median travels doubled, the MAD quadrupled, so
+    nothing is ever divided)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ST.robust_outlier_counts(events, "event_type", "cents", c=3)
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("median_x2").alias("median_cents_x2"),
+        F.col("mad_x4").alias("mad_cents_x4"),
+        "n_outliers",
+    )
+
+
+@register(
+    "events_value_percentiles",
+    f"""
+    WITH v AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type AS k, cents AS val, COUNT(*) AS cnt
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT k, val, cnt,
+               SUM(cnt) OVER (PARTITION BY k ORDER BY val) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1)
+    SELECT c.k AS event_type, t.n,
+           MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN val END) AS p50,
+           MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN val END) AS p90,
+           MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN val END) AS p99
+    FROM cum c JOIN tot t USING (k)
+    GROUP BY 1, 2
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of the value column (integer cents) per event
+    type — the latency-dashboard report — as percentile_disc-style rank
+    selections over the value histogram (functions/stats.py).  Exact at
+    any scale: the shuffle is bounded by distinct values per key, and
+    the self-defined integer ranks sidestep engine interpolation
+    conventions entirely."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ST.grouped_quantiles(events, "event_type", "cents", (50, 90, 99))
+
+
+@register(
+    "lineitem_winsorized_price",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    {_MEDIAN_CTES.format(key="l_returnflag", val="cents", src="v")},
+    bounds AS (
+        SELECT c.k, t.n,
+               MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN val END)
+                   AS lo_cents,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN val END)
+                   AS hi_cents
+        FROM cum c JOIN tot t USING (k) GROUP BY 1, 2
+    )
+    SELECT h.k AS l_returnflag, b.n, b.lo_cents, b.hi_cents,
+           CAST(SUM(h.cnt * GREATEST(b.lo_cents,
+                                     LEAST(b.hi_cents, h.val)))
+                AS BIGINT) AS winsorized_sum,
+           CAST(SUM(h.cnt * h.val) AS BIGINT) AS raw_sum
+    FROM hist h JOIN bounds b USING (k)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def lineitem_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue per return flag: extended price (cents) clamped
+    to the exact empirical [p5, p95] before summation — the
+    heavy-tail-robust aggregate.  Percentile ranks are self-defined
+    integer ceil-divisions selected from the value histogram
+    (functions/stats.py), NOT engine quantile functions (whose
+    tie/interpolation conventions differ between engines); after the one
+    (key, value) shuffle the clamp and both sums run over histogram
+    rows, so nothing row-sized moves again."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    out = ST.winsorized_stats(li, "l_returnflag", "cents", lo_pct=5, hi_pct=95)
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("lo_bound").alias("lo_cents"),
+        F.col("hi_bound").alias("hi_cents"),
+        "winsorized_sum",
+        "raw_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -6271,17 +6448,26 @@ _DRIVER_FIRST = [
     # rotate out to make room)
     "orders_cdc_apply",
     "events_incident_overlap_join",
+    # exact order statistics (new this round; never driver-gated)
+    "events_value_outliers",
+    "events_value_percentiles",
+    "lineitem_winsorized_price",
+    # changed semantics this round (hub-term cap in the blocking, oracle
+    # mirrored) — back in the window for a fresh driver row on the new
+    # definition
+    "tfidf_doc_similarity",
     # round-5 additions, driver-green once (r5) — second confirmation
+    # (boilerplate_strip_docs, hybrid_rrf_docs, bpe_pair_counts_docs,
+    # pps_sample_docs — driver-green r5, their families still exercised
+    # in-window by duplicate_spans_docs / substring_search_docs /
+    # bpe_merges_docs / mix_sample_docs — rotate out to make room for
+    # the four rows above; all stay registered and replica-checked)
     "events_heavy_hitters",
     "events_kmv_distinct",
-    "boilerplate_strip_docs",
     "quality_classifier_docs",
     "semantic_dedup_embeddings",
-    "hybrid_rrf_docs",
     "triangle_counts_docs",
-    "pps_sample_docs",
     "dq_checks_lineitem",
-    "bpe_pair_counts_docs",
     "events_equidepth_histogram",
     "events_hll_mergeability",
     # new in round 6: the corpus-scale PageRank variant (events_funnel,
