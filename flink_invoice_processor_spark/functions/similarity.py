@@ -763,6 +763,7 @@ def pq_adq_topk(
     vec_col: str = "embedding",
     iters: int = 2,
     cache_token: tuple | None = None,
+    queries_token: tuple | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: rank the COMPRESSED corpus against
     full-precision queries.  Per query, precompute the tiny lookup table
@@ -791,14 +792,30 @@ def pq_adq_topk(
     codes = suite_cache.memo_df(
         codes_key, lambda: _encode(pts, d, cents, m, ksub)
     )
-    lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
-    cand = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
-    cand, total = _adq_score(cand, lut, m, ksub)
-    scored = cand.where(F.col("query_id") != F.col("vec_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        total.alias("adq_dist"),
+
+    def build_scored() -> DataFrame:
+        lut = _adq_lut(queries, cents, m, d, id_col, vec_col)
+        cand = codes.crossJoin(
+            F.broadcast(lut.select("query_id").distinct())
+        )
+        cand, total = _adq_score(cand, lut, m, ksub)
+        return cand.where(F.col("query_id") != F.col("vec_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            total.alias("adq_dist"),
+        )
+
+    # The pre-top-k scored table depends on the QUERY SET as well as the
+    # codebook, so it is only suite-cache-shareable when the caller
+    # identifies the queries via ``queries_token`` (pq_rerank_topk and
+    # the standalone ADQ query scan identical codes against identical
+    # queries — sharing the |corpus|x|Q| scan halves the family's cost).
+    scored_key = (
+        (cache_token, "pq_adq_scored", m, ksub, iters, queries_token)
+        if cache_token is not None and queries_token is not None
+        else None
     )
+    scored = suite_cache.memo_df(scored_key, build_scored)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adq_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -820,6 +837,7 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     iters: int = 2,
     cache_token: tuple | None = None,
+    queries_token: tuple | None = None,
 ) -> DataFrame:
     """Two-stage ANN serving: a compressed-domain ADQ shortlist (top
     ``shortlist`` codes per query, :func:`pq_adq_topk`) followed by an
@@ -838,7 +856,7 @@ def pq_rerank_topk(
     short = pq_adq_topk(
         corpus, queries, m=m, ksub=ksub, k=shortlist,
         id_col=id_col, vec_col=vec_col, iters=iters,
-        cache_token=cache_token,
+        cache_token=cache_token, queries_token=queries_token,
     ).select("query_id", "neighbor_id")
     cpts = _int_points(corpus, vec_col, id_col).withColumnRenamed(
         "vec_id", "neighbor_id"
