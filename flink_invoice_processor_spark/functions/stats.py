@@ -29,13 +29,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _histogram(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
-    """(key, val, cnt, cum) value histogram with a running cumulative
-    count per key.  The window runs over HISTOGRAM rows (bounded by the
+def _cum(hist: DataFrame, key_col: str, val_col: str = "val") -> DataFrame:
+    """Running cumulative count over an existing (key, val, cnt)
+    histogram.  The window runs over HISTOGRAM rows (bounded by the
     per-key value-domain cardinality), never over raw rows."""
-    hist = df.groupBy(key_col, val_col).agg(F.count("*").alias("cnt"))
     w = Window.partitionBy(key_col).orderBy(val_col)
     return hist.withColumn("cum", F.sum("cnt").over(w))
+
+
+def value_histogram(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """The (key, val, cnt) value histogram every operator here pivots
+    on — one map-side-combined shuffle.  Histograms MERGE by summing
+    counts per (key, val), which makes them the exact-statistics
+    analogue of a mergeable sketch: per-shard (or per-micro-batch)
+    histograms can be built independently and summed, and quantiles
+    computed from the merged histogram equal quantiles over the raw
+    union (streaming/sketch_rollup.py maintains exactly that table)."""
+    return (
+        df.select(F.col(key_col), F.col(val_col).alias("val"))
+        .groupBy(key_col, "val")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _histogram(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """(key, val, cnt, cum) value histogram with a running cumulative
+    count per key."""
+    return _cum(value_histogram(df, key_col, val_col), key_col)
 
 
 def _totals(hist: DataFrame, key_col: str) -> DataFrame:
@@ -166,11 +186,23 @@ def grouped_quantiles(
 
     Output: (key, n, p<X> for each X) — all BIGINT, engine-exact.
     """
-    hist = _histogram(
-        df.select(F.col(key_col), F.col(val_col).alias("val")),
-        key_col,
-        "val",
+    return quantiles_from_histogram(
+        value_histogram(df, key_col, val_col), key_col, pcts
     )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    key_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """:func:`grouped_quantiles` over a pre-built (key, val, cnt)
+    histogram — the read path for an incrementally-maintained histogram
+    table (``streaming/sketch_rollup.histogram_rollup_writer``): because
+    histograms merge exactly by count summation, quantiles selected
+    from the maintained table equal quantiles over every raw row ever
+    streamed through it."""
+    hist = _cum(hist, key_col)
     totals = _totals(hist, key_col)
     joined = hist.join(F.broadcast(totals), key_col)
     aggs = [

@@ -196,6 +196,58 @@ def bloom_rollup_writer(
     return process
 
 
+def histogram_rollup_writer(key: Column, value: Column, table_path: str):
+    """``foreachBatch`` function maintaining a per-key VALUE HISTOGRAM
+    (k, val, cnt) across micro-batches — the exact-statistics rollup:
+    histograms merge by summing counts per (key, val)
+    (``functions/stats.value_histogram``), so exact medians / p50-p99 /
+    MAD / winsorized sums computed from the stored table
+    (``stats.quantiles_from_histogram``) equal the same statistics over
+    every raw row ever streamed.  Where KMV/CMS/HLL trade exactness for
+    fixed state, this one's state is bounded by the VALUE DOMAIN
+    (integer cents, ms latencies: thousands of distinct values per key
+    however many billions of rows stream through) — the same contract
+    functions/stats.py documents for the batch operators.
+
+    SUM-merge is not idempotent, so like the CMS rollup (and unlike
+    KMV/bloom) a replayed at-least-once epoch is fenced on the batch id
+    recorded atomically with the version marker; one table belongs to
+    one stream lineage."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(table_path, exist_ok=True)
+        _, last_merged = _marker_state(table_path)
+        if last_merged is not None and batch_id <= last_merged:
+            return
+        from ..functions.stats import value_histogram
+
+        batch_hist = value_histogram(
+            batch_df.select(
+                key.cast("string").alias("k"), value.cast("long").alias("v")
+            ),
+            "k",
+            "v",
+        )
+        prev = read_histogram_table(spark, table_path)
+        merged = (
+            prev.unionByName(batch_hist)
+            .groupBy("k", "val")
+            .agg(F.sum("cnt").alias("cnt"))
+        ).localCheckpoint()
+        _swap_in(merged, table_path, batch_id)
+
+    return process
+
+
+_HIST_SCHEMA = "k STRING, val LONG, cnt LONG"
+
+
+def read_histogram_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current histogram rows, or empty before the first batch."""
+    return read_versioned(spark, path, _HIST_SCHEMA)
+
+
 _BLOOM_SCHEMA = "word_idx LONG, word LONG"
 
 
