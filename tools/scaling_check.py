@@ -54,6 +54,10 @@ REPRESENTATIVE = [
     "q21_waiting_suppliers",
     "events_bloom_membership",
     "events_scd2_history",
+    # exact order statistics (histogram rank selection): two histogram
+    # passes + an outlier-count rescan — state bounded by value-domain
+    # cardinality, so time should track the raw scan, not the group sizes
+    "events_value_outliers",
 ]
 
 
@@ -78,6 +82,8 @@ DECADE_FAMILIES = [
     "dup_clusters_docs",
     "semantic_dedup_embeddings",
     "ivf_pq_sampled_topk_embeddings",
+    # exact order statistics over the decade events set (reads events only)
+    "events_value_outliers",
 ]
 
 
