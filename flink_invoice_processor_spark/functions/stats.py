@@ -28,6 +28,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+#: Column names the operators here introduce internally.  A KEY column
+#: with one of these names would be silently shadowed mid-pipeline (the
+#: same hazard curation.distributed_prefix_sum raises on), so every
+#: entry point rejects it up front.
+_RESERVED = frozenset({"val", "cnt", "cum", "n"})
+
+
+def _check_key(key_col: str) -> None:
+    if key_col in _RESERVED:
+        raise ValueError(
+            f"key_col {key_col!r} collides with an internal column of "
+            f"functions/stats.py ({sorted(_RESERVED)}); rename the key "
+            "column before calling"
+        )
+
 
 def _cum(hist: DataFrame, key_col: str, val_col: str = "val") -> DataFrame:
     """Running cumulative count over an existing (key, val, cnt)
@@ -45,6 +60,7 @@ def value_histogram(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
     histograms can be built independently and summed, and quantiles
     computed from the merged histogram equal quantiles over the raw
     union (streaming/sketch_rollup.py maintains exactly that table)."""
+    _check_key(key_col)
     return (
         df.select(F.col(key_col), F.col(val_col).alias("val"))
         .groupBy(key_col, "val")
@@ -81,6 +97,7 @@ def grouped_median_mad(
     The common robust-outlier test ``|v - med| > c * MAD`` becomes the
     integer predicate ``2 * |2*v - median_x2| > c * mad_x4``.
     """
+    _check_key(key_col)
     hist = _histogram(
         df.select(F.col(key_col), F.col(val_col).alias("val")),
         key_col,
@@ -158,6 +175,7 @@ def robust_outlier_counts(
 
     Output: (key, n, median_x2, mad_x4, n_outliers), all BIGINT.
     """
+    _check_key(key_col)
     stats = grouped_median_mad(df, key_col, val_col)
     flagged = df.select(F.col(key_col), F.col(val_col).alias("val")).join(
         F.broadcast(stats), key_col
@@ -186,6 +204,7 @@ def grouped_quantiles(
 
     Output: (key, n, p<X> for each X) — all BIGINT, engine-exact.
     """
+    _check_key(key_col)
     return quantiles_from_histogram(
         value_histogram(df, key_col, val_col), key_col, pcts
     )
@@ -202,6 +221,7 @@ def quantiles_from_histogram(
     histograms merge exactly by count summation, quantiles selected
     from the maintained table equal quantiles over every raw row ever
     streamed through it."""
+    _check_key(key_col)
     hist = _cum(hist, key_col)
     totals = _totals(hist, key_col)
     joined = hist.join(F.broadcast(totals), key_col)
@@ -238,6 +258,7 @@ def winsorized_stats(
     Output: (key, n, lo_bound, hi_bound, winsorized_sum, raw_sum),
     all BIGINT, engine-exact.
     """
+    _check_key(key_col)
     hist = _histogram(
         df.select(F.col(key_col), F.col(val_col).alias("val")),
         key_col,

@@ -116,6 +116,16 @@ def test_median_even_count_is_mean_of_middle_pair(spark):
     assert row["mad_x4"] == 12
 
 
+def test_reserved_key_name_is_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "cnt string, v long")
+    with pytest.raises(ValueError, match="collides"):
+        ST.grouped_median_mad(df, "cnt", "v")
+    with pytest.raises(ValueError, match="collides"):
+        ST.value_histogram(df, "cnt", "v")
+
+
 def test_outlier_ties_are_not_flagged(spark):
     # |v - med| == c * MAD exactly must NOT count (strict inequality)
     df = spark.createDataFrame(
