@@ -256,7 +256,12 @@ def winsorized_stats(
     nothing row-sized moves.
 
     Output: (key, n, lo_bound, hi_bound, winsorized_sum, raw_sum),
-    all BIGINT, engine-exact.
+    all BIGINT, engine-exact.  The sums are bounded by ``n * max|val|``
+    per key; a division-only ``assert_true`` guard (the dsir/pmi
+    pattern — divisions cannot overflow, so the guard is sound at any
+    width and any ANSI setting) proves that product fits int64 BEFORE
+    the sums run, so exceeding the bound fails loudly instead of
+    wrapping (ansi=off would otherwise wrap silently).
     """
     _check_key(key_col)
     hist = _histogram(
@@ -279,9 +284,20 @@ def winsorized_stats(
                 F.col("val"),
             )
         ).alias("hi_bound"),
+        F.max(F.abs(F.col("val"))).alias("_max_abs"),
     )
+    _MAXL = 9223372036854775807
+    guard = F.assert_true(
+        F.col("_max_abs") <= F.expr(f"{_MAXL} div n"),
+        F.lit(
+            "winsorized_stats: sum bound n * max|val| exceeds int64 for "
+            "this key — rescale the value units or shard and merge "
+            "histograms"
+        ),
+    ).isNull()
     return (
         hist.join(F.broadcast(bounds), key_col)
+        .where(guard)
         .groupBy(key_col, "n", "lo_bound", "hi_bound")
         .agg(
             F.sum(

@@ -116,6 +116,26 @@ def test_median_even_count_is_mean_of_middle_pair(spark):
     assert row["mad_x4"] == 12
 
 
+def test_winsorized_overflow_guard_fires_loudly(spark):
+    import pytest
+
+    big = 2**62
+    df = spark.createDataFrame(
+        [("a", big), ("a", big), ("a", big)], "k string, v long"
+    )
+    with pytest.raises(Exception, match="winsorized_stats"):
+        ST.winsorized_stats(df, "k", "v", 5, 95).collect()
+    # in-bound data on the same plan shape still flows
+    ok = ST.winsorized_stats(
+        spark.createDataFrame([("a", 5), ("a", 7)], "k string, v long"),
+        "k",
+        "v",
+        5,
+        95,
+    ).collect()
+    assert ok[0]["raw_sum"] == 12
+
+
 def test_reserved_key_name_is_rejected(spark):
     import pytest
 
