@@ -28,10 +28,15 @@ from .text import tokens
 def _md5_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from md5 of the column's string
     form — identical in DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
+    return _md5_bucket_expr(col) % buckets
+
+
+def _md5_bucket_expr(col: Column) -> Column:
+    """The raw 60-bit md5 integer behind :func:`_md5_bucket` (no modulo)
+    — for callers whose modulus is data-dependent (e.g. corpus size)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
 
 
 def chunk_documents(
@@ -894,4 +899,104 @@ def pps_systematic_sample(
             F.expr("cum_w DIV _stride") > F.expr("(cum_w - _w) DIV _stride")
         )
         .select(order_col, F.col("_w").alias("w"), "cum_w")
+    )
+
+
+def contrastive_negative_pairs(
+    df: DataFrame, k: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training
+    (in-batch negatives pre-materialized): each anchor document draws
+    ``k`` pseudo-random partners from the whole corpus, reproducibly.
+
+    The naive shapes both fail at 100 TB: a cross join is quadratic, and
+    ``rand()``-keyed sampling resamples on every task retry.  Instead the
+    corpus gets a dense 1..n index (two-phase
+    :func:`distributed_row_number` — never a global window), and draw j
+    of each anchor targets index ``md5('neg:' || id || ':' || j) % n + 1``
+    — one uniform equi-join on the index, n a 1-row broadcast.  Salted
+    md5 (the engine-parity recipe, :func:`_md5_bucket`) decorrelates the
+    draws from every other hash-gated decision and makes them stable
+    across retries, machines, and input order.
+
+    Self-draws (a hash landing on its own anchor, ~k/n of rows) are
+    DROPPED, not redrawn: per-anchor negative counts are "up to k" —
+    redrawing would need data-dependent iteration for a ~1/n event.
+    Collisions between draws of one anchor are kept (sampling WITH
+    replacement, the standard contrastive setup).
+
+    Output: (anchor_id, j, neg_id) with j in [0, k).
+    """
+    idx = distributed_row_number(
+        df.select(F.col(id_col)), [F.col(id_col)], out_col="_rn"
+    )
+    total = idx.agg(F.max("_rn").alias("_n"))
+    anchors = (
+        idx.select(
+            F.col(id_col).alias("anchor_id"), F.col("_rn").alias("_self_rn")
+        )
+        .select(
+            "anchor_id",
+            "_self_rn",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "anchor_id",
+            "j",
+            "_self_rn",
+            (
+                _md5_bucket_expr(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("_n")
+                + 1
+            ).alias("_tgt_rn"),
+        )
+    )
+    return (
+        anchors.where(F.col("_tgt_rn") != F.col("_self_rn"))
+        .join(idx.withColumnRenamed("_rn", "_tgt_rn"), "_tgt_rn")
+        .select(
+            "anchor_id", "j", F.col(id_col).alias("neg_id")
+        )
+    )
+
+
+def leakage_safe_split(
+    clusters: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Train/val/test assignment at NEAR-DUP-CLUSTER granularity: every
+    document in a connected near-duplicate cluster lands in the same
+    split, so a test document can never have a near-copy in train — the
+    leakage mode a plain per-document split is blind to (and the reason
+    decontamination pipelines split AFTER clustering, not before).
+
+    Input: (doc_id, cluster_id) from :func:`dedup.dup_clusters` (or any
+    grouping).  The split keys on md5 of the salted CLUSTER id (stable
+    across retries; the salt decorrelates it from the kfold/sampling
+    hashes), thresholded at ``train_pct`` / ``train_pct + val_pct`` of
+    100 buckets.  Pure map over the clusters table — the expensive part
+    (clustering) is upstream and shared; this stays a zero-shuffle
+    labeling.
+
+    Output: (doc_id, cluster_id, split) with split in
+    {'train', 'val', 'test'}.
+    """
+    bucket = _md5_bucket(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string")),
+        buckets=100,
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )

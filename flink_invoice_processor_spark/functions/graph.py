@@ -96,6 +96,60 @@ def pagerank_integer(
     return ranks.select("id", F.col("rank").cast("long").alias("rank_1e12"))
 
 
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
+    """Nodes of the k-core of an undirected graph (edges given ORIENTED,
+    a < b, one row per edge), with each survivor's in-core degree.
+
+    The k-core is the maximal subgraph where every node has degree >= k —
+    the standard densest-region primitive (community cores, spam farms,
+    near-dup "hubs").  Computed by the textbook peel: drop every node of
+    degree < k, recompute degrees, repeat to fixpoint.  Peeling is
+    monotone (the alive set only shrinks) and idempotent at the fixpoint,
+    which is exactly what makes it oracle-replayable: the SQL oracle
+    unrolls ``max_rounds`` rounds unconditionally, and as long as the
+    distributed loop CONVERGES within ``max_rounds`` the two agree — so
+    hitting the cap without convergence raises loudly instead of
+    returning a superset of the core.
+
+    Scale shape: per round ONE degree aggregate over the symmetrized edge
+    list restricted to alive nodes (two semi-joins on uniform id keys) —
+    never materializing neighbor lists.  The loop runs an action per
+    round (the convergence check), so each round's alive set is
+    materialized via ``localCheckpoint`` per this module's rule: an
+    action-per-round loop must not leave laziness to recompute the whole
+    prefix chain each round.  Worst-case round count is graph-dependent
+    (a k=2 peel of a path graph is O(n) rounds); on blocked near-dup
+    graphs (bounded degree, dense cores) it converges in a handful.
+
+    Output: (doc_id, core_degree) for k-core members only.
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).localCheckpoint()
+    alive = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+        )
+        survivors = deg.where(F.col("core_degree") >= k)
+        alive = survivors.select(F.col("src").alias("node")).localCheckpoint()
+        n_next = alive.count()
+        if n_next == n_alive:
+            return survivors.select(
+                F.col("src").alias("doc_id"), "core_degree"
+            )
+        n_alive = n_next
+    raise RuntimeError(
+        f"kcore: peel did not converge within max_rounds={max_rounds} —"
+        " raise max_rounds (and regenerate the unrolled oracle to match)"
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     given as ORIENTED edges (a < b, one row per edge).

@@ -311,6 +311,117 @@ def pmi_bigrams(
     )
 
 
+def chi2_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    min_chi2_6: int = 3_841_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by Pearson's chi-square over the adjacent-bigram
+    contingency table — the classic significance-test complement to
+    :func:`pmi_bigrams` (PMI over-ranks rare pairs; chi2 discounts them by
+    the sample size).  For each bigram (w1, w2) the 2x2 table over all N
+    bigram occurrences is
+
+        O11 = n_ab            O12 = n_a - n_ab
+        O21 = n_b - n_ab      O22 = N - n_a - n_b + n_ab
+
+    with n_a / n_b the LEFT-position / RIGHT-position marginals (both
+    derived from the bigram table itself, so the table is consistent by
+    construction).  ``chi2_6`` is the 1e-6-unit fixed point of
+    N*(O11*O22 - O12*O21)^2 / (n_a*(N-n_a)*n_b*(N-n_b)) computed with a
+    STAGED truncating division in DECIMAL(38,0),
+
+        q1     = delta*delta DIV (n_a * (N - n_a))      -- delta = n_ab*N - n_a*n_b
+        chi2_6 = q1 * N * 1000000 DIV (n_b * (N - n_b))
+
+    which both engines replay expression-for-expression (HUGEINT in the
+    DuckDB oracle): staging keeps every intermediate under 1e38 for any
+    N <= 3e9 bigrams (delta^2 <= N^4 is the unstaged hazard), at the cost
+    of <= 1e6/n_b fixed-point units of truncation error — deterministic,
+    documented, identical in both engines.  Only positively-associated
+    pairs (delta > 0) are emitted: for them chi2 is monotone in delta at
+    fixed marginals, so the threshold semantics match the textbook test
+    (default 3_841_000 ~ the p<0.05 critical value 3.841; pass
+    10_830_000 for p<0.001).
+
+    The N <= 3e9 bound (~20 GB of text per job) fails LOUDLY via a
+    division-only assert (divisions cannot overflow, so the guard is
+    sound at any width); beyond it, shard the corpus and SUM-merge the
+    (w1, w2) / marginal count tables — counts are mergeable, the test
+    statistic is computed once at the end.
+
+    Scale shape: one bigram hash-agg (map-side combined), two
+    vocabulary-sized marginal aggs REUSING that table (never re-scanning
+    text), AQE-decided joins (broadcast only when the vocabulary truly
+    fits), 1-row total broadcast.  Zipf skew is absorbed by the
+    pre-aggregation; no sort, no window — the filter is the contract.
+
+    Output: (w1, w2, n_ab, chi2_6).
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = df.select(toks.alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+            F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    bg_all = (
+        base.select(bigrams.alias("_bg"))
+        .select(F.explode("_bg").alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    left_m = bg_all.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    right_m = bg_all.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    total = bg_all.agg(F.sum("n_ab").alias("n_tot"))
+    joined = (
+        bg_all.where(F.col("n_ab") >= min_count)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(total))
+        # degenerate marginals (a word in EVERY left or right slot) make
+        # the test undefined (zero variance column); drop, don't divide
+        .where((F.col("n_a") < F.col("n_tot")) & (F.col("n_b") < F.col("n_tot")))
+        .where(
+            F.assert_true(
+                F.col("n_tot") <= F.lit(3_000_000_000),
+                F.lit(
+                    "chi2_bigrams: staged DECIMAL(38,0) arithmetic is only"
+                    " proven to 3e9 bigrams per job — shard the corpus and"
+                    " SUM-merge the count tables before the test"
+                ),
+            ).isNull()
+        )
+    )
+    delta = (
+        "CAST(n_ab AS DECIMAL(38,0)) * n_tot"
+        " - CAST(n_a AS DECIMAL(38,0)) * n_b"
+    )
+    # Spark's DIV (IntegralDivide) returns LONG even on DECIMAL operands:
+    # q1 <= N^2/4 fits int64 for N <= 3e9 (chi2 <= N bounds delta^2 by the
+    # full denominator), but the q1 * N * 1e6 product does NOT — so q1 is
+    # re-widened to DECIMAL before the second stage.  chi2_6 <= N * 1e6
+    # fits int64 comfortably.
+    chi2_6 = F.expr(
+        f"CAST(CAST(({delta}) * ({delta})"
+        " DIV (CAST(n_a AS DECIMAL(38,0)) * (n_tot - n_a)) AS DECIMAL(38,0))"
+        " * n_tot * 1000000"
+        " DIV (CAST(n_b AS DECIMAL(38,0)) * (n_tot - n_b)) AS BIGINT)"
+    )
+    return (
+        joined.where(F.expr(delta) > 0)
+        .select("w1", "w2", "n_ab", chi2_6.alias("chi2_6"))
+        .where(F.col("chi2_6") >= min_chi2_6)
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     n_merges: int = 8,

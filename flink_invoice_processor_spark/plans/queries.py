@@ -1837,11 +1837,21 @@ def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes it with a recursive CTE — transitive closure is exactly what the
     distributed label propagation converges to."""
     docs = load_table(spark, sf_dir, "documents")
+    return _dup_clusters_shared(sf_dir, docs)
+
+
+def _dup_clusters_shared(sf_dir: str, docs: DataFrame) -> DataFrame:
+    """MinHash-LSH pairs -> connected components, both suite-cache-shared
+    (dup_clusters_docs and leakage_safe_split_docs consume the identical
+    clustering; standalone each rebuilds it — semantics unchanged)."""
     pairs = SC.memo(
         (sf_dir, "minhash_lsh_pairs", 16, 4),
         lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
     )
-    return DD.dup_clusters(docs.select("doc_id"), pairs)
+    return SC.memo_df(
+        (sf_dir, "dup_clusters", 16, 4),
+        lambda: DD.dup_clusters(docs.select("doc_id"), pairs),
+    )
 
 
 @register(
@@ -6381,6 +6391,164 @@ def lineitem_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_sum",
         "raw_sum",
     )
+
+
+@register(
+    "chi2_bigrams_docs",
+    f"""
+    WITH t AS (
+        SELECT list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT toks[j] AS w1, toks[j + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS j)
+        WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    lm AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY 1),
+    rm AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_tot FROM bc),
+    jn AS (
+        SELECT bc.w1, bc.w2, bc.n_ab, lm.n_a, rm.n_b, tot.n_tot,
+               CAST(bc.n_ab AS HUGEINT) * tot.n_tot
+                 - CAST(lm.n_a AS HUGEINT) * rm.n_b AS delta
+        FROM bc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        WHERE bc.n_ab >= 5 AND lm.n_a < tot.n_tot AND rm.n_b < tot.n_tot
+    )
+    SELECT w1, w2, n_ab, chi2_6 FROM (
+        SELECT w1, w2, n_ab,
+               CAST((delta * delta
+                     // (CAST(n_a AS HUGEINT) * (n_tot - n_a)))
+                    * n_tot * 1000000
+                    // (CAST(n_b AS HUGEINT) * (n_tot - n_b))
+                    AS BIGINT) AS chi2_6
+        FROM jn WHERE delta > 0
+    ) WHERE chi2_6 >= 3841000
+    """,
+)
+def chi2_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square collocations: Pearson's test over the adjacent-bigram
+    2x2 contingency table, in staged DECIMAL(38,0) fixed-point (1e-6
+    units) the DuckDB oracle replays in HUGEINT expression-for-expression
+    (functions/text.py:chi2_bigrams).  The significance-test complement
+    to PMI — chi2 discounts the rare-pair noise PMI over-ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chi2_bigrams(docs, min_count=5, min_chi2_6=3_841_000)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: ``rounds`` rounds of drop-degree-<k over the
+    tight SimHash graph.  Peeling is monotone and idempotent at the
+    fixpoint, so a fixed unroll equals the distributed loop's fixpoint
+    whenever that loop converges within ``rounds`` (it raises if not)."""
+    blocks = [
+        """
+    WITH pairs AS ({SIMHASH_PAIRS_T}),
+    e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+    n0 AS (SELECT DISTINCT src AS node FROM e)"""
+    ]
+    for r in range(rounds):
+        blocks.append(f""",
+    n{r + 1} AS (
+        SELECT e.src AS node FROM e
+        JOIN n{r} a ON e.src = a.node JOIN n{r} b ON e.dst = b.node
+        GROUP BY 1 HAVING COUNT(*) >= {k}
+    )""")
+    return "".join(blocks) + f"""
+    SELECT e.src AS doc_id, COUNT(*) AS core_degree
+    FROM e JOIN n{rounds} a ON e.src = a.node
+           JOIN n{rounds} b ON e.dst = b.node
+    GROUP BY 1"""
+
+
+@register("kcore_docs", _kcore_oracle(3, 16))
+def kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the tight SimHash near-dup graph (Hamming <= 3, the
+    triangle_counts edge set, memo-shared): the dense-cluster skeleton
+    after iterative degree peeling — per round ONE degree aggregate with
+    two semi-joins, convergence-checked, materialized per round
+    (functions/graph.py:kcore).  The oracle unrolls 16 peel rounds; the
+    distributed loop raises rather than under-peel if 16 isn't enough."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SC.memo(
+        (sf_dir, "simhash_pairs", 32, 3),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=3),
+    )
+    return GR.kcore(
+        pairs.select("doc_id_a", "doc_id_b"), k=3, max_rounds=16
+    )
+
+
+ORACLES["kcore_docs"] = ORACLES["kcore_docs"].replace(
+    "{SIMHASH_PAIRS_T}", ORACLES["simhash_pairs_docs"].replace("<= 16", "<= 3")
+)
+
+
+@register(
+    "contrastive_pairs_docs",
+    """
+    WITH idx AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    a AS (
+        SELECT i.doc_id AS anchor_id, j, i.rn AS self_rn,
+               ('0x' || substr(md5('neg:' || CAST(i.doc_id AS VARCHAR)
+                    || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                   % tot.n + 1 AS tgt_rn
+        FROM idx i CROSS JOIN tot,
+             LATERAL (SELECT unnest(range(0, 4)) AS j)
+    )
+    SELECT anchor_id, j, t.doc_id AS neg_id
+    FROM a JOIN idx t ON a.tgt_rn = t.rn
+    WHERE a.tgt_rn <> a.self_rn
+    """,
+)
+def contrastive_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 salted-md5 draws
+    per anchor resolved against a dense two-phase corpus index with one
+    uniform equi-join — no cross join, no rand(), retry-stable
+    (functions/curation.py:contrastive_negative_pairs).  The oracle's
+    plain ROW_NUMBER window is the single-node equivalent of the
+    distributed prefix-sum index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.contrastive_negative_pairs(docs, k=4)
+
+
+@register(
+    "leakage_safe_split_docs",
+    f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, cluster_id,
+               ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                               1, 15))::BIGINT % 100 AS b
+        FROM ({{DUP_CLUSTERS}}) clusters
+    ) bucketed
+    """,
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at near-dup-CLUSTER granularity: every
+    document in a connected MinHash-LSH cluster lands in the same split,
+    so no test document has a near-copy in train — the leakage a
+    per-document split cannot see.  Clustering is the shared upstream
+    (suite-cache memo with dup_clusters_docs); the split itself is a
+    zero-shuffle salted-md5 labeling
+    (functions/curation.py:leakage_safe_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _dup_clusters_shared(sf_dir, docs)
+    return CUR.leakage_safe_split(clusters, train_pct=80, val_pct=10)
+
+
+ORACLES["leakage_safe_split_docs"] = ORACLES["leakage_safe_split_docs"].replace(
+    "{DUP_CLUSTERS}", ORACLES["dup_clusters_docs"]
+)
 
 
 # ---------------------------------------------------------------------------
