@@ -925,12 +925,34 @@ def contrastive_negative_pairs(
     Collisions between draws of one anchor are kept (sampling WITH
     replacement, the standard contrastive setup).
 
+    PRECONDITION: ``id_col`` must be unique.  The dense 1..n index, the
+    self-draw exclusion, and parity with the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY id)`` (whose tie numbering is
+    partition-order-dependent) all assume one row per id.  A duplicated
+    id fails LOUDLY via an ``assert_true`` folded into the 1-row total
+    aggregate — zero per-row cost — instead of silently producing
+    nondeterministic pairs.
+
     Output: (anchor_id, j, neg_id) with j in [0, k).
     """
     idx = distributed_row_number(
         df.select(F.col(id_col)), [F.col(id_col)], out_col="_rn"
     )
-    total = idx.agg(F.max("_rn").alias("_n"))
+    uniq_guard = F.assert_true(
+        F.count(F.lit(1)) == F.count_distinct(F.col(id_col)),
+        F.lit(
+            "contrastive_negative_pairs: duplicate values in id_col — "
+            "the dense 1..n index and reproducible draw resolution "
+            "require a unique id per row"
+        ),
+    )
+    # the guard is NULL when the precondition holds; adding it to _n
+    # keeps the check alive through column pruning without changing _n
+    total = idx.agg(
+        (F.max("_rn") + F.coalesce(uniq_guard.cast("long"), F.lit(0))).alias(
+            "_n"
+        )
+    )
     anchors = (
         idx.select(
             F.col(id_col).alias("anchor_id"), F.col("_rn").alias("_self_rn")

@@ -6441,17 +6441,23 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled k-core peel: ``rounds`` rounds of drop-degree-<k over the
     tight SimHash graph.  Peeling is monotone and idempotent at the
     fixpoint, so a fixed unroll equals the distributed loop's fixpoint
-    whenever that loop converges within ``rounds`` (it raises if not)."""
+    whenever that loop converges within ``rounds`` (it raises if not).
+
+    Every CTE is declared ``AS MATERIALIZED``: each round references
+    ``e`` and the previous round TWICE, and DuckDB inlines
+    non-materialized CTEs per reference, so without the hint the
+    16-round unroll expands to an exponential number of base-table scans
+    and dies on fd exhaustion before it can run."""
     blocks = [
         """
-    WITH pairs AS ({SIMHASH_PAIRS_T}),
-    e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    WITH pairs AS MATERIALIZED ({SIMHASH_PAIRS_T}),
+    e AS MATERIALIZED (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-    n0 AS (SELECT DISTINCT src AS node FROM e)"""
+    n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
     ]
     for r in range(rounds):
         blocks.append(f""",
-    n{r + 1} AS (
+    n{r + 1} AS MATERIALIZED (
         SELECT e.src AS node FROM e
         JOIN n{r} a ON e.src = a.node JOIN n{r} b ON e.dst = b.node
         GROUP BY 1 HAVING COUNT(*) >= {k}
@@ -6481,8 +6487,24 @@ def kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["kcore_docs"] = ORACLES["kcore_docs"].replace(
-    "{SIMHASH_PAIRS_T}", ORACLES["simhash_pairs_docs"].replace("<= 16", "<= 3")
+def _splice_once(text: str, needle: str, replacement: str) -> str:
+    """``str.replace`` that refuses to run unless ``needle`` occurs
+    EXACTLY once — a future edit to a donor oracle that adds a second
+    occurrence (or drops the placeholder) must fail at import, not
+    silently corrupt the derived oracle."""
+    n = text.count(needle)
+    if n != 1:
+        raise AssertionError(
+            f"oracle splice expected exactly 1 occurrence of {needle!r}, "
+            f"found {n}"
+        )
+    return text.replace(needle, replacement)
+
+
+ORACLES["kcore_docs"] = _splice_once(
+    ORACLES["kcore_docs"],
+    "{SIMHASH_PAIRS_T}",
+    _splice_once(ORACLES["simhash_pairs_docs"], "<= 16", "<= 3"),
 )
 
 
@@ -6546,8 +6568,10 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.leakage_safe_split(clusters, train_pct=80, val_pct=10)
 
 
-ORACLES["leakage_safe_split_docs"] = ORACLES["leakage_safe_split_docs"].replace(
-    "{DUP_CLUSTERS}", ORACLES["dup_clusters_docs"]
+ORACLES["leakage_safe_split_docs"] = _splice_once(
+    ORACLES["leakage_safe_split_docs"],
+    "{DUP_CLUSTERS}",
+    ORACLES["dup_clusters_docs"],
 )
 
 
@@ -6641,6 +6665,14 @@ _DRIVER_FIRST = [
     # new in round 6: the corpus-scale PageRank variant (events_funnel,
     # driver-green r4+r5, rotates out to make room)
     "pagerank_tight_docs",
+    # round-7 rotation, part 1: the four round-6 snapshot additions that
+    # have NEVER had a driver row (VERDICT r6 item 3) — registered after
+    # the r6 gate window was recorded; kcore's oracle is now runnable
+    # (AS MATERIALIZED peel CTEs, VERDICT r6 item 1):
+    "chi2_bigrams_docs",
+    "kcore_docs",
+    "contrastive_pairs_docs",
+    "leakage_safe_split_docs",
     # round-6 rotation: 15 confirmed rows rotate OUT (triple-confirmed
     # r3+r4+r5: training_mix_pipeline, decontaminate_docs,
     # pack_sequences_docs, bigram_lm_counts, fuzzy_prefix_pairs,
@@ -6649,14 +6681,16 @@ _DRIVER_FIRST = [
     # order_count_distribution, q7_nation_volume, q8_market_share,
     # q9_product_profit, cohort_retention_orders — all stay registered and
     # replica-checked) so the 12 OLDEST rows — last driver-green in r2 —
-    # get a fresh driver row before their oracles age further:
+    # get a fresh driver row before their oracles age further.  Round-7
+    # rotation, part 2: four of those 12, now double-confirmed r2+r6 and
+    # from families still exercised in-window (customer_order_gaps,
+    # customers_without_orders by the TPC-H rows; doc_fingerprint,
+    # doc_quality by quality_classifier_docs / corpus_curation), rotate
+    # out to make room for the four above; all stay registered and
+    # replica-checked:
     "ann_ivf_topk",
     "ann_lsh_topk",
     "corpus_curation",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "doc_fingerprint",
-    "doc_quality",
     "dup_clusters_docs",
     "embedding_cosine_topk",
     "embedding_neardup_lsh",

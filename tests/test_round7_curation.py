@@ -1,0 +1,152 @@
+"""Round-7 coverage for the round-6 snapshot additions: contrastive
+negative sampling, leakage-safe splitting, the k-core oracle splice, and
+the loud-failure preconditions ADVICE r6 asked for.
+
+Reference semantics: these are LLM-data-pipeline extensions beyond the
+reference surface (see SURVEY.md §2 extension families), so the contract
+under test is our own documented one, cross-checked by the DuckDB
+oracles in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.functions import curation as CUR
+
+
+def _docs(spark, n=40):
+    return spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], "doc_id: long, text: string"
+    )
+
+
+class TestContrastivePairs:
+    def test_shape_and_determinism(self, spark):
+        df = _docs(spark)
+        a = CUR.contrastive_negative_pairs(df, k=3).collect()
+        b = CUR.contrastive_negative_pairs(df, k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert {r.j for r in a} <= {0, 1, 2}
+        # up-to-k per anchor: self-draws dropped, never redrawn
+        per_anchor = {}
+        for r in a:
+            per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+        assert all(c <= 3 for c in per_anchor.values())
+
+    def test_no_self_pairs(self, spark):
+        rows = CUR.contrastive_negative_pairs(_docs(spark), k=4).collect()
+        assert all(r.anchor_id != r.neg_id for r in rows)
+
+    def test_neg_ids_are_corpus_members(self, spark):
+        df = _docs(spark, n=17)
+        rows = CUR.contrastive_negative_pairs(df, k=2).collect()
+        ids = set(range(17))
+        assert all(r.neg_id in ids for r in rows)
+
+    def test_duplicate_id_fails_loudly(self, spark):
+        """ADVICE r6: a duplicated id must raise, not silently produce
+        partition-order-dependent pairs."""
+        dup = spark.createDataFrame(
+            [(i % 5,) for i in range(10)], "doc_id: long"
+        )
+        with pytest.raises(Exception, match="duplicate values in id_col"):
+            CUR.contrastive_negative_pairs(dup, k=2).count()
+
+    def test_unique_ids_unaffected_by_guard(self, spark):
+        """The assert_true guard is NULL on the happy path and must not
+        perturb n (draw targets identical to the documented formula)."""
+        df = _docs(spark, n=8)
+        rows = CUR.contrastive_negative_pairs(df, k=1).collect()
+        # recompute expected draws driver-side
+        import hashlib
+
+        expected = set()
+        for i in range(8):
+            h = hashlib.md5(f"neg:{i}:0".encode()).hexdigest()
+            tgt = int(h[:15], 16) % 8 + 1
+            if tgt != i + 1:  # dense index of doc_id i is i+1 (sorted)
+                expected.add((i, 0, tgt - 1))
+        assert {(r.anchor_id, r.j, r.neg_id) for r in rows} == expected
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_granularity(self, spark):
+        clusters = spark.createDataFrame(
+            [(i, i % 7) for i in range(70)], "doc_id: long, cluster_id: long"
+        )
+        out = CUR.leakage_safe_split(clusters).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        # every member of a cluster lands in the SAME split — the invariant
+        assert all(len(s) == 1 for s in by_cluster.values())
+        assert {r.split for r in out} <= {"train", "val", "test"}
+
+    def test_split_is_zero_shuffle(self, spark):
+        clusters = spark.createDataFrame(
+            [(i, i % 7) for i in range(70)], "doc_id: long, cluster_id: long"
+        )
+        plan = (
+            CUR.leakage_safe_split(clusters)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_percent_thresholds(self, spark):
+        # single document per cluster, many clusters: bucket proportions
+        # should roughly track 80/10/10 (loose bound; deterministic hash)
+        clusters = spark.createDataFrame(
+            [(i, i) for i in range(1000)], "doc_id: long, cluster_id: long"
+        )
+        counts = dict(
+            CUR.leakage_safe_split(clusters)
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+        assert counts["train"] > counts["val"]
+        assert counts["train"] > counts["test"]
+        assert 650 < counts["train"] < 950
+
+
+class TestOracleSplices:
+    def test_splice_once_rejects_zero_and_multi(self):
+        from flink_invoice_processor_spark.plans.queries import _splice_once
+
+        assert _splice_once("a{X}b", "{X}", "c") == "acb"
+        with pytest.raises(AssertionError, match="expected exactly 1"):
+            _splice_once("ab", "{X}", "c")
+        with pytest.raises(AssertionError, match="expected exactly 1"):
+            _splice_once("{X}{X}", "{X}", "c")
+
+    def test_derived_oracles_fully_spliced(self):
+        from flink_invoice_processor_spark.plans.queries import ORACLES
+
+        assert "{SIMHASH_PAIRS_T}" not in ORACLES["kcore_docs"]
+        assert "{DUP_CLUSTERS}" not in ORACLES["leakage_safe_split_docs"]
+
+    def test_kcore_oracle_materialized_and_runnable(self, sf_dir):
+        """VERDICT r6 #1: the registered oracle must EXECUTE in DuckDB.
+        Without AS MATERIALIZED the 16-round unroll inlines exponentially
+        and dies on fd exhaustion; with it, it runs in well under a
+        second at sf0.001."""
+        import duckdb
+
+        from flink_invoice_processor_spark.plans.queries import ORACLES
+
+        sql = ORACLES["kcore_docs"]
+        # every CTE in the peel chain is materialized
+        assert sql.count("AS MATERIALIZED") >= 19  # pairs, e, n0..n16
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        rows = con.execute(sql).fetchall()
+        con.close()
+        # k-core invariant: every surviving node has core_degree >= k
+        assert all(r[1] >= 3 for r in rows)

@@ -97,6 +97,17 @@ ALLOWED_SOFT = {
         "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, "
         "broadcast back"
     ),
+    "chi2_bigrams_docs": (
+        "1-row bigram-grand-total aggregate (n_tot for the 2x2 "
+        "contingency margins), broadcast back — the per-bigram and "
+        "per-margin counts stay key-partitioned"
+    ),
+    "contrastive_pairs_docs": (
+        "1-row corpus-count aggregate (n for the modular draw) plus the "
+        "<=P-row per-partition offset cumsum of distributed_prefix_sum, "
+        "broadcast back — the draw resolution itself is a uniform "
+        "equi-join on the dense index"
+    ),
 }
 
 
