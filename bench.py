@@ -76,7 +76,9 @@ def main() -> None:
 
     from flink_invoice_processor_spark.functions import suite_cache
 
-    def timed_pass() -> tuple[dict[str, float], dict[str, str]]:
+    def timed_pass() -> tuple[
+        dict[str, float], dict[str, str], dict[str, float]
+    ]:
         # Crash-isolated: one regressed query must NEVER zero out the whole
         # round's perf signal (round 3 shipped rc=1/no-headline because a
         # single analysis error escaped this loop).  Failures are timed out
@@ -85,38 +87,64 @@ def main() -> None:
         # Suite-cache scope: composed queries (pagerank over simhash pairs,
         # dup clusters over LSH pairs, the 4 PQ-family queries over one
         # codebook) share their bit-identical intermediates WITHIN a pass —
-        # the first builder pays (and is timed for) the build, later
-        # consumers reuse.  The scope ends with the pass, so the warm pass
-        # rebuilds from scratch and stays comparable round-over-round.
+        # the first builder pays the build, later consumers reuse.  The
+        # scope ends with the pass, so the warm pass rebuilds from scratch
+        # and stays comparable round-over-round.
+        #
+        # Artifact attribution (r6 verdict #5): which query pays a shared
+        # build is an accident of suite order, so a cache-shared family's
+        # per-query number used to jump rounds (simhash_pairs_docs
+        # 0.30→2.65 s in r6, pure attribution).  Build seconds are now
+        # drained from the suite cache after every query, SUBTRACTED from
+        # that query's time, and reported as explicit ``__artifact:<name>``
+        # pseudo-entries — the pass total is unchanged, but a query's
+        # number now means "probe cost given the artifact" every round.
+        #
+        # Per-query load (r6 verdict #6): the 1-min load average is
+        # sampled before every query so a warm>cold anomaly can be traced
+        # to exogenous load without a re-run.
         t: dict[str, float] = {}
         errs: dict[str, str] = {}
+        loads: dict[str, float] = {}
         suite_cache.enable()
         try:
             for name in HEADLINE:
                 fn = QUERIES[name]
+                if hasattr(os, "getloadavg"):
+                    loads[name] = round(os.getloadavg()[0], 2)
                 t0 = time.perf_counter()
                 try:
                     fn(spark, sf_dir).count()
-                    t[name] = round(time.perf_counter() - t0, 3)
+                    elapsed = time.perf_counter() - t0
+                    built = suite_cache.drain_build_times()
+                    for art, secs in built.items():
+                        t[f"__artifact:{art}"] = round(
+                            t.get(f"__artifact:{art}", 0.0) + secs, 3
+                        )
+                        elapsed -= secs
+                    t[name] = round(max(elapsed, 0.0), 3)
                 except Exception as e:  # noqa: BLE001 - record, keep benching
+                    suite_cache.drain_build_times()
                     errs[name] = f"{type(e).__name__}: {e}"[:400]
         finally:
             suite_cache.disable()
-        return t, errs
+        return t, errs, loads
 
-    timings, errors = timed_pass()  # cold: first execution of every plan
+    timings, errors, loads = timed_pass()  # cold: first execution of every plan
     detail = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(timings.values()), 3),
         # number of queries contributing to `value`: a crash-isolated
         # failure SHRINKS the sum, so round-over-round comparisons must
-        # check n_ok (and `errors`), not the bare total
-        "n_ok": len(timings),
+        # check n_ok (and `errors`), not the bare total.  __artifact:
+        # pseudo-entries are part of the sum but are not queries.
+        "n_ok": sum(not k.startswith("__artifact:") for k in timings),
         "n_total": len(HEADLINE),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "load_at_start": load_at_start,
+        "load_before_query": loads,
     }
     if load_warning:
         detail["load_warning"] = (
@@ -142,12 +170,41 @@ def main() -> None:
         from flink_invoice_processor_spark.session import drain_block_store
 
         leftover = drain_block_store(spark, timeout_s=45.0)
-        warm_timings, warm_errors = timed_pass()  # warm: codegen already JIT'd
+        warm_timings, warm_errors, warm_loads = timed_pass()  # codegen JIT'd
         detail["rdds_left_after_drain"] = leftover
         detail["value_warm"] = round(sum(warm_timings.values()), 3)
         detail["queries_warm"] = warm_timings
+        detail["load_before_query_warm"] = warm_loads
         if warm_errors:
             detail["errors_warm"] = warm_errors
+        # r6 verdict #6: a warm number >1.5x its cold twin is anomalous
+        # (warm should only drop JIT cost).  Re-run each anomaly once at
+        # pass end and record the second measurement next to the first —
+        # if the rerun is back near cold, the first number was exogenous
+        # (load spike, page-cache eviction), not a regression.
+        rerun: dict[str, float] = {}
+        suite_cache.enable()
+        try:
+            for name, wsec in warm_timings.items():
+                if name.startswith("__artifact:"):
+                    continue
+                csec = timings.get(name)
+                if csec is None or wsec <= max(1.5 * csec, csec + 0.5):
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).count()
+                    elapsed = time.perf_counter() - t0
+                    # rebuilt artifacts are an accident of the rerun scope;
+                    # subtract them so the number compares to queries_warm
+                    elapsed -= sum(suite_cache.drain_build_times().values())
+                    rerun[name] = round(max(elapsed, 0.0), 3)
+                except Exception:  # noqa: BLE001 - rerun is best-effort
+                    suite_cache.drain_build_times()
+        finally:
+            suite_cache.disable()
+        if rerun:
+            detail["queries_warm_rerun"] = rerun
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -173,7 +230,9 @@ def main() -> None:
         out["value_warm"] = detail["value_warm"]
         # a query that succeeds cold but crashes warm silently shrinks
         # value_warm — surface the warm ok-count (and names) up here too
-        out["n_ok_warm"] = len(detail["queries_warm"])
+        out["n_ok_warm"] = sum(
+            not k.startswith("__artifact:") for k in detail["queries_warm"]
+        )
     if errors:
         # names only in the compact line (messages live in BENCH_DETAIL.json)
         out["errors"] = sorted(errors)

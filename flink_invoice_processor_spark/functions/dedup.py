@@ -342,18 +342,34 @@ def dup_clusters(
     (doc_id, cluster_id, cluster_size, is_canonical) where ``cluster_id``
     is the component's minimum doc_id.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converged
-    when no label changes.  Rounds needed = graph diameter, and near-dup
-    graphs are unions of small dense cliques (diameter ~2-3), so this
-    terminates in a handful of rounds; ``max_iter`` is a guard, not a
-    budget.  Each round is one join + one aggregation on doc_id (uniform
-    key, no skew), with ``localCheckpoint`` cutting the lineage so plans
-    don't grow (the classic iterative-DataFrame trap).  The driver loop
-    only ever sees a scalar changed-count — no data is collected.  For
-    adversarial graphs (long paths) swap in the large-star/small-star
-    alternation, which converges in O(log n) rounds with the same
-    join/aggregate primitives.
+    Algorithm: iterative min-label propagation with pointer doubling —
+    each round every node takes the min of its own label, its neighbors'
+    labels, and its label's label (the doubling step compresses chains
+    by half per round, so convergence is O(log diameter), not
+    O(diameter)).  Near-dup graphs are unions of small dense cliques
+    (diameter ~2-3), so this terminates in a handful of rounds;
+    ``max_iter`` is a guard, not a budget.  The driver loop only ever
+    sees a scalar changed-count — no data is collected.
+
+    Scale shape (the parts that matter at 100 TB):
+
+    - **Propagation runs over edge-ENDPOINT nodes only.**  A node with
+      no candidate pair can never change its label, so the per-round
+      frames are sized by the near-dup population (typically a few
+      percent of the corpus), not |V|; singletons are appended once at
+      the end as their own size-1 clusters.  Before this, every round
+      shuffled all |V| labels to relabel the tiny dup fraction.
+    - **One aggregation per round, zero bookkeeping joins.**  The old
+      label rides through the min-aggregate as a side column, so the
+      convergence check is a filter-count on the just-checkpointed
+      result instead of a per-round labels⨝new_labels join (which
+      doubled each round's shuffle work).
+    - **Edges are pre-partitioned on the probe key** (``src``) once at
+      build, and each round's output is hash-partitioned on ``doc_id``
+      by the aggregate and pinned there by ``localCheckpoint`` — the
+      next round's neighbor join and doubling join both reuse it.
+    - ``localCheckpoint`` per round cuts lineage so plans don't grow
+      (the classic iterative-DataFrame trap).
     """
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
@@ -361,19 +377,24 @@ def dup_clusters(
             pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
         )
         .distinct()
+        .repartition(F.col("src"))
         .persist()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # only nodes that appear in an edge can ever be relabeled
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
     changed = -1
     try:
         for _ in range(max_iter):
             prop = edges.join(
                 labels.withColumnRenamed("doc_id", "src"), "src"
             ).select(F.col("dst").alias("doc_id"), "label")
-            # pointer doubling (label-of-label): compresses label chains by
-            # half each round, so convergence is O(log diameter) instead of
-            # O(diameter) — a 64-node path settles in ~7 rounds, not 63.
-            # Same fixed point (the component min), one extra equi-join.
+            # pointer doubling (label-of-label): same fixed point (the
+            # component min), one extra equi-join per round
             shortcut = (
                 labels.alias("a")
                 .join(
@@ -382,20 +403,19 @@ def dup_clusters(
                 )
                 .select(F.col("a.doc_id").alias("doc_id"), F.col("b.label"))
             )
+            # the labels leg carries its current label a second time as
+            # `old`; after the min-aggregate, label != old IS the change
+            # indicator — no join needed to detect convergence
             new_labels = (
-                labels.union(prop)
-                .union(shortcut)
+                labels.select("doc_id", "label", F.col("label").alias("old"))
+                .unionByName(prop.withColumn("old", F.lit(None).cast("long")))
+                .unionByName(shortcut.withColumn("old", F.lit(None).cast("long")))
                 .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.where(F.col("label") != F.col("old")).count()
+            labels = new_labels.drop("old")
             if changed == 0:
                 break
     finally:
@@ -410,12 +430,23 @@ def dup_clusters(
             "large-star/small-star alternation"
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    clustered = labels.join(sizes, "label").select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         "cluster_size",
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+    singletons = (
+        nodes.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return clustered.unionByName(singletons)
 
 
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:

@@ -7,7 +7,8 @@ Each processor:
 - runs as ``mapInPandas`` (Arrow-batched, one Python worker per partition —
   the only sane shape for CPU-bound media work at scale; never a row-UDF);
 - has TWO backends: ``backend="real"`` decodes what the standard library
-  can (PPM P6 / uncompressed 24bpp BMP images, 16-bit WAV PCM audio) and
+  can (PPM P6 / uncompressed 24bpp BMP / 8-bit RGB(A) PNG images, 16-bit
+  WAV PCM audio) and
   raises ``NotImplementedError`` naming the dependency (Pillow / ffmpeg /
   librosa) for formats beyond that — the gate sits per-format inside the
   decoder, not on the whole call; ``backend="fake"`` (default) produces
@@ -62,9 +63,9 @@ def _digest(data: bytes | None) -> str:
 
 
 def _decode_rgb(data: bytes):
-    """Decode PPM-P6 / 24bpp-BMP bytes → (H, W, 3) uint8 ndarray.  Raises
-    ``NotImplementedError`` naming Pillow for any other format — the
-    honest gate, now per-format instead of per-call."""
+    """Decode PPM-P6 / 24bpp-BMP / 8-bit-RGB(A)-PNG bytes → (H, W, 3)
+    uint8 ndarray.  Raises ``NotImplementedError`` naming Pillow for any
+    other format — the honest gate, per-format instead of per-call."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -87,6 +88,8 @@ def _decode_rgb(data: bytes):
             raise NotImplementedError("16-bit PPM needs Pillow")
         px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
         return px.reshape(h, w, 3).copy()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     if data[:2] == b"BM":
         import struct
 
@@ -109,9 +112,96 @@ def _decode_rgb(data: bytes):
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "image format not supported by the stdlib backend (PPM P6 and "
-        "uncompressed 24bpp BMP only); install Pillow for the rest"
+        "image format not supported by the stdlib backend (PPM P6, "
+        "uncompressed 24bpp BMP, and 8-bit RGB/RGBA PNG only); install "
+        "Pillow for the rest"
     )
+
+
+def _decode_png(data: bytes):
+    """Stdlib-pure PNG decode for the container's most common real image
+    format: 8-bit-per-sample truecolor (color type 2) and truecolor+alpha
+    (color type 6), non-interlaced — ``zlib`` inflate of the IDAT stream
+    followed by per-scanline unfiltering (None/Sub/Up/Average/Paeth, PNG
+    spec §9).  Alpha is dropped (the feature/resize paths are RGB).
+    Palette, grayscale, 16-bit, and interlaced PNGs still gate on Pillow,
+    loudly and by name."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (length,), ctag = struct.unpack_from(">I", data, pos), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR; corrupt file")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
+            "needs Pillow (stdlib backend reads 8-bit non-interlaced "
+            "RGB/RGBA only)"
+        )
+    bpp = 3 if ctype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            "PNG IDAT length mismatch; corrupt file or unsupported layout"
+        )
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    img = np.zeros((h, stride), np.uint16)  # u16: filter math needs headroom
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.uint16)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub — sequential in x, vectorized across channels
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}; corrupt file")
+        img[y] = cur
+        prev = cur
+    out = img.astype(np.uint8).reshape(h, w, bpp)
+    return out[:, :, :3].copy()
 
 
 def _rgb_features(img, n_features: int) -> list[float]:
@@ -178,9 +268,10 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract image binaries → IMAGE_FEATURES_SCHEMA.
 
-    ``backend="real"`` decodes PPM (P6) and uncompressed 24bpp BMP with
-    stdlib byte parsing (no dependencies) and emits per-channel
-    mean/std features; any other format raises ``NotImplementedError``
+    ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, and
+    8-bit RGB/RGBA PNG with stdlib byte parsing (no dependencies) and
+    emits per-channel mean/std features; any other format raises
+    ``NotImplementedError``
     naming Pillow — the dependency gate moved from the whole call down
     to the formats that truly need it.  ``backend="fake"`` emits
     deterministic md5-derived dimensions and features with the exact

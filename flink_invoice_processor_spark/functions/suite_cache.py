@@ -29,17 +29,36 @@ entries are plain checkpointed DataFrames; dropping the dict on
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 _CACHE: dict | None = None
+#: wall-clock seconds spent BUILDING each cached artifact this scope —
+#: the bench reads (and drains) this to charge shared-artifact builds to
+#: explicit ``__artifact:<name>`` pseudo-entries instead of whichever
+#: query happened to run first (round-over-round per-query numbers were
+#: noise for cache-shared families otherwise: simhash_pairs_docs moved
+#: 0.30→2.65 s between r5 and r6 purely because a different query paid
+#: for the shared tight-graph build).
+_BUILD_TIMES: dict[str, float] = {}
+
+
+def _key_label(key: tuple) -> str:
+    """Human-stable artifact label: drop the leading sf_dir path (present
+    in every key) and join the semantic parts."""
+    parts = [str(p) for p in key]
+    if parts and "/" in parts[0]:
+        parts = parts[1:]
+    return ":".join(parts)
 
 
 def enable() -> None:
     """Start a suite-cache scope (idempotent: re-enabling clears it)."""
     global _CACHE
     _CACHE = {}
+    _BUILD_TIMES.clear()
 
 
 def disable() -> None:
@@ -52,6 +71,15 @@ def enabled() -> bool:
     return _CACHE is not None
 
 
+def drain_build_times() -> dict[str, float]:
+    """Return artifact-build seconds recorded since the last drain (or
+    enable) and reset the ledger.  The bench calls this after each query
+    to attribute builds to the query that triggered them."""
+    out = dict(_BUILD_TIMES)
+    _BUILD_TIMES.clear()
+    return out
+
+
 def memo(key: tuple | None, builder: Callable):
     """Build-or-reuse an arbitrary artifact (driver-side values, tuples of
     DFs already materialized by their builder).  ``key=None`` always calls
@@ -60,7 +88,9 @@ def memo(key: tuple | None, builder: Callable):
     if _CACHE is None or key is None:
         return builder()
     if key not in _CACHE:
+        t0 = time.perf_counter()
         _CACHE[key] = builder()
+        _BUILD_TIMES[_key_label(key)] = round(time.perf_counter() - t0, 3)
     return _CACHE[key]
 
 
@@ -71,5 +101,7 @@ def memo_df(key: tuple | None, builder: Callable[[], DataFrame]) -> DataFrame:
     if _CACHE is None or key is None:
         return builder()
     if key not in _CACHE:
+        t0 = time.perf_counter()
         _CACHE[key] = builder().localCheckpoint()
+        _BUILD_TIMES[_key_label(key)] = round(time.perf_counter() - t0, 3)
     return _CACHE[key]

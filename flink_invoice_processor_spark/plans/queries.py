@@ -3893,25 +3893,50 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness = ship > 60 days after order; no
     receipt/commit dates in this data): suppliers in one region who were
-    the SOLE late supplier on a finished multi-supplier order.  The
-    signature double-correlated subquery pair plans as one LEFT-SEMI join
-    (another supplier exists on the order) plus one LEFT-ANTI join (no
-    OTHER supplier was late), both hash-partitioned on orderkey with the
-    suppkey-inequality as a residual condition — the only shuffles are
-    the two distinct-pair aggregates and the orderkey-keyed self-joins,
-    all on uniform keys.  The region dimension chain broadcasts."""
+    the SOLE late supplier on a finished multi-supplier order.
+
+    The signature double-correlated subquery pair is algebraized into
+    per-order COUNTS riding one orderkey exchange (the SCD2 one-exchange
+    trick, functions/scd2.py): since the EXISTS correlates on the same
+    orderkey as l1 — always a finished order — the pair (orderkey,
+    suppkey) qualifies iff its order has >= 2 distinct suppliers
+    (EXISTS another supplier) and exactly 1 late one (NOT EXISTS another
+    LATE supplier, l1 itself being late).  Plan: lineitem⨝orders shuffle
+    on orderkey, then the distinct-pair aggregate (orderkey+suppkey keys
+    — clustered-satisfied by the orderkey exchange, no new shuffle), two
+    window counts over orderkey (same exchange), filter, broadcast
+    region-dim join, and a |suppliers|-sized final aggregate.  The
+    previous shape re-shuffled the pair/late frames three more times
+    through a LEFT-SEMI + LEFT-ANTI self-join pair and scaled 2.27x at
+    10x data (SCALING_r06.json); this is the one-big-exchange form."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    late = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(
-            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    base = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    pair_late = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+            ).cast("int")
+        ).alias("_is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        pair_late.select(
+            "l_orderkey",
+            "l_suppkey",
+            "_is_late",
+            F.count("*").over(w).alias("_n_supp"),
+            F.sum("_is_late").over(w).alias("_n_late"),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .where(
+            (F.col("_is_late") == 1)
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late") == 1)
+        )
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -3921,25 +3946,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name")
     )
-    l2 = pairs.select(
-        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
-    )
     return (
-        late.join(F.broadcast(dims), late.l_suppkey == F.col("s_suppkey"))
-        .join(
-            l2,
-            (F.col("l_orderkey") == F.col("_k2"))
-            & (F.col("l_suppkey") != F.col("_s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("_k3"))
-            & (F.col("l_suppkey") != F.col("_s3")),
-            "left_anti",
+        qualified.join(
+            F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
