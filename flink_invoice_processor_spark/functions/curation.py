@@ -1022,3 +1022,82 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def domain_term_lift(
+    df: DataFrame,
+    top_k: int = 5,
+    min_count: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain distinguishing terms — the class-based TF-IDF shape
+    (c-TF-IDF, BERTopic): treat each ``group_col`` value as one class
+    and rank its terms by frequency LIFT, the integer-exact substitute
+    for the IEEE ``log``-scaled idf (engine log rounding differs;
+    ratios don't):
+
+        lift = P(term | class) / P(term | corpus)
+             = (tf_tc / T_c) / (tf_t / T)
+
+    emitted in 1e-6 fixed point via STAGED truncating division —
+    ``(tf_tc * 1e6 DIV tf_t) * T DIV T_c`` — so every intermediate is
+    provably <= 1e6 * T and a division-only ``assert_true`` guard on
+    the corpus total fails loudly (at any ANSI setting) before int64
+    could wrap, the pmi_bigrams contract.  lift > 1e6 means the term is
+    over-represented in the domain; the famous c-TF-IDF use is naming
+    what a data source actually contains before weighting it in a mix.
+
+    Plan shape: one (group, token) hash-aggregate over the token explode
+    (map-side combined), a vocabulary-sized token-marginal aggregate
+    joined back ON the token, a |domains|-sized total broadcast, and a
+    per-domain top-k window over (domain x vocabulary) AGGREGATE rows —
+    never corpus rows.  Ties break lexicographically on the term.
+
+    Output: (``group_col``, tok, n_tok, lift6, rank), ``top_k`` rows
+    per domain among terms with ``n_tok >= min_count``.
+    """
+    from .text import _MAXL
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("tok"),
+    )
+    tf = toks.groupBy(group_col, "tok").agg(F.count("*").alias("n_tok"))
+    class_totals = tf.groupBy(group_col).agg(F.sum("n_tok").alias("t_class"))
+    term_totals = tf.groupBy("tok").agg(F.sum("n_tok").alias("t_term"))
+    totals = tf.agg(F.sum("n_tok").alias("t_all"))
+    scored = (
+        tf.where(F.col("n_tok") >= min_count)
+        .join(term_totals, "tok")
+        .join(F.broadcast(class_totals), group_col)
+        .crossJoin(F.broadcast(totals))
+        # first factor <= 1e6 (n_tok <= t_term), so the product is bounded
+        # by 1e6 * t_all: guarding the corpus total guards the product
+        .where(
+            F.assert_true(
+                F.col("t_all") <= _MAXL // 1_000_000,
+                F.lit(
+                    "domain_term_lift: 1e-6 fixed-point lift would overflow"
+                    " int64 on this corpus — shard the token counts and"
+                    " merge, or reduce precision"
+                ),
+            ).isNull()
+        )
+        .select(
+            group_col,
+            "tok",
+            "n_tok",
+            F.expr("(n_tok * 1000000 DIV t_term) * t_all DIV t_class").alias(
+                "lift6"
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("lift6").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(group_col, "tok", "n_tok", "lift6", "rank")
+    )

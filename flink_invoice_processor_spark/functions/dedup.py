@@ -329,6 +329,94 @@ def minhash_lsh_pairs(
     return _finish_pairs(out, banded)
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage near-duplicate detection: MinHash-LSH RECALL stage →
+    exact n-gram-Jaccard PRECISION stage — the production dedup pipeline
+    shape (RefinedWeb / SlimPajama style: banding over-generates, so
+    every candidate is verified on its true shingle sets before a
+    document is dropped).
+
+    Stage 1 (``candidates`` or :func:`minhash_lsh_pairs`): banded
+    signature equi-join, O(n²) only within a bucket.  Stage 2: exact
+    Jaccard restricted to the candidate pairs — the shingle explode is
+    LEFT-SEMI-pruned to documents that appear in a candidate first
+    (the near-dup population, typically a few percent of the corpus),
+    then the intersection is ONE equi-join chain keyed on the candidate
+    doc ids: cand ⨝ shingles(a) ⨝ shingles(b on the same shingle hash).
+    Work is Σ|shingles(a)| over candidates — bounded by the recall
+    stage, never corpus², and immune to hub-shingle skew because the
+    join keys are doc ids, not shingles.  Compare :func:`jaccard_pairs`,
+    which self-joins the full corpus ON the shingle and needs the
+    stop-shingle cap instead.
+
+    Returns (doc_id_a < doc_id_b, n_shared_bands, jaccard) for
+    candidates whose exact Jaccard clears ``threshold`` — the pairs the
+    recall stage promised and the precision stage confirmed.
+    """
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_pairs(df, k=k, bands=bands, n=n, text_col=text_col)
+    ).select("doc_id_a", "doc_id_b", "n_shared_bands")
+    members = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b")))
+        .distinct()
+    )
+    sh = (
+        shingles(df, n, text_col)
+        .join(members, "doc_id", "left_semi")
+        .select("doc_id", _md5_int63(F.col("shingle")).alias("shingle_h"))
+    )
+    if MATERIALIZE_PAIRS:
+        sh = sh.persist()  # sizes + both intersection probes read it
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingle_h").alias("_h"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingle_h").alias("_h"),
+            ),
+            ["doc_id_b", "_h"],
+        )
+        .groupBy("doc_id_a", "doc_id_b", "n_shared_bands")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_bands",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return _finish_pairs(out, sh)
+
+
 def dup_clusters(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

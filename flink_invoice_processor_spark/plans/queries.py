@@ -1209,6 +1209,114 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_verified_pairs_docs",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(16))}
+        FROM sh0 GROUP BY doc_id
+    ),
+    banded AS (
+        {" UNION ALL ".join(
+            f'''SELECT doc_id, {b} AS band_id,
+                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
+                FROM sig'''
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               COUNT(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+        WHERE doc_id IN (SELECT doc_id_a FROM cand
+                         UNION SELECT doc_id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, c.n_shared_bands, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh a ON a.doc_id = c.doc_id_a
+        JOIN shh b ON b.doc_id = c.doc_id_b AND b.shingle_h = a.shingle_h
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id_a, doc_id_b, n_shared_bands,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
+               JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def lsh_verified_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection: MinHash-LSH candidates (recall)
+    verified by EXACT n-gram Jaccard >= 0.5 (precision) — the production
+    dedup pipeline shape where banding over-generates and no document is
+    dropped on a hash accident.  The verification explode is semi-pruned
+    to candidate participants and the intersection joins are keyed on
+    the candidate doc ids, so stage-2 work is bounded by the recall
+    stage, never corpus² (functions/dedup.py:lsh_verified_pairs).  The
+    candidate stage is suite-cache-shared with minhash_lsh_docs /
+    dup_clusters_docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = SC.memo(
+        (sf_dir, "minhash_lsh_pairs", 16, 4),
+        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
+    )
+    return DD.lsh_verified_pairs(docs, threshold=0.5, candidates=cand)
+
+
+@register(
+    "domain_term_lift_docs",
+    f"""
+    WITH tf AS (
+        SELECT source, tok, COUNT(*) AS n_tok
+        FROM (
+            SELECT source,
+                   unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        )
+        GROUP BY 1, 2
+    ),
+    ct AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_class
+           FROM tf GROUP BY 1),
+    tt AS (SELECT tok, CAST(SUM(n_tok) AS BIGINT) AS t_term
+           FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_all FROM tf),
+    scored AS (
+        SELECT tf.source, tf.tok, tf.n_tok,
+               (tf.n_tok * 1000000 // tt.t_term) * tot.t_all // ct.t_class
+                   AS lift6
+        FROM tf JOIN tt USING (tok) JOIN ct USING (source) CROSS JOIN tot
+        WHERE tf.n_tok >= 20
+    )
+    SELECT source, tok, n_tok, lift6, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY lift6 DESC, tok ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def domain_term_lift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing terms by integer-exact frequency lift —
+    the c-TF-IDF/BERTopic shape with a staged truncating-division ratio
+    standing in for the engine-rounding-sensitive IEEE log idf
+    (functions/curation.py:domain_term_lift).  Names what each data
+    source actually contains before a mixing weight is put on it; the
+    window ranks (domain x vocabulary) AGGREGATE rows, never corpus
+    rows, and int64 overflow fails loudly via the division-only
+    assert_true guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.domain_term_lift(docs, top_k=5, min_count=20)
+
+
+@register(
     "simhash_docs",
     f"""
     WITH toks AS (
@@ -6682,6 +6790,13 @@ _DRIVER_FIRST = [
     "kcore_docs",
     "contrastive_pairs_docs",
     "leakage_safe_split_docs",
+    # new in round 7 (never driver-gated): two-stage LSH->exact-Jaccard
+    # verification and c-TF-IDF domain term lift (events_asof_join and
+    # embedding_neardup_pairs — driver-green r2+r6, their families still
+    # in-window via events_incident_overlap_join / embedding_neardup_lsh —
+    # rotate out to make room; all stay registered and replica-checked)
+    "lsh_verified_pairs_docs",
+    "domain_term_lift_docs",
     # round-6 rotation: 15 confirmed rows rotate OUT (triple-confirmed
     # r3+r4+r5: training_mix_pipeline, decontaminate_docs,
     # pack_sequences_docs, bigram_lm_counts, fuzzy_prefix_pairs,
@@ -6703,8 +6818,6 @@ _DRIVER_FIRST = [
     "dup_clusters_docs",
     "embedding_cosine_topk",
     "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "events_asof_join",
 ]
 
 

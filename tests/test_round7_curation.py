@@ -113,6 +113,132 @@ class TestLeakageSafeSplit:
         assert 650 < counts["train"] < 950
 
 
+class TestLshVerifiedPairs:
+    """Stage-2 exact-Jaccard verification against a pure-Python model
+    (stage 1 injected via `candidates` so the model stays small)."""
+
+    @staticmethod
+    def _shingles(text):
+        toks = [t.lower() for t in text.split()]
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def test_verification_matches_python_model(self, spark):
+        from flink_invoice_processor_spark.functions import dedup as DD
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "the quick brown fox jumps over the lazy cat",
+            3: "completely different words entirely here now folks",
+            4: "the quick brown fox jumps over the lazy dog",
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id: long, text: string"
+        )
+        cand = spark.createDataFrame(
+            [(1, 2, 3), (1, 3, 1), (1, 4, 4), (2, 3, 1)],
+            "doc_id_a: long, doc_id_b: long, n_shared_bands: long",
+        )
+        got = {
+            (r.doc_id_a, r.doc_id_b): (r.jaccard, r.n_shared_bands)
+            for r in DD.lsh_verified_pairs(
+                df, threshold=0.5, candidates=cand
+            ).collect()
+        }
+        expected = {}
+        for (a, b, nb) in [(1, 2, 3), (1, 3, 1), (1, 4, 4), (2, 3, 1)]:
+            sa, sb = self._shingles(texts[a]), self._shingles(texts[b])
+            j = round(len(sa & sb) / len(sa | sb), 4)
+            if j >= 0.5:
+                expected[(a, b)] = (j, nb)
+        assert got == expected
+        assert (1, 4) in got and got[(1, 4)][0] == 1.0  # exact dup
+        assert (1, 3) not in got  # candidate killed by verification
+
+    def test_output_subset_of_candidates(self, spark, sf_dir):
+        from flink_invoice_processor_spark.functions import dedup as DD
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cand = DD.minhash_lsh_pairs(docs, k=16, bands=4)
+        ver = DD.lsh_verified_pairs(docs, threshold=0.5, candidates=cand)
+        cpairs = {(r.doc_id_a, r.doc_id_b) for r in cand.collect()}
+        vrows = ver.collect()
+        assert {(r.doc_id_a, r.doc_id_b) for r in vrows} <= cpairs
+        assert all(r.jaccard >= 0.5 for r in vrows)
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        from flink_invoice_processor_spark.functions import dedup as DD
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        prior = DD.MATERIALIZE_PAIRS
+        DD.MATERIALIZE_PAIRS = False
+        try:
+            plan = (
+                DD.lsh_verified_pairs(docs, threshold=0.5)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            DD.MATERIALIZE_PAIRS = prior
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestDomainTermLift:
+    def test_matches_python_model(self, spark):
+        from flink_invoice_processor_spark.functions import curation as C
+
+        rows = []
+        did = 0
+        for src, word, n in [
+            ("a", "alpha", 30), ("a", "common", 40),
+            ("b", "beta", 25), ("b", "common", 45),
+        ]:
+            for _ in range(n):
+                rows.append((did, src, word))
+                did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id: long, source: string, text: string"
+        )
+        got = {
+            (r.source, r.tok): (r.n_tok, r.lift6, r.rank)
+            for r in C.domain_term_lift(df, top_k=5, min_count=20).collect()
+        }
+        tf = {("a", "alpha"): 30, ("a", "common"): 40,
+              ("b", "beta"): 25, ("b", "common"): 45}
+        t_class = {"a": 70, "b": 70}
+        t_term = {"alpha": 30, "common": 85, "beta": 25}
+        t_all = 140
+        expected_lift = {
+            k: (v * 1_000_000 // t_term[k[1]]) * t_all // t_class[k[0]]
+            for k, v in tf.items()
+        }
+        for k, (n_tok, lift6, _) in got.items():
+            assert n_tok == tf[k] and lift6 == expected_lift[k]
+        # domain-exclusive terms are maximally lifted and rank first
+        assert got[("a", "alpha")][1] == 2_000_000  # 1/1 vs 70/140 share
+        assert got[("a", "alpha")][2] == 1 and got[("b", "beta")][2] == 1
+        # the shared term is under-lifted in both
+        assert got[("a", "common")][1] < 1_000_000
+
+    def test_min_count_and_topk(self, spark, sf_dir):
+        from flink_invoice_processor_spark.functions import curation as C
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = C.domain_term_lift(docs, top_k=3, min_count=20).collect()
+        per_src = {}
+        for r in out:
+            per_src.setdefault(r.source, []).append(r)
+            assert r.n_tok >= 20
+        for rows in per_src.values():
+            assert len(rows) <= 3
+            assert sorted(r.rank for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
+
+
 class TestOracleSplices:
     def test_splice_once_rejects_zero_and_multi(self):
         from flink_invoice_processor_spark.plans.queries import _splice_once

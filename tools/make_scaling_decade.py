@@ -45,6 +45,18 @@ def main() -> None:
         t for t in tables
         if not os.path.exists(os.path.join(out, f"{t}.parquet"))
     ]
+    # static dimension tables copied verbatim: supplier/nation/region/part
+    # are the broadcast side of every join that touches them, so the decade
+    # point measures fact-table growth (the realistic mode — dimensions
+    # grow far slower than facts) without leaving q2/q20/q21-style
+    # families unrunnable at the decade dir
+    import shutil
+
+    for t in ("supplier", "nation", "region", "part"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.makedirs(out, exist_ok=True)
+            shutil.copy(os.path.join(src, f"{t}.parquet"), dst)
     if not missing:
         print(f"{out}: already generated")
         return

@@ -108,6 +108,11 @@ ALLOWED_SOFT = {
         "broadcast back — the draw resolution itself is a uniform "
         "equi-join on the dense index"
     ),
+    "domain_term_lift_docs": (
+        "1-row corpus-token-total aggregate (t_all for the lift "
+        "denominator), broadcast back — term and class marginals stay "
+        "key-partitioned"
+    ),
 }
 
 

@@ -84,6 +84,9 @@ DECADE_FAMILIES = [
     "ivf_pq_sampled_topk_embeddings",
     # exact order statistics over the decade events set (reads events only)
     "events_value_outliers",
+    # round-7 rewrite (window counts on one orderkey exchange, replacing
+    # the semi/anti self-join pair): pin the decade evidence for the fix
+    "q21_waiting_suppliers",
 ]
 
 
