@@ -267,6 +267,45 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH band rows (doc_id, band_id, band_hash): the k-component
+    MinHash signature split into ``bands`` bands of ``k/bands``
+    components, each band md5-hashed.  One pass: explode an array of
+    (band_id, band_hash) structs instead of a bands-way union (which
+    would recompute the signature aggregation per branch per consumer).
+    Shared by :func:`minhash_lsh_pairs` (self-join) and the persisted
+    LSH store (``functions/lsh_index.py``) so the streaming and batch
+    paths can never drift."""
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, k, n, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band_id").alias("band_id"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 16,
@@ -283,30 +322,7 @@ def minhash_lsh_pairs(
     to ``jaccard_pairs``-style verification for the precision pass.
     """
     assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-    sig = minhash_signatures(df, k, n, text_col)
-    # one pass: explode an array of (band_id, band_hash) structs instead of a
-    # bands-way union (which would recompute the signature aggregation per
-    # branch per join side — 2×bands full recomputations)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band_id").alias("band_id"),
-                F.col("bb.band_hash").alias("band_hash"))
-    )
+    banded = band_rows(df, k=k, bands=bands, n=n, text_col=text_col)
     if MATERIALIZE_PAIRS:
         banded = banded.persist()  # both self-join sides read it
 

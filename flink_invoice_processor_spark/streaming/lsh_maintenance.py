@@ -1,0 +1,91 @@
+"""Streaming maintenance of the persisted MinHash-LSH band store:
+continuous near-dup detection of arriving documents against ALL history.
+
+Each micro-batch is banded (linear in the batch), probed against the
+store (partition-pruned equi-join, see ``functions/lsh_index.py``), and
+appended as its own ``(band_bucket, batch=epoch)`` partitions; the
+candidate pairs it surfaced land in a queryable parquet PAIRS table
+partitioned by epoch.  Both writes are dynamic-partition-overwrites of
+the epoch's own partitions, so a replayed epoch (foreachBatch is
+at-least-once) rewrites identical content instead of duplicating —
+the matview/trigram-index idempotence contract.
+
+One-lineage contract (same as ``streaming/index_maintenance.py``):
+epoch ids must map stably to batches — one checkpoint lineage per store
+path.  Bootstrap with ``build_lsh_store`` (its rows live under
+``batch=-1``, never touched by the stream).
+
+Cumulative-equivalence contract (pytest-pinned in
+``tests/test_lsh_maintenance.py``): after streaming a corpus in any
+split, the union of all epochs' pairs tables equals one-shot
+``dedup.minhash_lsh_pairs`` over the whole corpus, n_shared_bands
+included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.lsh_index import (
+    compact_lsh_store,
+    read_store_meta,
+    update_lsh_store,
+)
+
+
+def lsh_micro_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    pairs_path: str,
+    meta: dict | None = None,
+) -> None:
+    """One ingest increment: probe + store append via
+    ``update_lsh_store``, then land the surfaced pairs under the pairs
+    table's ``batch=epoch`` partition (replay rewrites it)."""
+    if batch_df.isEmpty():
+        return
+    pairs = update_lsh_store(batch_df, store_path, batch_id=epoch_id, meta=meta)
+    (
+        pairs.withColumn("batch", F.lit(int(epoch_id)))
+        .coalesce(1)  # pair increments are tiny; one file per epoch
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(pairs_path)
+    )
+
+
+def run_lsh_dedup_job(
+    docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Start the dedup-against-history job over a streaming documents
+    DataFrame (doc_id LONG, text STRING).  The store at ``store_path``
+    must exist (``build_lsh_store`` — its ``_store_meta`` pins
+    k/bands/n/n_buckets/text_col so the stream can never drift from the
+    bootstrap layout); the meta is read ONCE here.
+
+    ``compact_every=N`` folds committed increments (epochs
+    ``<= epoch-1``) into the base every N epochs; the current epoch's
+    increment is never compacted, so crash-replay stays idempotent."""
+    meta = read_store_meta(docs.sparkSession, store_path)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        lsh_micro_batch(batch_df, epoch_id, store_path, pairs_path, meta=meta)
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_lsh_store(
+                batch_df.sparkSession, store_path, epoch_id - 1, meta=meta
+            )
+
+    return (
+        docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
