@@ -76,6 +76,22 @@ def main() -> None:
 
     from flink_invoice_processor_spark.functions import suite_cache
 
+    def timed_query(name: str) -> tuple[float, dict[str, float]]:
+        """Execute one query to completion and return (seconds EXCLUDING
+        suite-cache artifact builds, {artifact: build seconds}).  The
+        single timing/attribution definition for the cold pass, the warm
+        pass, and the anomaly reruns — their numbers are documented as
+        comparable, so they must come from the same code."""
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+        except Exception:
+            suite_cache.drain_build_times()
+            raise
+        elapsed = time.perf_counter() - t0
+        built = suite_cache.drain_build_times()
+        return max(elapsed - sum(built.values()), 0.0), built
+
     def timed_pass() -> tuple[
         dict[str, float], dict[str, str], dict[str, float]
     ]:
@@ -109,22 +125,16 @@ def main() -> None:
         suite_cache.enable()
         try:
             for name in HEADLINE:
-                fn = QUERIES[name]
                 if hasattr(os, "getloadavg"):
                     loads[name] = round(os.getloadavg()[0], 2)
-                t0 = time.perf_counter()
                 try:
-                    fn(spark, sf_dir).count()
-                    elapsed = time.perf_counter() - t0
-                    built = suite_cache.drain_build_times()
-                    for art, secs in built.items():
+                    secs, built = timed_query(name)
+                    for art, bsecs in built.items():
                         t[f"__artifact:{art}"] = round(
-                            t.get(f"__artifact:{art}", 0.0) + secs, 3
+                            t.get(f"__artifact:{art}", 0.0) + bsecs, 3
                         )
-                        elapsed -= secs
-                    t[name] = round(max(elapsed, 0.0), 3)
+                    t[name] = round(secs, 3)
                 except Exception as e:  # noqa: BLE001 - record, keep benching
-                    suite_cache.drain_build_times()
                     errs[name] = f"{type(e).__name__}: {e}"[:400]
         finally:
             suite_cache.disable()
@@ -191,16 +201,12 @@ def main() -> None:
                 csec = timings.get(name)
                 if csec is None or wsec <= max(1.5 * csec, csec + 0.5):
                     continue
-                t0 = time.perf_counter()
                 try:
-                    QUERIES[name](spark, sf_dir).count()
-                    elapsed = time.perf_counter() - t0
-                    # rebuilt artifacts are an accident of the rerun scope;
-                    # subtract them so the number compares to queries_warm
-                    elapsed -= sum(suite_cache.drain_build_times().values())
-                    rerun[name] = round(max(elapsed, 0.0), 3)
+                    # artifacts rebuilt in the rerun scope are excluded by
+                    # timed_query so the number compares to queries_warm
+                    rerun[name] = round(timed_query(name)[0], 3)
                 except Exception:  # noqa: BLE001 - rerun is best-effort
-                    suite_cache.drain_build_times()
+                    pass
         finally:
             suite_cache.disable()
         if rerun:

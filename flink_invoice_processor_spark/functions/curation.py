@@ -938,8 +938,11 @@ def contrastive_negative_pairs(
     idx = distributed_row_number(
         df.select(F.col(id_col)), [F.col(id_col)], out_col="_rn"
     )
+    # count(id_col), not count(*): both sides then ignore NULL ids, so
+    # the guard fires on genuine duplicates only (a lone NULL id is not
+    # a duplicate — its draws drop out via NULL concat as before)
     uniq_guard = F.assert_true(
-        F.count(F.lit(1)) == F.count_distinct(F.col(id_col)),
+        F.count(F.col(id_col)) == F.count_distinct(F.col(id_col)),
         F.lit(
             "contrastive_negative_pairs: duplicate values in id_col — "
             "the dense 1..n index and reproducible draw resolution "

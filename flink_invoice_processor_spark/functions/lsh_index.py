@@ -126,6 +126,14 @@ def update_lsh_store(
     Contract: ``new_docs`` doc_ids are new (append-only ingest) and each
     doc arrives in exactly one epoch — the conditions under which the
     cumulative pair set equals the one-shot batch recompute."""
+    if int(batch_id) < 0:
+        # -1 is the bootstrap sentinel: accepting it would silently
+        # exclude ALL history from the probe and then dynamic-overwrite
+        # the bootstrap partitions with just this batch's rows
+        raise ValueError(
+            f"update_lsh_store: batch_id must be >= 0 (got {batch_id}); "
+            "batch=-1 is the bootstrap base — rebuild with build_lsh_store"
+        )
     spark = new_docs.sparkSession
     if meta is None:
         meta = read_store_meta(spark, store_path)

@@ -134,18 +134,26 @@ def _decode_png(data: bytes):
     pos = 8
     idat = bytearray()
     w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(data):
-        (length,), ctag = struct.unpack_from(">I", data, pos), data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+    try:
+        while pos + 8 <= len(data):
+            (length,), ctag = (
+                struct.unpack_from(">I", data, pos),
+                data[pos + 4:pos + 8],
             )
-        elif ctag == b"IDAT":
-            idat += body
-        elif ctag == b"IEND":
-            break
+            body = data[pos + 8:pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif ctag == b"IDAT":
+                idat += body
+            elif ctag == b"IEND":
+                break
+    except struct.error as e:
+        # truncated mid-chunk (partial download): keep the module's loud
+        # named-gate contract instead of leaking a raw struct.error
+        raise NotImplementedError(f"PNG truncated/corrupt: {e}") from e
     if w is None:
         raise NotImplementedError("PNG missing IHDR; corrupt file")
     if depth != 8 or ctype not in (2, 6) or interlace != 0:
@@ -155,7 +163,10 @@ def _decode_png(data: bytes):
             "RGB/RGBA only)"
         )
     bpp = 3 if ctype == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"PNG IDAT corrupt: {e}") from e
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise NotImplementedError(
@@ -172,10 +183,12 @@ def _decode_png(data: bytes):
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f == 1:  # Sub — sequential in x, vectorized across channels
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 1:  # Sub: per-channel prefix sum mod 256 — x_i = Σ raw
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.int64), axis=0
+                ) % 256
+            ).reshape(-1).astype(np.uint16)
         elif f == 3:  # Average
             cur = line.copy()
             for x in range(stride):

@@ -46,12 +46,12 @@ _BUILD_TIMES: dict[str, float] = {}
 
 
 def _key_label(key: tuple) -> str:
-    """Human-stable artifact label: drop the leading sf_dir path (present
-    in every key) and join the semantic parts."""
-    parts = [str(p) for p in key]
-    if parts and "/" in parts[0]:
-        parts = parts[1:]
-    return ":".join(parts)
+    """Human-stable artifact label: drop every path-like element (the
+    sf_dir rides in different positions across keys) and join the
+    semantic parts — labels must be identical across sf dirs and rounds
+    for the bench's round-over-round attribution to mean anything."""
+    parts = [str(p) for p in key if "/" not in str(p)]
+    return ":".join(parts) if parts else ":".join(str(p) for p in key)
 
 
 def enable() -> None:

@@ -1175,6 +1175,22 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(docs, k=8)
 
 
+def _banded_sql(src: str = "sig") -> str:
+    """The banded-signature CTE body (k=16 → 4 bands of 4 components,
+    band hash = md5 of the comma-joined components): the SQL mirror of
+    ``dedup.band_rows``.  ONE definition shared by every oracle that
+    bands (minhash_lsh / lsh_verified / lsh_incremental / dup_clusters)
+    so a band-hashing change cannot silently desynchronize one of them
+    from the Spark side — the drift class _SHINGLES_SQL/_mh_sql exist
+    to prevent."""
+    return " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_id,
+                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
+                FROM {src}"""
+        for b in range(4)
+    )
+
+
 @register(
     "minhash_lsh_docs",
     f"""
@@ -1184,12 +1200,7 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh GROUP BY doc_id
     ),
     banded AS (
-        {" UNION ALL ".join(
-            f'''SELECT doc_id, {b} AS band_id,
-                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
-                FROM sig'''
-            for b in range(4)
-        )}
+        {_banded_sql()}
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            COUNT(*) AS n_shared_bands
@@ -1217,12 +1228,7 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh0 GROUP BY doc_id
     ),
     banded AS (
-        {" UNION ALL ".join(
-            f'''SELECT doc_id, {b} AS band_id,
-                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
-                FROM sig'''
-            for b in range(4)
-        )}
+        {_banded_sql()}
     ),
     cand AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -1325,12 +1331,7 @@ def domain_term_lift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh GROUP BY doc_id
     ),
     banded AS (
-        {" UNION ALL ".join(
-            f'''SELECT doc_id, {b} AS band_id,
-                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
-                FROM sig'''
-            for b in range(4)
-        )}
+        {_banded_sql()}
     )
     SELECT least(n.doc_id, b.doc_id) AS doc_id_a,
            greatest(n.doc_id, b.doc_id) AS doc_id_b,
@@ -1975,12 +1976,7 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh GROUP BY doc_id
     ),
     banded AS (
-        {" UNION ALL ".join(
-            f'''SELECT doc_id, {b} AS band_id,
-                md5({" || ',' || ".join(f"CAST(mh{b*4+i} AS VARCHAR)" for i in range(4))}) AS band_hash
-                FROM sig'''
-            for b in range(4)
-        )}
+        {_banded_sql()}
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b

@@ -113,6 +113,17 @@ def test_compaction_preserves_future_probes(spark, tmp_path):
     assert LX.compact_lsh_store(spark, store, upto_batch=2) == 1  # heals
 
 
+def test_update_rejects_bootstrap_sentinel(spark, tmp_path):
+    """batch_id=-1 would silently exclude all history from the probe and
+    then overwrite the bootstrap partitions — must fail loudly."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    LX.build_lsh_store(_docs(spark, CORPUS[:2]), store, n_buckets=8)
+    with pytest.raises(ValueError, match="batch_id must be >= 0"):
+        LX.update_lsh_store(_docs(spark, CORPUS[2:3]), store, batch_id=-1)
+
+
 def test_layout_pins_band_parameters(spark, tmp_path):
     store = str(tmp_path / "store")
     meta = LX.build_lsh_store(

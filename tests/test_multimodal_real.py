@@ -174,6 +174,19 @@ def test_real_png_resize(spark, img):
     assert np.array_equal(got, img[ys][:, xs])
 
 
+def test_real_png_truncated_and_corrupt_gate_loudly(img):
+    """Partial downloads must hit the module's named gate, not leak a
+    raw struct.error/zlib.error out of the Arrow worker."""
+    whole = png_bytes(img)
+    with pytest.raises(NotImplementedError, match="truncated|corrupt"):
+        MM._decode_rgb(whole[:20])  # cut mid-IHDR
+    # corrupt the IDAT payload bytes (keep signature + IHDR intact)
+    broken = bytearray(whole)
+    broken[45:49] = b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError):
+        MM._decode_rgb(bytes(broken))
+
+
 def test_real_png_unsupported_variants_gate_on_pillow(img):
     # 16-bit, palette, and interlaced stay walled, loudly and by name
     for kw in ({"depth": 16}, {"ctype": 3}, {"interlace": 1}):

@@ -54,6 +54,16 @@ class TestContrastivePairs:
         with pytest.raises(Exception, match="duplicate values in id_col"):
             CUR.contrastive_negative_pairs(dup, k=2).count()
 
+    def test_lone_null_id_is_not_a_duplicate(self, spark):
+        """The uniqueness guard compares count(id) to count_distinct(id)
+        — both NULL-blind — so a single NULL id (no duplicate) must not
+        abort the job; its own draws drop out via NULL concat."""
+        df = spark.createDataFrame(
+            [(None,), (1,), (2,), (3,)], "doc_id: long"
+        )
+        rows = CUR.contrastive_negative_pairs(df, k=1).collect()
+        assert all(r.anchor_id is not None for r in rows)
+
     def test_unique_ids_unaffected_by_guard(self, spark):
         """The assert_true guard is NULL on the happy path and must not
         perturb n (draw targets identical to the documented formula)."""

@@ -65,3 +65,18 @@ def test_pq_family_identical_with_cache_enabled(spark, sf_dir):
     finally:
         SC.disable()
     assert shared == base
+
+
+def test_key_label_strips_paths_anywhere():
+    """Artifact labels must be sf_dir-independent regardless of where
+    the path sits in the key — they anchor round-over-round bench
+    attribution."""
+    from flink_invoice_processor_spark.functions.suite_cache import _key_label
+
+    assert _key_label(("/root/testdata/sf0.1", "minhash_lsh_pairs", 16, 4)) == (
+        "minhash_lsh_pairs:16:4"
+    )
+    assert _key_label(("lsh_store", "/root/testdata/sf0.1")) == "lsh_store"
+    assert _key_label(("trigram_index", "/tmp/x")) == "trigram_index"
+    # degenerate all-path key keeps SOMETHING rather than an empty label
+    assert _key_label(("/a/b",)) == "/a/b"
