@@ -1104,3 +1104,62 @@ def domain_term_lift(
         .where(F.col("rank") <= top_k)
         .select(group_col, "tok", "n_tok", "lift6", "rank")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 500,
+    n: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-``vocab_size``
+    word-``n``-gram vocabulary — the tokenizer-coverage report run before
+    committing a vocabulary: which corpus slices a size-capped vocab
+    serves worst (their text will fragment into the most fallback pieces).
+
+    The vocabulary is the top-``vocab_size`` n-grams by total occurrence
+    under the (count DESC, gram ASC) total order — ranked by
+    :func:`distributed_row_number`, so the global cut needs no
+    single-partition sort and is deterministic at the boundary.  The
+    ≤``vocab_size``-row vocabulary is broadcast against the n-gram explode
+    (no shuffle of the corpus side), and per-source totals are one
+    map-side-combinable aggregate.  Output: (source, n_grams, n_oov,
+    oov_rate rounded to 4 decimals).
+    """
+    from .dedup import gram_array
+
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    grams = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(gram_array(toks, n)).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull() & (F.col("gram") != ""))
+    )
+    gc = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    vocab = (
+        distributed_row_number(
+            gc, [F.col("n").desc(), F.col("gram").asc()], out_col="_rank"
+        )
+        .where(F.col("_rank") <= vocab_size)
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "gram", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_grams"), 4).alias("oov_rate"),
+        )
+    )

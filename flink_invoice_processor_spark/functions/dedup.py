@@ -78,34 +78,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+def gram_array(t: Column, n: int) -> Column:
+    """Word n-gram array from a token-array column, in document order
+    (duplicates kept — callers wanting SET semantics apply
+    ``array_distinct``).
 
     Built by zipping n-1 shifted copies of the token array — O(tokens) per
     document.  (The obvious ``transform(sequence(...), i -> slice(toks, i,
     n))`` is O(tokens²): ``slice`` inside the lambda copies per index;
     measured 8.2 s vs 0.9 s over sf0.1 documents.)  The final zip guards on
-    the last shifted element so partial tail shingles are dropped.
+    the last shifted element so partial tail shingles become null (drop
+    them after the explode).
     """
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    tok_df = df.select("doc_id", toks.alias("_toks"))
-    t = F.col("_toks")
     big = 1 << 30  # slice length "to the end"
     if n == 1:
-        sh = t
-    else:
-        acc = t
-        for shift in range(1, n):
-            shifted = F.slice(t, shift + 1, big)
-            if shift < n - 1:
-                acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-            else:
-                acc = F.zip_with(
-                    acc,
-                    shifted,
-                    lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-                )
-        sh = acc
+        return t
+    acc = t
+    for shift in range(1, n):
+        shifted = F.slice(t, shift + 1, big)
+        if shift < n - 1:
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            acc = F.zip_with(
+                acc,
+                shifted,
+                lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+            )
+    return acc
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+    See :func:`gram_array` for the O(tokens) construction."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    tok_df = df.select("doc_id", toks.alias("_toks"))
+    sh = gram_array(F.col("_toks"), n)
     return (
         tok_df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
@@ -175,20 +182,18 @@ def duplicate_spans(
     )
 
 
-def jaccard_pairs(
+def _shingle_intersections(
     df: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    max_shingle_doc_freq: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
-
-    ``J(a,b) = |S_a ∩ S_b| / (|S_a| + |S_b| - |S_a ∩ S_b|)`` computed from a
-    shingle self-join; returns (doc_id_a < doc_id_b, jaccard) above the
-    threshold.  ``max_shingle_doc_freq`` prunes stop-shingles pre-join
-    (mandatory at scale; see module docstring).
-    """
+    n: int,
+    text_col: str,
+    max_shingle_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact shingle-overlap pair generators: the
+    shingle explode, the optional stop-shingle cut, the self-equi-join on
+    the shingle hash, and the per-pair intersection counts joined with both
+    documents' set sizes.  Returns ``(base, sh)`` where ``base`` has
+    (doc_id_a < doc_id_b, n_inter, n_a, n_b) and ``sh`` is the (possibly
+    persisted) explode the caller must hand to :func:`_finish_pairs`."""
     # join on a 63-bit hash of the shingle, not the string: ~4× less shuffle
     # volume, and the oracle applies the identical md5-derived hash
     sh = shingles(df, n, text_col).select(
@@ -219,9 +224,26 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_id_a").join(sb, "doc_id_b"), sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    ``J(a,b) = |S_a ∩ S_b| / (|S_a| + |S_b| - |S_a ∩ S_b|)`` computed from a
+    shingle self-join; returns (doc_id_a < doc_id_b, jaccard) above the
+    threshold.  ``max_shingle_doc_freq`` prunes stop-shingles pre-join
+    (mandatory at scale; see module docstring).
+    """
+    base, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
     out = (
-        inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
-        .select(
+        base.select(
             "doc_id_a",
             "doc_id_b",
             F.round(
@@ -237,6 +259,189 @@ def jaccard_pairs(
         # DataFrame (ContextCleaner), no manual handle survives the call
     )
     return _finish_pairs(out, sh)
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by exact n-gram set CONTAINMENT.
+
+    ``C(a,b) = |S_a ∩ S_b| / min(|S_a|, |S_b|)`` — the smaller document's
+    coverage by the shared shingles.  Catches the containment cases Jaccard
+    structurally misses: a short document quoted whole inside a much longer
+    one has J ≈ |S_short|/|S_long| (tiny) but C = 1.  Same blocked shingle
+    self-join as :func:`jaccard_pairs` (and the same mandatory-at-scale
+    ``max_shingle_doc_freq`` stop-shingle cut); only the denominator
+    differs.  Returns (doc_id_a < doc_id_b, n_inter, containment ≥
+    threshold, rounded to 4 decimals).
+    """
+    base, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
+    out = (
+        base.select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return _finish_pairs(out, sh)
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-SOURCE n-gram overlap — the contamination matrix a
+    training-mix design needs before weighting sources: how much of each
+    corpus slice is literally shared with every other slice.
+
+    Per source the distinct shingle set is aggregated (map-side-combinable
+    distinct on (source, shingle_h)), then a self-equi-join on the shingle
+    hash counts shared shingles per source pair, and both Jaccard and
+    containment are reported.  Scale: per-shingle join fan-out is bounded
+    by ``n_sources²`` (sources are few by construction — this is the rare
+    self-join that needs no frequency cap because the key's multiplicity
+    per side is at most the source count), and the distinct aggregate
+    shuffles (source, hash) pairs, not text.
+    Output: (source_a < source_b, n_shared, jaccard, containment).
+    """
+    # reuse the per-row distinct shingle explode with the source as the id,
+    # then collapse to distinct per SOURCE (many docs share shingles)
+    rel = df.select(F.col(source_col).alias("doc_id"), F.col(text_col))
+    sh = (
+        shingles(rel, n, text_col)
+        .select(
+            F.col("doc_id").alias("source"),
+            _md5_int63(F.col("shingle")).alias("shingle_h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle_h") == F.col("b.shingle_h"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("containment"),
+        )
+    )
+
+
+def novelty_rate(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document shingle NOVELTY: the fraction of a document's distinct
+    word-``n``-gram shingles whose FIRST corpus appearance (minimum
+    ``doc_id`` — ingestion order) is this document.  The curation report
+    behind "is the tail of this crawl still contributing new content, or
+    only re-crawling what we already have?" — a collapsing novelty rate
+    over doc_id is the signal to stop ingesting a source.
+
+    Scale shape: one distinct shingle explode hashed to int63, a
+    map-side-combinable ``min(doc_id)`` per shingle, and ONE equi-join of
+    the explode back onto that first-seen table on the shingle hash —
+    per-key fan-out on the join is the shingle's document frequency
+    (bounded corpus-wide by Zipf, and the hot keys carry no skew hazard
+    because the join output collapses straight into the per-doc count
+    aggregate).  Documents with no shingles (< ``n`` tokens) are absent
+    from the report, exactly as they are absent from every shingle-based
+    dedup path.
+
+    Output: (doc_id, n_sh, n_novel, novelty_rate rounded to 4 decimals).
+    """
+    sh = shingles(df, n, text_col).select(
+        "doc_id", _md5_int63(F.col("shingle")).alias("shingle_h")
+    )
+    if MATERIALIZE_PAIRS:
+        sh = sh.persist()  # first-seen aggregate + the probe both read it
+    firsts = sh.groupBy("shingle_h").agg(F.min("doc_id").alias("first_doc"))
+    out = (
+        sh.join(firsts, "shingle_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_sh"), 4).alias("novelty_rate"),
+        )
+    )
+    return _finish_pairs(out, sh)
+
+
+def stop_shingles(
+    df: DataFrame, n: int = 3, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """The corpus's most document-frequent ``n``-gram shingles with their
+    document-frequency ratios — the audit report FOR the
+    ``max_shingle_doc_freq`` stop-shingle cap every pair generator in this
+    module mandates at scale: before picking the cap, look at what it will
+    drop (boilerplate, template headers, stop-phrase runs) and how much of
+    the corpus each candidate covers.
+
+    ``df_ratio_6`` is the 1e-6 fixed point of df/n_docs computed by
+    integer division (``df * 1e6 DIV n_docs``) — engine-exact, no IEEE
+    rounding.  Ranking is (df DESC, shingle ASC) through the two-phase
+    distributed row_number (no single-partition sort of the shingle
+    vocabulary); the 1-row corpus-size aggregate broadcasts.
+
+    Output: (shingle, df, df_ratio_6, rank ≤ ``top_k``).
+    """
+    from .curation import distributed_row_number
+
+    sh = shingles(df, n, text_col)
+    n_docs = sh.select("doc_id").distinct().agg(
+        F.count("*").alias("n_docs")
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = distributed_row_number(
+        freq, [F.col("df").desc(), F.col("shingle").asc()], out_col="rank"
+    ).where(F.col("rank") <= top_k)
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "df",
+            F.expr("CAST(df * 1000000 DIV n_docs AS BIGINT)").alias(
+                "df_ratio_6"
+            ),
+            "rank",
+        )
+    )
 
 
 def minhash_signatures(
@@ -433,6 +638,107 @@ def lsh_verified_pairs(
     return _finish_pairs(out, sh)
 
 
+def minhash_calibration(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash ESTIMATOR calibration on the LSH candidate set: for every
+    banded candidate pair, the signature-estimated Jaccard (matching
+    components / k) next to the EXACT shingle-set Jaccard, with the
+    absolute error — the measurement that justifies (or indicts) a chosen
+    (k, bands) configuration before a dedup threshold is trusted at scale.
+    Zero-intersection candidates (pure LSH false positives) are KEPT with
+    exact 0 — they are the precision story; an inner join that silently
+    dropped them would make every configuration look good.
+
+    Scale shape: candidates and signatures are the already-audited LSH
+    artifacts; the exact side is the same candidate-keyed intersection as
+    :func:`lsh_verified_pairs` (work bounded by the recall stage, immune
+    to hub-shingle skew), re-entered through a LEFT join on the pair key
+    to preserve the zero-intersection rows.  Estimates are exact k-ths
+    (k ≤ 64 divides 1e4), so rounding is engine-stable.
+
+    Output: (doc_id_a < doc_id_b, n_shared_bands, n_matching,
+    est_jaccard, exact_jaccard, abs_err — all rounded to 4 decimals).
+    """
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_pairs(df, k=k, bands=bands, n=n, text_col=text_col)
+    ).select("doc_id_a", "doc_id_b", "n_shared_bands")
+    sig = minhash_signatures(df, k, n, text_col)
+    sa_sig = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
+    )
+    sb_sig = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
+    )
+    est = (
+        cand.join(sa_sig, "doc_id_a")
+        .join(sb_sig, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_bands",
+            sum(
+                F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+                for j in range(k)
+            ).alias("n_matching"),
+        )
+    )
+    members = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b")))
+        .distinct()
+    )
+    sh = (
+        shingles(df, n, text_col)
+        .join(members, "doc_id", "left_semi")
+        .select("doc_id", _md5_int63(F.col("shingle")).alias("shingle_h"))
+    )
+    if MATERIALIZE_PAIRS:
+        sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle_h").alias("_h")),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle_h").alias("_h")),
+            ["doc_id_b", "_h"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    est_j = F.round(F.col("n_matching") / F.lit(k), 4)
+    exact_j = F.round(ni / (F.col("n_a") + F.col("n_b") - ni), 4)
+    out = (
+        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_bands",
+            "n_matching",
+            est_j.alias("est_jaccard"),
+            exact_j.alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_j), 4).alias("abs_err"),
+        )
+    )
+    return _finish_pairs(out, sh)
+
+
 def dup_clusters(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -551,6 +857,52 @@ def dup_clusters(
         )
     )
     return clustered.unionByName(singletons)
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Survivor selection — the step that turns a near-dup clustering into
+    the actual dedup OUTPUT: per cluster keep exactly one document, chosen
+    by quality (highest ``quality_col``, ties broken by lowest ``doc_id``
+    so the choice is total and retry-reproducible), and emit the full
+    keep/drop mapping so dropped documents remain attributable.
+
+    ``clusters`` is :func:`dup_clusters` output (doc_id, cluster_id,
+    cluster_size, ...).  Note the survivor is NOT ``is_canonical``: the
+    cluster label is the structural minimum doc_id, while the survivor is
+    a quality decision — conflating them silently keeps the oldest
+    duplicate instead of the best one.
+
+    Scale shape: one equi-join on doc_id to attach the quality signal,
+    then ONE map-side-combinable ``max_by``-style aggregate per cluster
+    (``max(struct(quality, -doc_id))`` — no window, no per-cluster sort),
+    and an equi-join of the ≤|clusters|-row survivor table back on
+    cluster_id.  Skew bound: a cluster's aggregate state is one struct
+    regardless of cluster size.
+
+    Output: (doc_id, cluster_id, cluster_size, keep_id, is_kept).
+    """
+    j = clusters.select("doc_id", "cluster_id", "cluster_size").join(
+        docs.select("doc_id", F.col(quality_col).alias("_q")), "doc_id"
+    )
+    keep = j.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))).alias(
+            "_best"
+        )
+    ).select("cluster_id", (-F.col("_best._nid")).cast("long").alias("keep_id"))
+    return (
+        j.join(keep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        )
+    )
 
 
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:

@@ -298,6 +298,127 @@ def neardup_pairs_lsh(
     )
 
 
+def density_outliers(
+    emb: DataFrame,
+    dims: int,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    min_neighbors: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-density outliers: vectors with fewer than ``min_neighbors``
+    cosine-≥-threshold neighbors inside their LSH signature bucket — the
+    low-density points a curation pipeline drops (or audits) before
+    training, and the inverse of near-dup detection: instead of flagging
+    what has TOO MANY close neighbors, flag what has none.
+
+    Neighbor counting runs both directions of the same signature-blocked
+    join :func:`neardup_pairs_lsh` uses (``!=`` instead of ``<``), so each
+    vector counts all of its in-bucket neighbors; vectors whose bucket
+    yields no qualifying neighbor at all re-enter via a left join with a
+    coalesced zero — those zero-neighbor rows are the strongest outliers
+    and a join that dropped them would silently miss the whole point.
+    Scale: the per-bucket product is the same bounded block the near-dup
+    path already audits; the left join keys on the unique vector id.
+    Output: (vec_id, n_neighbors < min_neighbors).
+    """
+    nn = emb.where(F.col(vec_col).isNotNull())
+    sig = nn.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    neigh = (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where(pair_cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+    return (
+        nn.select(F.col(id_col).alias("vec_id"))
+        .join(neigh, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        )
+        .where(F.col("n_neighbors") < min_neighbors)
+    )
+
+
+def dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION statistics of an embedding column — the QA report run
+    before trusting a vector table at scale: a dimension whose variance is
+    ~0 is dead weight in every distance computation (and a symptom of a
+    truncated or mis-exported model head), and per-dimension mean offsets
+    reveal an un-centered export.  Everything is computed in 1e-6
+    fixed-point integers so both engines agree bit-for-bit: values are
+    rounded per row to micro-units, summed in DECIMAL(38,0), and the
+    mean/variance divisions are truncating integer DIV (the chi2/PMI wide
+    idiom — no IEEE accumulation-order dependence, which a float SUM over
+    a shuffled dataset cannot promise).
+
+    Scale shape: one posexplode (rows × dims) into ONE map-side-combinable
+    aggregate keyed by dimension — dims keys, no skew (every key has
+    exactly n rows); output is dims rows.  Intermediates are proven under
+    1e38 for n ≤ 1e12 vectors of O(1)-magnitude values; the bound fails
+    LOUDLY via a division-only assert on the dims-row aggregate, not per
+    input row.
+
+    Output: (dim, n_vals, mean_micro, var_e12, min_micro, max_micro,
+    is_dead) — ``var_e12`` is the population variance in 1e-12 units;
+    ``is_dead`` marks min == max.
+    """
+    ex = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("dim", "_v"))
+        .select(
+            "dim",
+            F.expr(
+                "CAST(round(CAST(_v AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            ).alias("_vi"),
+        )
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n_vals"),
+        F.sum(F.expr("CAST(_vi AS DECIMAL(38,0))")).alias("_s"),
+        F.sum(F.expr("CAST(_vi AS DECIMAL(19,0)) * _vi")).alias("_ss"),
+        F.min("_vi").alias("min_micro"),
+        F.max("_vi").alias("max_micro"),
+    )
+    guarded = agg.where(
+        F.assert_true(
+            F.col("n_vals") <= F.lit(1_000_000_000_000),
+            F.lit(
+                "dim_stats: DECIMAL(38,0) variance arithmetic is only proven"
+                " to 1e12 vectors per job — shard the table and merge the"
+                " (n, sum, sumsq) partials, which are exactly mergeable"
+            ),
+        ).isNull()
+    )
+    return guarded.select(
+        "dim",
+        "n_vals",
+        F.expr("CAST(_s DIV n_vals AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((CAST(n_vals AS DECIMAL(38,0)) * _ss - _s * _s)"
+            " DIV (CAST(n_vals AS DECIMAL(38,0)) * n_vals) AS BIGINT)"
+        ).alias("var_e12"),
+        "min_micro",
+        "max_micro",
+        (F.col("min_micro") == F.col("max_micro")).alias("is_dead"),
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

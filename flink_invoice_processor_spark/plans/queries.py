@@ -6756,6 +6756,386 @@ ORACLES["leakage_safe_split_docs"] = _splice_once(
 
 
 # ---------------------------------------------------------------------------
+# Round-8 additions: containment dedup, cross-source contamination matrix,
+# embedding density outliers, n-gram vocabulary coverage.
+# ---------------------------------------------------------------------------
+
+@register(
+    "containment_pairs_docs",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+    ),
+    freq AS (SELECT shingle_h, COUNT(*) AS sdf FROM shh GROUP BY 1),
+    sh AS (
+        SELECT shh.doc_id, shh.shingle_h
+        FROM shh JOIN freq USING (shingle_h) WHERE sdf <= 100
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, n_inter,
+           round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
+               JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.8
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by exact 3-gram set CONTAINMENT ≥ 0.8
+    (|∩| / min set size) — catches a short document quoted whole inside a
+    long one, which Jaccard structurally scores near zero.  Same blocked
+    shingle self-join and mandatory stop-shingle cap as ngram_jaccard_docs
+    (functions/dedup.py:containment_pairs); only the denominator differs,
+    and both ride the identical shared intersection core."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        docs, n=3, threshold=0.8, max_shingle_doc_freq=100
+    )
+
+
+_SOURCE_SHINGLES_SQL = f"""
+    SELECT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}) - 1, 1)),
+               i -> array_to_string(list_transform({_TOKENS_SQL}, t -> lower(t))[i:i+2], ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len({_TOKENS_SQL}) >= 3
+"""
+
+@register(
+    "source_overlap_docs",
+    f"""
+    WITH sh0 AS ({_SOURCE_SHINGLES_SQL}),
+    sh AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h
+                           AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard,
+           round(n_shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.source = source_a
+               JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: pairwise 3-gram-set Jaccard and
+    containment between corpus slices — the report a training-mix design
+    reads before weighting sources (functions/dedup.py:source_overlap).
+    Scale: per-shingle join fan-out is bounded by n_sources², so unlike
+    the document-pair joins this self-join needs no frequency cap; the
+    distinct aggregate shuffles (source, hash) pairs, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.source_overlap(docs, n=3)
+
+
+@register(
+    "embedding_density_outliers",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, embedding AS v,
+               {_lsh_sig_sql("embedding", 4, 64)} AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    neigh AS (
+        SELECT a.vec_id, COUNT(*) AS n_neighbors
+        FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id <> b.vec_id
+        WHERE round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
+                    / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                       * sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))),
+                    4) >= 0.2
+        GROUP BY 1
+    )
+    SELECT e.vec_id, CAST(COALESCE(n.n_neighbors, 0) AS BIGINT) AS n_neighbors
+    FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+    LEFT JOIN neigh n ON n.vec_id = e.vec_id
+    WHERE COALESCE(n.n_neighbors, 0) < 2
+    """,
+)
+def embedding_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-density outliers: vectors with < 2 cosine-≥0.2 neighbors
+    in their 4-plane LSH bucket — the low-density points a curation
+    pipeline drops or audits, the inverse of near-dup detection
+    (functions/similarity.py:density_outliers).  Zero-neighbor vectors
+    re-enter via the left join (they are the strongest outliers); the
+    hyperplanes and dot-sum order are the exact literals the LSH near-dup
+    oracle already pins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.density_outliers(
+        emb, dims=64, threshold=0.2, n_planes=4, min_neighbors=2
+    )
+
+
+@register(
+    "vocab_oov_docs",
+    f"""
+    WITH grams AS (
+        SELECT source, unnest(list_transform(
+                   range(1, greatest(len({_TOKENS_SQL}), 1)),
+                   i -> array_to_string(list_transform({_TOKENS_SQL}, t -> lower(t))[i:i+1], ' ')
+               )) AS gram
+        FROM documents
+        WHERE len({_TOKENS_SQL}) >= 2
+    ),
+    gc AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1),
+    vocab AS (
+        SELECT gram FROM (
+            SELECT gram, row_number() OVER (ORDER BY n DESC, gram ASC) AS r
+            FROM gc
+        ) WHERE r <= 500
+    )
+    SELECT source, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM grams t LEFT JOIN vocab v ON t.gram = v.gram
+    GROUP BY source
+    """,
+)
+def vocab_oov_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-500
+    word-bigram vocabulary — the tokenizer-coverage report: which corpus
+    slices a size-capped vocab serves worst
+    (functions/curation.py:oov_rate).  The global top-500 cut rides the
+    two-phase distributed row_number (total order: count DESC, gram ASC),
+    never a single-partition sort; the ≤500-row vocabulary broadcasts
+    against the n-gram explode.  The oracle's plain window is the
+    single-node equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.oov_rate(docs, vocab_size=500, n=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions, part 2: survivor selection (the dedup OUTPUT), corpus
+# novelty over ingestion order, stop-shingle audit, MinHash estimator
+# calibration, embedding per-dimension QA.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_survivors_docs",
+    """
+    WITH clusters AS ({DUP_CLUSTERS}),
+    j AS (
+        SELECT c.doc_id, c.cluster_id, c.cluster_size, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    keep AS (
+        SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id ASC) AS r
+            FROM j
+        ) WHERE r = 1
+    )
+    SELECT j.doc_id, j.cluster_id, j.cluster_size, k.keep_id,
+           j.doc_id = k.keep_id AS is_kept
+    FROM j JOIN keep k USING (cluster_id)
+    """,
+)
+def dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the shared near-dup clustering: per cluster
+    keep the highest-quality document (n_chars DESC, doc_id ASC tie-break)
+    and emit the full keep/drop mapping — the step that turns clustering
+    into the actual dedup output (functions/dedup.py:dedup_survivors).
+    The survivor is a QUALITY decision, deliberately distinct from the
+    structural is_canonical min-id label.  One max_by-style aggregate per
+    cluster (no window, skew-immune); the oracle's per-cluster
+    row_number window is the single-node equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _dup_clusters_shared(sf_dir, docs)
+    return DD.dedup_survivors(docs, clusters, quality_col="n_chars")
+
+
+ORACLES["dedup_survivors_docs"] = _splice_once(
+    ORACLES["dedup_survivors_docs"],
+    "{DUP_CLUSTERS}",
+    ORACLES["dup_clusters_docs"],
+)
+
+
+@register(
+    "novelty_rate_docs",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+    ),
+    firsts AS (SELECT shingle_h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_sh,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty_rate
+    FROM sh JOIN firsts USING (shingle_h)
+    GROUP BY doc_id
+    """,
+)
+def novelty_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a doc's distinct
+    3-gram shingles first seen (min doc_id = ingestion order) in that doc
+    — the is-this-crawl-still-contributing-new-content report
+    (functions/dedup.py:novelty_rate).  One min-aggregate per shingle
+    hash + one equi-join back onto the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.novelty_rate(docs, n=3)
+
+
+@register(
+    "stop_shingles_docs",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+    ranked AS (
+        SELECT shingle, df,
+               row_number() OVER (ORDER BY df DESC, shingle ASC) AS rank
+        FROM freq
+    )
+    SELECT shingle, df,
+           CAST(CAST(df AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+               AS df_ratio_6,
+           rank
+    FROM ranked CROSS JOIN nd WHERE rank <= 50
+    """,
+)
+def stop_shingles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 shingles by document frequency with integer-exact df/n_docs
+    ratios — the audit FOR the mandatory stop-shingle cap: what the cap
+    will drop and how much of the corpus each candidate covers
+    (functions/dedup.py:stop_shingles).  Ranking rides the two-phase
+    distributed row_number (total order df DESC, shingle ASC); the 1-row
+    corpus-size aggregate broadcasts; the oracle's plain window is the
+    single-node equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.stop_shingles(docs, n=3, top_k=50)
+
+
+@register(
+    "minhash_calibration_docs",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(16))}
+        FROM sh0 GROUP BY doc_id
+    ),
+    banded AS (
+        {_banded_sql()}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               COUNT(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.doc_id_a, c.doc_id_b, c.n_shared_bands,
+               CAST(({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(16))}) AS INTEGER)
+                   AS n_matching
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_id_a
+        JOIN sig sb ON sb.doc_id = c.doc_id_b
+    ),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+        WHERE doc_id IN (SELECT doc_id_a FROM cand
+                         UNION SELECT doc_id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh a ON a.doc_id = c.doc_id_a
+        JOIN shh b ON b.doc_id = c.doc_id_b AND b.shingle_h = a.shingle_h
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT e.doc_id_a, e.doc_id_b, e.n_shared_bands, e.n_matching,
+               round(e.n_matching / 16.0, 4) AS est_jaccard,
+               round(COALESCE(i.n_inter, 0) * 1.0
+                     / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 4)
+                   AS exact_jaccard
+        FROM est e
+        LEFT JOIN inter i ON i.doc_id_a = e.doc_id_a AND i.doc_id_b = e.doc_id_b
+        JOIN sizes sa ON sa.doc_id = e.doc_id_a
+        JOIN sizes sb ON sb.doc_id = e.doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, n_shared_bands, n_matching,
+           est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+    FROM scored
+    """,
+)
+def minhash_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration on the (suite-shared) LSH candidate
+    set: per candidate pair the signature-estimated Jaccard (matching
+    components / 16) next to the exact shingle-set Jaccard and the
+    absolute error — the report that justifies a (k, bands) configuration
+    before its dedup threshold is trusted
+    (functions/dedup.py:minhash_calibration).  Pure LSH false positives
+    (zero intersection) are kept with exact 0 via the left join — they
+    ARE the precision story."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SC.memo(
+        (sf_dir, "minhash_lsh_pairs", 16, 4),
+        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
+    )
+    return DD.minhash_calibration(docs, k=16, bands=4, candidates=pairs)
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                    AS HUGEINT) AS vi
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        WHERE embedding IS NOT NULL
+    )
+    SELECT dim, COUNT(*) AS n_vals,
+           CAST(SUM(vi) // COUNT(*) AS BIGINT) AS mean_micro,
+           CAST((COUNT(*) * SUM(vi * vi) - SUM(vi) * SUM(vi))
+                // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+               AS var_e12,
+           CAST(MIN(vi) AS BIGINT) AS min_micro,
+           CAST(MAX(vi) AS BIGINT) AS max_micro,
+           MIN(vi) = MAX(vi) AS is_dead
+    FROM ex GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA report: mean/variance in 1e-6 fixed
+    point (DECIMAL(38,0) sums + truncating DIV — the chi2/PMI wide idiom,
+    so a float accumulation order can never desynchronize the engines),
+    min/max, and dead-dimension flags
+    (functions/similarity.py:dim_stats).  One posexplode into one
+    map-side-combinable aggregate keyed by dimension; output is
+    dims rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.dim_stats(emb)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -6834,14 +7214,22 @@ _DRIVER_FIRST = [
     # in-window by duplicate_spans_docs / substring_search_docs /
     # bpe_merges_docs / mix_sample_docs — rotate out to make room for
     # the four rows above; all stay registered and replica-checked)
-    "events_heavy_hitters",
-    "events_kmv_distinct",
-    "quality_classifier_docs",
     "semantic_dedup_embeddings",
-    "triangle_counts_docs",
-    "dq_checks_lineitem",
     "events_equidepth_histogram",
     "events_hll_mergeability",
+    # round-8 additions (never driver-gated): containment dedup,
+    # cross-source contamination matrix, embedding density outliers,
+    # n-gram vocabulary coverage.  Rotated out to make room, each now
+    # double-confirmed driver-green r5+r6 with their family still
+    # exercised in-window: events_heavy_hitters + events_kmv_distinct
+    # (sketches — equidepth/HLL/Bloom stay), triangle_counts_docs
+    # (graph — kcore_docs + pagerank_tight_docs stay),
+    # dq_checks_lineitem (lineitem relational — winsorized + q21 stay).
+    # All stay registered and replica-checked.
+    "containment_pairs_docs",
+    "source_overlap_docs",
+    "embedding_density_outliers",
+    "vocab_oov_docs",
     # new in round 6: the corpus-scale PageRank variant (events_funnel,
     # driver-green r4+r5, rotates out to make room)
     "pagerank_tight_docs",
@@ -6879,11 +7267,23 @@ _DRIVER_FIRST = [
     # doc_quality by quality_classifier_docs / corpus_curation), rotate
     # out to make room for the four above; all stay registered and
     # replica-checked:
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "dup_clusters_docs",
-    "embedding_cosine_topk",
-    "embedding_neardup_lsh",
+    # round-8 additions, part 2 (never driver-gated): survivor selection,
+    # corpus novelty, stop-shingle audit, MinHash calibration, embedding
+    # dimension QA.  Rotated out to make room: ann_ivf_topk, ann_lsh_topk,
+    # embedding_cosine_topk, embedding_neardup_lsh (each double-confirmed
+    # r2+r6 with unchanged implementations; the ANN/embedding families
+    # stay exercised in-window by pq_rerank_topk_embeddings,
+    # semantic_dedup_embeddings, embedding_density_outliers and
+    # embedding_dim_stats) and quality_classifier_docs (r5+r6).
+    # dup_clusters_docs STAYS: its label-propagation core was rewritten in
+    # round 7 and needs a driver row on the new implementation — and
+    # dedup_survivors_docs consumes the same shared clustering.
+    "dedup_survivors_docs",
+    "novelty_rate_docs",
+    "stop_shingles_docs",
+    "minhash_calibration_docs",
+    "embedding_dim_stats",
 ]
 
 

@@ -113,6 +113,18 @@ ALLOWED_SOFT = {
         "denominator), broadcast back — term and class marginals stay "
         "key-partitioned"
     ),
+    "stop_shingles_docs": (
+        "1-row corpus-size aggregate broadcast against the <=top_k-row "
+        "ranked output, plus the <=P-row per-partition offset cumsum of "
+        "distributed_row_number ranking the shingle-frequency cut — the "
+        "frequency aggregate itself stays key-partitioned"
+    ),
+    "vocab_oov_docs": (
+        "<=P-row per-partition offset cumsum (distributed_row_number "
+        "ranking the vocabulary cut) — the corpus-side n-gram explode "
+        "stays key-partitioned and joins the <=vocab_size-row vocab by "
+        "broadcast"
+    ),
 }
 
 

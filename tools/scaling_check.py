@@ -58,6 +58,19 @@ REPRESENTATIVE = [
     # passes + an outlier-count rescan — state bounded by value-domain
     # cardinality, so time should track the raw scan, not the group sizes
     "events_value_outliers",
+    # round-8 families: containment (shares the Jaccard core but is new
+    # surface), source-overlap matrix (bounded-fan-out self-join),
+    # vocabulary coverage (broadcast top-N cut), LSH density outliers
+    "containment_pairs_docs",
+    "source_overlap_docs",
+    "vocab_oov_docs",
+    "embedding_density_outliers",
+    # round-8 part 2: first-seen novelty (min-agg + probe join), MinHash
+    # estimator calibration (candidate-keyed exact side + signature join),
+    # per-dimension embedding QA (one keyed aggregate, dims keys)
+    "novelty_rate_docs",
+    "minhash_calibration_docs",
+    "embedding_dim_stats",
 ]
 
 
@@ -87,6 +100,14 @@ DECADE_FAMILIES = [
     # round-7 rewrite (window counts on one orderkey exchange, replacing
     # the semi/anti self-join pair): pin the decade evidence for the fix
     "q21_waiting_suppliers",
+    # round-8 families (documents/embeddings inputs only)
+    "containment_pairs_docs",
+    "source_overlap_docs",
+    "vocab_oov_docs",
+    "embedding_density_outliers",
+    "novelty_rate_docs",
+    "minhash_calibration_docs",
+    "embedding_dim_stats",
 ]
 
 
