@@ -74,3 +74,67 @@ def apply_changes(
         )
     )
     return kept.unionByName(replaced)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshot versions of a keyed table —
+    the data-versioning audit run after any MERGE/backfill: what did the
+    new load actually add, remove, and change?  (The inverse question of
+    ``apply_changes``: given two snapshots, recover the change batch.)
+
+    Classification per key: present only in ``new`` → 'added'; only in
+    ``old`` → 'removed'; present in both with any compare column
+    differing (null-safely: NULL vs value counts as a change, NULL vs
+    NULL does not) → 'changed' with the differing column names
+    comma-joined in ``changed_cols``; identical rows are dropped, so the
+    output is churn-sized, not snapshot-sized.
+
+    Scale shape: ONE key-partitioned full-outer join (co-location-free
+    if both snapshots are bucketed on the key, same as apply_changes);
+    the per-column null-safe comparisons are row-local projections.
+    Output: keys + (change_type, changed_cols).
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    # concat_ws drops null elements, so each non-differing column simply
+    # vanishes from the joined name list (identical semantics in DuckDB)
+    diff_names = F.concat_ws(
+        ",",
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+    )
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(diff_names != F.lit(""), F.lit("changed"))
+    )
+    return (
+        j.select(
+            *keys,
+            change_type.alias("change_type"),
+            F.when(change_type == "changed", diff_names)
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )

@@ -1163,3 +1163,95 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_grams"), 4).alias("oov_rate"),
         )
     )
+
+
+def adaptive_quality_cut(
+    df: DataFrame,
+    pct: int = 75,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Adaptive per-source quality gate: keep each source's top documents
+    by classifier score, with the cut threshold computed EXACTLY per
+    source instead of one global constant — the curation move that stops
+    a single low-quality-but-huge source from flooding the mix while a
+    small clean source is clipped by a threshold tuned for the big one
+    (per-domain percentile filtering, the CCNet bucketing idea applied
+    as a hard gate).
+
+    The score is the integer fixed-point of the hashed-bag linear
+    classifier (functions/text.py:quality_classifier), shifted
+    nonnegative so the truncating division is sign-free in every engine:
+    ``score6 = (feat_sum + n_toks*QC_CENTER) * 1e6 div (n_toks*QC_MOD)``
+    ∈ [0, ~1e6]; empty documents score 0.  The per-source threshold is
+    the exact ``pct``-th percentile of that score, computed the
+    scale-safe way (functions/stats.py): a (source, score6) VALUE
+    HISTOGRAM — one map-side-combined shuffle bounded by the score
+    domain (≤1e6 rows per source), never the row count — and rank
+    selection ``thr6 = MIN(score6 WHERE cum >= ceil(pct*n/100))``.
+    Kept = ``score6 >= thr6`` (ties at the threshold survive, so the cut
+    is deterministic without a tiebreaker ordering).
+
+    Scale shape: one token explode into a doc-keyed aggregate, one
+    doc-keyed join back (zero-token docs re-enter with score 0), the
+    histogram aggregate, and a tiny per-source threshold table broadcast
+    back — the corpus is never shuffled on anything but doc_id.  The
+    window runs over HISTOGRAM rows partitioned by source.  A
+    division-only assert fails loudly if a document's token count would
+    overflow the int64 fixed-point product (n_toks > 9e6).
+
+    Output: (source, doc_id, score6, thr6) for kept documents only.
+    """
+    from .text import QC_CENTER, QC_MOD, quality_classifier
+
+    scored = (
+        df.select(F.col(source_col).alias("source"), "doc_id")
+        .join(quality_classifier(df, text_col), "doc_id")
+        .withColumn(
+            "_ok",
+            F.assert_true(
+                F.col("n_toks") <= F.lit(9_000_000),
+                F.lit(
+                    "adaptive_quality_cut: score6 int64 arithmetic is only"
+                    " proven to 9e6 tokens per document — chunk longer"
+                    " documents first (chunk_documents)"
+                ),
+            ),
+        )
+        .where(F.col("_ok").isNull())
+        .select(
+            "source",
+            "doc_id",
+            F.when(F.col("n_toks") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"((feat_sum + n_toks * {QC_CENTER}) * 1000000)"
+                    f" div (n_toks * {QC_MOD})"
+                )
+            )
+            .alias("score6"),
+        )
+    )
+    hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("val")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    thr = (
+        cum.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {int(pct)} + 99) div 100"),
+                    F.col("val"),
+                )
+            ).alias("thr6")
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("score6") >= F.col("thr6"))
+        .select("source", "doc_id", "score6", "thr6")
+    )

@@ -3038,10 +3038,12 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev)
 
 
-@register(
-    "orders_cdc_apply",
-    """
-    WITH base AS (
+# Shared deterministic CDC scenario over `orders`: deletes (key%7=0),
+# price updates (+5.00, key%7=1), inserts (shifted keys, key%7=2) —
+# used by orders_cdc_apply AND orders_snapshot_diff (one definition on
+# both the Spark and the oracle side; no string splicing).
+_CDC_CTES_SQL = """
+    base AS (
         SELECT o_orderkey, o_custkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
                o_orderpriority
@@ -3054,27 +3056,11 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins AS (SELECT o_orderkey + 10000000 AS k, o_custkey AS c,
                    totalprice_cents AS p
             FROM base WHERE o_orderkey % 7 = 2)
-    SELECT b.o_orderkey, b.o_custkey,
-           COALESCE(u.p, b.totalprice_cents) AS totalprice_cents,
-           COALESCE(u.pr, b.o_orderpriority) AS o_orderpriority,
-           CASE WHEN u.k IS NOT NULL THEN 'updated' ELSE 'kept' END AS src
-    FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
-    WHERE b.o_orderkey NOT IN (SELECT k FROM del)
-    UNION ALL
-    SELECT k, c, p, 'CDC-NEW', 'inserted' FROM ins
-    """,
-)
-def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC MERGE apply (functions/cdc.py): fold a deterministic change
-    batch — deletes (key%7=0), price updates (+5.00, key%7=1), inserts
-    (shifted keys, key%7=2) — into the orders snapshot in one plan.
-    Set-oriented MERGE INTO: one key anti join for deletes/updates, a
-    union for the new payloads; the reference performs these very
-    CREATE/UPDATE/DELETE ops row-at-a-time against MySQL
-    (`REF/sink/InvoiceRetrySink.java:33-42`) — this is the batch form a
-    snapshot store needs.  The oracle replays the merge relationally."""
-    from ..functions import cdc as CDC
+"""
 
+
+def _cdc_base_changes(spark: SparkSession, sf_dir: str):
+    """The Spark side of the shared CDC scenario: (base, changes)."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey", "o_custkey",
@@ -3098,8 +3084,95 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k + 10000000).alias("o_orderkey"), "o_custkey",
         "totalprice_cents", F.lit("CDC-NEW").alias("o_orderpriority"),
     )
-    changes = deletes.unionByName(updates).unionByName(inserts)
+    return base, deletes.unionByName(updates).unionByName(inserts)
+
+
+@register(
+    "orders_cdc_apply",
+    f"""
+    WITH {_CDC_CTES_SQL}
+    SELECT b.o_orderkey, b.o_custkey,
+           COALESCE(u.p, b.totalprice_cents) AS totalprice_cents,
+           COALESCE(u.pr, b.o_orderpriority) AS o_orderpriority,
+           CASE WHEN u.k IS NOT NULL THEN 'updated' ELSE 'kept' END AS src
+    FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
+    WHERE b.o_orderkey NOT IN (SELECT k FROM del)
+    UNION ALL
+    SELECT k, c, p, 'CDC-NEW', 'inserted' FROM ins
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (functions/cdc.py): fold a deterministic change
+    batch — deletes (key%7=0), price updates (+5.00, key%7=1), inserts
+    (shifted keys, key%7=2) — into the orders snapshot in one plan.
+    Set-oriented MERGE INTO: one key anti join for deletes/updates, a
+    union for the new payloads; the reference performs these very
+    CREATE/UPDATE/DELETE ops row-at-a-time against MySQL
+    (`REF/sink/InvoiceRetrySink.java:33-42`) — this is the batch form a
+    snapshot store needs.  The oracle replays the merge relationally."""
+    from ..functions import cdc as CDC
+
+    base, changes = _cdc_base_changes(spark, sf_dir)
     return CDC.apply_changes(base, changes, ["o_orderkey"])
+
+
+@register(
+    "orders_snapshot_diff",
+    f"""
+    WITH {_CDC_CTES_SQL},
+    nxt AS (
+        SELECT b.o_orderkey, b.o_custkey,
+               COALESCE(u.p, b.totalprice_cents) AS totalprice_cents,
+               COALESCE(u.pr, b.o_orderpriority) AS o_orderpriority
+        FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
+        WHERE b.o_orderkey NOT IN (SELECT k FROM del)
+        UNION ALL
+        SELECT k, c, p, 'CDC-NEW' FROM ins
+    ),
+    d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                      OR o.totalprice_cents IS DISTINCT FROM n.totalprice_cents
+                      OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                         THEN 'changed' END AS change_type,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                    THEN concat_ws(',',
+                        CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                             THEN 'o_custkey' END,
+                        CASE WHEN o.totalprice_cents
+                                  IS DISTINCT FROM n.totalprice_cents
+                             THEN 'totalprice_cents' END,
+                        CASE WHEN o.o_orderpriority
+                                  IS DISTINCT FROM n.o_orderpriority
+                             THEN 'o_orderpriority' END)
+                    ELSE '' END AS changed_cols
+        FROM base o FULL OUTER JOIN nxt n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change_type,
+           CASE WHEN change_type = 'changed' THEN changed_cols ELSE '' END
+               AS changed_cols
+    FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-version diff (functions/cdc.py:snapshot_diff): recover
+    the change batch between the orders snapshot and its CDC-applied
+    successor — added / removed / changed keys with the differing column
+    names, identical rows dropped (churn-sized output).  ONE
+    key-partitioned full-outer join; the per-column null-safe compares
+    are row-local.  The inverse audit of orders_cdc_apply, sharing its
+    deterministic scenario (expected: key%7=0 removed, key%7=1 changed
+    on totalprice_cents, shifted keys added)."""
+    from ..functions import cdc as CDC
+
+    base, changes = _cdc_base_changes(spark, sf_dir)
+    new = CDC.apply_changes(base, changes, ["o_orderkey"]).drop("src")
+    return CDC.snapshot_diff(
+        base, new, ["o_orderkey"],
+        ["o_custkey", "totalprice_cents", "o_orderpriority"],
+    )
 
 
 @register(
@@ -7135,6 +7208,108 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.dim_stats(emb)
 
 
+@register(
+    "embedding_covariance",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                    AS HUGEINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        WHERE embedding IS NOT NULL
+    ),
+    sums AS (SELECT dim, SUM(q) AS s FROM ex GROUP BY 1),
+    prods AS (
+        SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n_vecs,
+               SUM(a.q * b.q) AS sp
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2
+    )
+    SELECT p.i, p.j, p.n_vecs,
+           CAST((p.n_vecs * p.sp - sa.s * sb.s)
+                // (CAST(p.n_vecs AS HUGEINT) * p.n_vecs) AS BIGINT)
+               AS cov_e12
+    FROM prods p
+    JOIN sums sa ON sa.dim = p.i
+    JOIN sums sb ON sb.dim = p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle d×d covariance of the embedding table in 1e-6
+    fixed point (functions/similarity.py:covariance_matrix) — the
+    redundancy half of the vector QA report (dim_stats is its diagonal)
+    and the distributed input to PCA/whitening (pca_project
+    eigendecomposes this model-sized output driver-side).  Pair products
+    are generated per row by a nested transform — no self-join, no
+    corpus shuffle — into one map-side-combined (i, j)-keyed aggregate;
+    DECIMAL(38,0) sums + truncating DIV keep both engines bit-identical.
+    The oracle replays the expansion as a vec_id self-join (SQL has no
+    per-row pair generator) — same algebra, different plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.covariance_matrix(emb)
+
+
+@register(
+    "adaptive_quality_cut_docs",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_transform({_TOKENS_SQL}, x -> lower(x)))
+                   AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    f AS (
+        SELECT doc_id,
+               ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096)
+                * 2654435761 + 40503) % 1000003 - 501001 AS w
+        FROM tok
+    ),
+    a AS (
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(w) AS BIGINT) AS feat_sum
+        FROM f GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.source, d.doc_id,
+               CASE WHEN COALESCE(a.n_toks, 0) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(((a.feat_sum + a.n_toks * 501001) * 1000000)
+                              // (a.n_toks * 1000003) AS BIGINT) END
+                   AS score6
+        FROM documents d LEFT JOIN a USING (doc_id)
+    ),
+    hist AS (SELECT source, score6 AS val, COUNT(*) AS cnt
+             FROM scored GROUP BY 1, 2),
+    cum AS (
+        SELECT source, val,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY val) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n
+        FROM hist
+    ),
+    thr AS (
+        SELECT source,
+               MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN val END)
+                   AS thr6
+        FROM cum GROUP BY 1
+    )
+    SELECT s.source, s.doc_id, s.score6, t.thr6
+    FROM scored s JOIN thr t USING (source)
+    WHERE s.score6 >= t.thr6
+    """,
+)
+def adaptive_quality_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gate
+    (functions/curation.py:adaptive_quality_cut): keep each source's
+    documents at or above its OWN exact 75th-percentile classifier
+    score — per-domain percentile filtering, so one huge low-quality
+    source can't flood the mix nor clip a small clean one.  The
+    threshold rides the functions/stats.py value-histogram rank
+    selection (shuffle bounded by the score domain, never row count);
+    the nonnegative-shifted integer score makes the truncating division
+    engine-agnostic; the per-source threshold table broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.adaptive_quality_cut(docs, pct=75)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -7214,9 +7389,18 @@ _DRIVER_FIRST = [
     # in-window by duplicate_spans_docs / substring_search_docs /
     # bpe_merges_docs / mix_sample_docs — rotate out to make room for
     # the four rows above; all stay registered and replica-checked)
-    "semantic_dedup_embeddings",
-    "events_equidepth_histogram",
-    "events_hll_mergeability",
+    # round-7 late additions (never driver-gated): snapshot-version diff,
+    # exact fixed-point covariance, adaptive per-source quality gate.
+    # Rotated out to make room, each double-confirmed driver-green r5+r6
+    # with unchanged implementations and their family still exercised
+    # in-window: semantic_dedup_embeddings (embeddings — dim_stats,
+    # density_outliers, pq_rerank stay), events_equidepth_histogram and
+    # events_hll_mergeability (sketches — bloom_membership stays; the
+    # histogram family also rides events_value_percentiles).  All stay
+    # registered and replica-checked.
+    "orders_snapshot_diff",
+    "embedding_covariance",
+    "adaptive_quality_cut_docs",
     # round-8 additions (never driver-gated): containment dedup,
     # cross-source contamination matrix, embedding density outliers,
     # n-gram vocabulary coverage.  Rotated out to make room, each now

@@ -1,0 +1,262 @@
+"""Round-9 operator coverage: snapshot-version diff, exact fixed-point
+embedding covariance + driver-side PCA, and the adaptive per-source
+quality percentile gate.
+
+These are LLM-data-pipeline / warehouse extensions beyond the reference
+surface (SURVEY.md §2 extension families); the contract under test is
+our own documented one, cross-checked by the DuckDB oracles in
+plans/queries.py (pca_project has no SQL form — its ground truth is the
+pure-numpy PCA below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from flink_invoice_processor_spark.functions import cdc as CDC
+from flink_invoice_processor_spark.functions import curation as CUR
+from flink_invoice_processor_spark.functions import similarity as SIM
+
+
+class TestSnapshotDiff:
+    SCHEMA = "k: long, a: string, b: long"
+
+    def _diff(self, spark, old_rows, new_rows):
+        old = spark.createDataFrame(old_rows, self.SCHEMA)
+        new = spark.createDataFrame(new_rows, self.SCHEMA)
+        rows = CDC.snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        return {r.k: (r.change_type, r.changed_cols) for r in rows}
+
+    def test_classification(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "x", 10), (2, "y", 20), (3, "z", 30)],
+            [(2, "y", 25), (3, "z", 30), (4, "w", 40)],
+        )
+        assert got == {
+            1: ("removed", ""),
+            2: ("changed", "b"),
+            4: ("added", ""),
+        }  # key 3 identical -> dropped: output is churn-sized
+
+    def test_null_safe_compare(self, spark):
+        got = self._diff(
+            spark,
+            [(1, None, 10), (2, None, 20), (3, "x", 30)],
+            [(1, None, 10), (2, "v", 20), (3, None, 30)],
+        )
+        # NULL vs NULL is not a change; NULL vs value is, in either direction
+        assert got == {2: ("changed", "a"), 3: ("changed", "a")}
+
+    def test_multi_column_change_lists_both(self, spark):
+        got = self._diff(spark, [(1, "x", 10)], [(1, "y", 11)])
+        assert got == {1: ("changed", "a,b")}
+
+    def test_empty_old_is_all_added(self, spark):
+        got = self._diff(spark, [], [(1, "x", 10)])
+        assert got == {1: ("added", "")}
+
+    def test_roundtrip_with_apply_changes(self, spark):
+        """snapshot_diff is the inverse audit of apply_changes: the diff
+        of (base, apply_changes(base, batch)) recovers the batch's key
+        classes."""
+        base = spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(8)], self.SCHEMA
+        )
+        changes = spark.createDataFrame(
+            [("D", 0, "v0", 0), ("U", 1, "v1", 999), ("I", 100, "new", 1)],
+            "op: string, k: long, a: string, b: long",
+        )
+        new = CDC.apply_changes(base, changes, ["k"]).drop("src")
+        got = {
+            r.k: r.change_type
+            for r in CDC.snapshot_diff(base, new, ["k"], ["a", "b"]).collect()
+        }
+        assert got == {0: "removed", 1: "changed", 100: "added"}
+
+
+def _quantize(vecs: np.ndarray) -> np.ndarray:
+    # same per-row micro-unit rounding the operators apply
+    return np.round(vecs.astype(np.float64) * 1_000_000)
+
+
+class TestCovarianceMatrix:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: long, embedding: array<float>",
+        )
+
+    def test_matches_numpy_population_covariance(self, spark):
+        rng = np.random.RandomState(7)
+        vecs = rng.uniform(-0.5, 0.5, size=(40, 6)).astype(np.float32)
+        q = _quantize(vecs)
+        n = q.shape[0]
+        rows = SIM.covariance_matrix(self._emb(spark, vecs)).collect()
+        assert len(rows) == 6 * 7 // 2
+        for r in rows:
+            num = n * np.dot(q[:, r.i], q[:, r.j]) - q[:, r.i].sum() * q[
+                :, r.j
+            ].sum()
+            expect = int(num) // (n * n) if num >= 0 else -((-int(num)) // (n * n))
+            assert r.n_vecs == n
+            assert r.cov_e12 == expect, (r.i, r.j)
+
+    def test_diagonal_equals_dim_stats_variance(self, spark):
+        rng = np.random.RandomState(11)
+        vecs = rng.uniform(-0.5, 0.5, size=(25, 4)).astype(np.float32)
+        emb = self._emb(spark, vecs)
+        diag = {
+            r.i: r.cov_e12
+            for r in SIM.covariance_matrix(emb).where("i = j").collect()
+        }
+        var = {r.dim: r.var_e12 for r in SIM.dim_stats(emb).collect()}
+        assert diag == var
+
+    def test_null_vectors_skipped(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2]), (1, None), (2, [0.3, 0.4])],
+            "vec_id: long, embedding: array<float>",
+        )
+        rows = SIM.covariance_matrix(emb).collect()
+        assert all(r.n_vecs == 2 for r in rows) and len(rows) == 3
+
+
+class TestPcaProject:
+    def test_matches_numpy_pca(self, spark):
+        rng = np.random.RandomState(3)
+        # anisotropic cloud so the principal directions are unambiguous
+        base = rng.normal(size=(60, 4)) * np.array([0.2, 0.05, 0.01, 0.002])
+        vecs = (base @ np.linalg.qr(rng.normal(size=(4, 4)))[0]).astype(
+            np.float32
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: long, embedding: array<float>",
+        )
+        got = {
+            r.vec_id: (r.pc0, r.pc1)
+            for r in SIM.pca_project(emb, k=2).collect()
+        }
+
+        # pure-numpy ground truth over the SAME quantized arithmetic
+        q = _quantize(np.array([list(v) for v in vecs.astype(np.float64)]))
+        n = q.shape[0]
+        cov_e12 = (
+            (n * (q.T @ q) - np.outer(q.sum(0), q.sum(0)))
+            / (n * n)
+        )  # float here is fine: the test tolerance absorbs the DIV truncation
+        cov = cov_e12 * 1e-12
+        mean = np.trunc(q.sum(0) / n) * 1e-6
+        vals, eigvecs = np.linalg.eigh(cov)
+        comps = eigvecs[:, ::-1][:, :2].T
+        for c in range(2):
+            if comps[c, np.abs(comps[c]).argmax()] < 0:
+                comps[c] = -comps[c]
+        expect = vecs.astype(np.float64) @ comps.T - mean @ comps.T
+        for i in range(n):
+            assert abs(got[i][0] - expect[i, 0]) < 2e-3
+            assert abs(got[i][1] - expect[i, 1]) < 2e-3
+
+    def test_top_component_carries_most_variance(self, spark):
+        rng = np.random.RandomState(5)
+        vecs = (rng.normal(size=(50, 3)) * np.array([1.0, 0.1, 0.01])).astype(
+            np.float32
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: long, embedding: array<float>",
+        )
+        df = SIM.pca_project(emb, k=3)
+        variances = [
+            df.agg(F.variance(f"pc{c}")).first()[0] for c in range(3)
+        ]
+        assert variances[0] > variances[1] > variances[2]
+
+    def test_k_out_of_range_raises(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2]), (1, [0.3, 0.1])],
+            "vec_id: long, embedding: array<float>",
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            SIM.pca_project(emb, k=3)
+
+
+class TestAdaptiveQualityCut:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id: long, text: string, source: string"
+        )
+
+    def _model(self, spark, rows, pct=75):
+        """Pure-Python replica of the documented contract."""
+        from flink_invoice_processor_spark.functions.text import (
+            QC_CENTER,
+            QC_MOD,
+            quality_classifier,
+        )
+
+        cls = {
+            r.doc_id: (r.n_toks, r.feat_sum)
+            for r in quality_classifier(self._docs(spark, rows)).collect()
+        }
+        scores = {}
+        for doc_id, text, source in rows:
+            n_toks, feat_sum = cls[doc_id]
+            s6 = (
+                0
+                if n_toks == 0
+                else ((feat_sum + n_toks * QC_CENTER) * 1_000_000)
+                // (n_toks * QC_MOD)
+            )
+            scores.setdefault(source, []).append((doc_id, s6))
+        kept = {}
+        for source, docs in scores.items():
+            vals = sorted(s for _, s in docs)
+            k = -(-len(vals) * pct // 100)  # ceil
+            thr = vals[k - 1]
+            for doc_id, s6 in docs:
+                if s6 >= thr:
+                    kept[doc_id] = (s6, thr)
+        return kept
+
+    def test_matches_model_and_keeps_ties(self, spark):
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(i % 7 + 1)), f"s{i % 2}")
+            for i in range(24)
+        ]
+        got = {
+            r.doc_id: (r.score6, r.thr6)
+            for r in CUR.adaptive_quality_cut(
+                self._docs(spark, rows), pct=75
+            ).collect()
+        }
+        assert got == self._model(spark, rows)
+
+    def test_thresholds_are_per_source(self, spark):
+        # source A: identical docs (threshold == their score, all kept);
+        # source B: distinct texts -> its own, different threshold
+        rows = [(i, "alpha beta gamma", "A") for i in range(4)] + [
+            (10 + i, " ".join(f"z{j}{i}" for j in range(5)), "B")
+            for i in range(4)
+        ]
+        out = CUR.adaptive_quality_cut(self._docs(spark, rows), pct=75)
+        thr = {r.source: r.thr6 for r in out.select("source", "thr6").distinct().collect()}
+        assert set(thr) == {"A", "B"}
+        a_kept = out.where("source = 'A'").count()
+        assert a_kept == 4  # all tied at the threshold -> all survive
+
+    def test_empty_text_scores_zero(self, spark):
+        rows = [(1, "", "A"), (2, "good common the and text", "A")]
+        out = {
+            r.doc_id: r.score6
+            for r in CUR.adaptive_quality_cut(
+                self._docs(spark, rows), pct=1
+            ).collect()
+        }
+        # pct=1 keeps everything; the empty doc is present with score 0
+        assert out[1] == 0 and len(out) == 2

@@ -40,6 +40,10 @@ ALLOWED_SOFT = {
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
     "q11_important_stock": "1-row regional stock-value total (broadcast threshold)",
     "orders_cdc_apply": "1-row bad-op count for the lazy op-domain assert",
+    "orders_snapshot_diff": (
+        "1-row bad-op count for the lazy op-domain assert (the diff's"
+        " 'new' side is built by apply_changes, which carries the guard)"
+    ),
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
     "q17_small_quantity_revenue": "single-row global aggregate (final partial merge)",
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",

@@ -71,6 +71,13 @@ REPRESENTATIVE = [
     "novelty_rate_docs",
     "minhash_calibration_docs",
     "embedding_dim_stats",
+    # round-9 families: full-outer snapshot diff (churn-sized output),
+    # per-row d^2 pair expansion into one keyed aggregate, and the
+    # histogram-rank adaptive quality gate (token explode + score
+    # histogram, shuffle bounded by the score domain)
+    "orders_snapshot_diff",
+    "embedding_covariance",
+    "adaptive_quality_cut_docs",
 ]
 
 
@@ -108,6 +115,10 @@ DECADE_FAMILIES = [
     "novelty_rate_docs",
     "minhash_calibration_docs",
     "embedding_dim_stats",
+    # round-9 families (orders/documents/embeddings inputs only)
+    "orders_snapshot_diff",
+    "embedding_covariance",
+    "adaptive_quality_cut_docs",
 ]
 
 
