@@ -1197,6 +1197,32 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     assert on the d²-row aggregate.
 
     Output: (i, j, n_vecs, cov_e12) for j >= i.
+
+    Built as ``covariance_from_partials(vector_stat_partials(emb))`` —
+    ONE definition of the moment algebra shared with the streaming
+    rollup (streaming/sketch_rollup.vector_stats_rollup_writer), so
+    batch and maintained answers agree by construction.
+    """
+    return covariance_from_partials(vector_stat_partials(emb, vec_col))
+
+
+def vector_stat_partials(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The mergeable moment partials behind ``covariance_matrix`` /
+    ``dim_stats``: one row per upper-triangle (i, j) pair carrying
+    ``(n, sp = Σ q_i·q_j)``, with the diagonal rows additionally
+    carrying that dimension's ``(s = Σ q_i, mn, mx)``.
+
+    MERGE LAW: group by (i, j) and take (SUM n, SUM sp, SUM s, MIN mn,
+    MAX mx) — partials over disjoint shards (or micro-batches) merge to
+    exactly the partials over the union, which is what makes the
+    streaming rollup's answers equal the batch operator's bit for bit.
+
+    Scale shape: per-row nested-transform pair expansion (no self-join,
+    no corpus shuffle) into ONE map-side-combined (i, j)-keyed
+    aggregate; diagonal extras ride a second scan of the same parquet
+    column and join the d diagonal keys.
     """
     q = emb.where(F.col(vec_col).isNotNull()).select(
         F.expr(
@@ -1214,41 +1240,78 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ).alias("e")
     ).select("e.i", "e.j", "e.p")
     prods = pairs.groupBy("i", "j").agg(
-        F.count("*").alias("n_vecs"),
-        F.sum(F.expr("CAST(p AS DECIMAL(38,0))")).alias("_sp"),
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0))")).alias("sp"),
     )
-    dims = q.select(F.posexplode("_q").alias("dim", "_v")).groupBy("dim").agg(
-        F.sum(F.expr("CAST(_v AS DECIMAL(38,0))")).alias("_s")
+    dims = (
+        q.select(F.posexplode("_q").alias("dim", "_v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0))")).alias("s"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
+        .select(
+            F.col("dim").alias("i"), F.col("dim").alias("j"),
+            "s", "mn", "mx",
+        )
     )
-    guarded = prods.where(
+    return prods.join(F.broadcast(dims), ["i", "j"], "left")
+
+
+def covariance_from_partials(part: DataFrame) -> DataFrame:
+    """(i, j, n_vecs, cov_e12) from a (merged) partials table — the
+    serving half of ``covariance_matrix``, shared by the batch operator
+    and readers of the streaming rollup's stored table."""
+    guarded = part.where(
         F.assert_true(
-            F.col("n_vecs") <= F.lit(1_000_000_000_000),
+            F.col("n") <= F.lit(1_000_000_000_000),
             F.lit(
                 "covariance_matrix: DECIMAL(38,0) arithmetic is only proven"
                 " to 1e12 vectors per job — shard the table and merge the"
-                " (n, sum_i, sum_j, sum_prod) partials, which are exactly"
-                " mergeable"
+                " (n, sp, s, mn, mx) partials, which are exactly mergeable"
             ),
         ).isNull()
     )
+    diag = part.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"), F.col("s").alias("_ds")
+    )
     return (
         guarded.join(
-            F.broadcast(dims.select(F.col("dim").alias("i"),
-                                    F.col("_s").alias("_si"))), "i"
+            F.broadcast(diag.select(F.col("dim").alias("i"),
+                                    F.col("_ds").alias("_si"))), "i"
         )
         .join(
-            F.broadcast(dims.select(F.col("dim").alias("j"),
-                                    F.col("_s").alias("_sj"))), "j"
+            F.broadcast(diag.select(F.col("dim").alias("j"),
+                                    F.col("_ds").alias("_sj"))), "j"
         )
         .select(
             "i",
             "j",
-            "n_vecs",
+            F.col("n").alias("n_vecs"),
             F.expr(
-                "CAST((CAST(n_vecs AS DECIMAL(38,0)) * _sp - _si * _sj)"
-                " DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"
+                "CAST((CAST(n AS DECIMAL(38,0)) * sp - _si * _sj)"
+                " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
             ).alias("cov_e12"),
         )
+    )
+
+
+def dim_stats_from_partials(part: DataFrame) -> DataFrame:
+    """``dim_stats``-shaped output (dim, n_vals, mean_micro, var_e12,
+    min_micro, max_micro, is_dead) read off a (merged) partials table's
+    diagonal rows — pytest-pinned identical to the batch ``dim_stats``."""
+    return part.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"),
+        F.col("n").alias("n_vals"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sp - s * s)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_e12"),
+        F.col("mn").alias("min_micro"),
+        F.col("mx").alias("max_micro"),
+        (F.col("mn") == F.col("mx")).alias("is_dead"),
     )
 
 
@@ -1318,3 +1381,43 @@ def pca_project(
             ).alias(f"pc{c}")
         )
     return emb.where(F.col(vec_col).isNotNull()).select(id_col, *out_cols)
+
+
+def standardize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension z-score normalization (whitening without rotation)
+    — the feature-scaling pass run before distance-based training/ANN so
+    no dimension dominates by unit choice.  Means/variances come from
+    ``dim_stats``'s engine-exact fixed-point contract; the z-score
+    itself is per-row double arithmetic in ONE fixed expression shape
+    (IEEE ops are bit-stable, rounded to 4 decimals at the edge — the
+    repo-wide oracle rule), so DuckDB reproduces every value.
+    Dead dimensions (zero variance) emit 0.0 instead of dividing by
+    zero.
+
+    Scale shape: the d-row stats table broadcast-joins the posexploded
+    vectors — one corpus scan, zero corpus shuffles.  Output is
+    (id, dim, z4), rows × dims.
+    """
+    stats = dim_stats(emb, vec_col).select("dim", "mean_micro", "var_e12")
+    ex = emb.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.posexplode(vec_col).alias("dim", "_x")
+    )
+    # the trailing `+ 0.0` canonicalizes IEEE negative zero (a value just
+    # under 0 rounds to -0.0, whose repr differs from 0.0 between
+    # engines; -0.0 + 0.0 == +0.0 by IEEE-754) — mirrored in the oracle
+    z = F.when(F.col("var_e12") <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            (
+                F.expr("CAST(_x AS DOUBLE)")
+                - F.expr("CAST(mean_micro AS DOUBLE) * 1.0E-6")
+            )
+            / F.expr("sqrt(CAST(var_e12 AS DOUBLE) * 1.0E-12)"),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        id_col, "dim", z.alias("z4")
+    )

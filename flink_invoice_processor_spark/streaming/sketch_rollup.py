@@ -284,3 +284,57 @@ def cms_estimate(counters: DataFrame, keys: DataFrame, key, depth: int = 3,
             *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(depth)]
         ).alias("est_count"),
     )
+
+
+_VECSTAT_SCHEMA = (
+    "i INT, j INT, n LONG, sp DECIMAL(38,0), s DECIMAL(38,0),"
+    " mn LONG, mx LONG"
+)
+
+
+def vector_stats_rollup_writer(table_path: str, vec_col: str = "embedding"):
+    """``foreachBatch`` function maintaining the embedding-QA moment
+    partials (functions/similarity.vector_stat_partials) across
+    micro-batches — the vector-table quality report (dim_stats) AND the
+    exact d×d covariance (PCA/whitening input) served over everything
+    ever streamed, while per-batch work stays one pair-expansion
+    aggregate and stored state stays d(d+1)/2 rows forever.
+
+    Merge law: (SUM n, SUM sp, SUM s, MIN mn, MAX mx) per (i, j) —
+    partials over micro-batches merge to exactly the partials over the
+    union, so ``covariance_from_partials`` / ``dim_stats_from_partials``
+    on the stored table equal the batch operators over all raw vectors
+    (pinned in tests/test_streaming_vector_stats.py).  SUM-merge is not
+    idempotent, so like the CMS/histogram rollups a replayed
+    at-least-once epoch is fenced on the batch id recorded atomically
+    with the version marker; one table belongs to one stream lineage."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(table_path, exist_ok=True)
+        _, last_merged = _marker_state(table_path)
+        if last_merged is not None and batch_id <= last_merged:
+            return
+        from ..functions.similarity import vector_stat_partials
+
+        batch_part = vector_stat_partials(batch_df, vec_col)
+        prev = read_vector_stats_table(spark, table_path)
+        merged = (
+            prev.unionByName(batch_part)
+            .groupBy("i", "j")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sp").cast("decimal(38,0)").alias("sp"),
+                F.sum("s").cast("decimal(38,0)").alias("s"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        ).localCheckpoint()
+        _swap_in(merged, table_path, batch_id)
+
+    return process
+
+
+def read_vector_stats_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current moment partials, or empty before the first batch."""
+    return read_versioned(spark, path, _VECSTAT_SCHEMA)

@@ -260,3 +260,108 @@ class TestAdaptiveQualityCut:
         }
         # pct=1 keeps everything; the empty doc is present with score 0
         assert out[1] == 0 and len(out) == 2
+
+
+class TestStandardize:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: long, embedding: array<float>",
+        )
+
+    def test_matches_fixed_point_model(self, spark):
+        rng = np.random.RandomState(13)
+        vecs = rng.uniform(-0.5, 0.5, size=(30, 3)).astype(np.float32)
+        emb = self._emb(spark, vecs)
+        stats = {r.dim: r for r in SIM.dim_stats(emb).collect()}
+        got = {
+            (r.vec_id, r.dim): r.z4
+            for r in SIM.standardize(emb).collect()
+        }
+        x = vecs.astype(np.float64)
+        for i in range(30):
+            for d in range(3):
+                s = stats[d]
+                expect = round(
+                    (x[i, d] - float(s.mean_micro) * 1.0e-6)
+                    / np.sqrt(float(s.var_e12) * 1.0e-12),
+                    4,
+                ) + 0.0
+                assert got[(i, d)] == expect, (i, d)
+
+    def test_dead_dimension_emits_zero(self, spark):
+        emb = self._emb(
+            spark, [[0.5, 0.1], [0.5, 0.2], [0.5, 0.3]]
+        )
+        z = {
+            (r.vec_id, r.dim): r.z4 for r in SIM.standardize(emb).collect()
+        }
+        assert all(z[(i, 0)] == 0.0 for i in range(3))
+        assert any(z[(i, 1)] != 0.0 for i in range(3))
+
+    def test_standardized_moments(self, spark):
+        rng = np.random.RandomState(17)
+        vecs = (rng.normal(size=(200, 2)) * [5.0, 0.01]).astype(np.float32)
+        out = (
+            SIM.standardize(self._emb(spark, vecs))
+            .groupBy("dim")
+            .agg(
+                F.round(F.avg("z4"), 2).alias("m"),
+                F.round(F.stddev_pop("z4"), 1).alias("s"),
+            )
+            .collect()
+        )
+        for r in out:
+            assert abs(r.m) <= 0.01 and abs(r.s - 1.0) <= 0.1
+
+
+class TestKmvJoinSizeEstimate:
+    def _sides(self, spark, a_keys, b_keys):
+        a = spark.createDataFrame([(k,) for k in a_keys], "k: long")
+        b = spark.createDataFrame([(k,) for k in b_keys], "k: long")
+        return a, b
+
+    def test_exact_side_and_small_case_exactness(self, spark):
+        # < k distinct keys per side: sketches ARE the key sets, so the
+        # common-key count is exact and the estimate hits the uniform-
+        # multiplicity formula exactly
+        a_keys = [1, 1, 2, 3, 4, 5]          # 6 rows, 5 distinct
+        b_keys = [3, 4, 4, 5, 6]             # 5 rows, 4 distinct
+        a, b = self._sides(spark, a_keys, b_keys)
+        from flink_invoice_processor_spark.functions.sketches import (
+            kmv_join_size_estimate,
+        )
+
+        row = kmv_join_size_estimate(a, b, F.col("k"), k=64).first()
+        assert row.n_a == 6 and row.n_b == 5
+        assert row.est_distinct_a == 5 and row.est_distinct_b == 4
+        assert row.est_common_keys == 3  # {3,4,5}
+        # exact join size: key 3 ->1*1, 4 ->1*2, 5 ->1*1 = 4
+        assert row.exact_join_size == 4
+        assert row.est_join_size == (3 * 6 * 5) // (5 * 4)
+
+    def test_disjoint_sides(self, spark):
+        a, b = self._sides(spark, [1, 2, 3], [10, 11])
+        from flink_invoice_processor_spark.functions.sketches import (
+            kmv_join_size_estimate,
+        )
+
+        row = kmv_join_size_estimate(a, b, F.col("k"), k=64).first()
+        assert row.est_common_keys == 0
+        assert row.est_join_size == 0
+        assert row.exact_join_size == 0
+
+    def test_saturated_sketch_reasonable(self, spark):
+        # 500-key overlap out of 1000/800 distinct: the k=64 sketch is
+        # saturated, so this pins the ESTIMATOR contract (within 50% on
+        # uniform data), not exact equality
+        a_keys = list(range(1000)) * 2          # 2000 rows
+        b_keys = list(range(500, 1300))         # 800 rows
+        a, b = self._sides(spark, a_keys, b_keys)
+        from flink_invoice_processor_spark.functions.sketches import (
+            kmv_join_size_estimate,
+        )
+
+        row = kmv_join_size_estimate(a, b, F.col("k"), k=64).first()
+        assert row.exact_join_size == 500 * 2
+        assert 0.5 * row.exact_join_size <= row.est_join_size <= 2.0 * row.exact_join_size

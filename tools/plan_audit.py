@@ -44,6 +44,12 @@ ALLOWED_SOFT = {
         "1-row bad-op count for the lazy op-domain assert (the diff's"
         " 'new' side is built by apply_changes, which carries the guard)"
     ),
+    "events_join_size_estimate": (
+        "sketch-sized/1-row model aggregates (two side counts, three"
+        " <=k-row KMV min-sets, the match count, the exact-size sum)"
+        " cross-joined into the single-row report — every funnel input"
+        " is bounded by k=64 or is already one row"
+    ),
     "q19_disjunctive_filter": "single-row global aggregate (final partial merge)",
     "q17_small_quantity_revenue": "single-row global aggregate (final partial merge)",
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",

@@ -78,6 +78,11 @@ REPRESENTATIVE = [
     "orders_snapshot_diff",
     "embedding_covariance",
     "adaptive_quality_cut_docs",
+    # round-9 part 2: broadcast-stats whitening (one corpus scan) and
+    # the sketch-only join-size estimate (cost = two scans + k-row
+    # reductions; its exact calibration column is the only key shuffle)
+    "embedding_standardize",
+    "events_join_size_estimate",
 ]
 
 
@@ -115,10 +120,12 @@ DECADE_FAMILIES = [
     "novelty_rate_docs",
     "minhash_calibration_docs",
     "embedding_dim_stats",
-    # round-9 families (orders/documents/embeddings inputs only)
+    # round-9 families (orders/documents/embeddings/events inputs only)
     "orders_snapshot_diff",
     "embedding_covariance",
     "adaptive_quality_cut_docs",
+    "embedding_standardize",
+    "events_join_size_estimate",
 ]
 
 
