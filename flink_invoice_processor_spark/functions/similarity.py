@@ -1421,3 +1421,98 @@ def standardize(
     return ex.join(F.broadcast(stats), "dim").select(
         id_col, "dim", z.alias("z4")
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    n_bins: int = 12,
+    lo_micro: int = -600_000,
+    bin_micro: int = 100_000,
+    tvd_threshold6: int = 100_000,
+) -> DataFrame:
+    """Per-dimension distribution DRIFT between two vector snapshots —
+    the monitoring report run before trusting this week's embedding
+    export against last week's (a re-trained or silently re-scaled
+    model head shows up here long before retrieval quality tanks).
+
+    Metric: total variation distance over a FIXED micro-unit binning,
+    ``tvd6 = Σ_bins |pa6 - pb6| div 2`` with add-one smoothing
+    (``p6 = (cnt + 1) * 1e6 div (n + n_bins)``) — deliberately TVD and
+    not PSI/KL: the log-based scores need IEEE ``ln``, whose last-ulp
+    behavior differs between JVM and C libm (the reason the TF-IDF
+    family replaced log-idf with staged division), while TVD stays in
+    exact integer arithmetic end to end, so both engines agree bit for
+    bit.  Every (dim, bin) cell of the full grid participates —
+    including bins observed on neither side, whose smoothed
+    probabilities still differ when the snapshot sizes do.
+
+    Scale shape: each snapshot is one posexplode into a (dim, bin)-keyed
+    map-side-combined aggregate (d·n_bins keys); the two count tables
+    left-join the d·n_bins-row grid (model-sized) — the corpora are
+    never joined or shuffled against each other.
+
+    Output: (dim, n_a, n_b, tvd6, drifted) — one row per dimension.
+    """
+    hi = n_bins - 1
+
+    def _binned(side: DataFrame, cname: str) -> DataFrame:
+        ex = side.where(F.col(vec_col).isNotNull()).select(
+            F.posexplode(vec_col).alias("dim", "_x")
+        )
+        bin_ = F.least(
+            F.greatest(
+                F.expr(
+                    f"(CAST(round(CAST(_x AS DOUBLE) * 1000000, 0) AS BIGINT)"
+                    f" - {lo_micro}) div {bin_micro}"
+                ),
+                F.lit(0),
+            ),
+            F.lit(hi),
+        )
+        return (
+            ex.select("dim", bin_.cast("int").alias("bin"))
+            .groupBy("dim", "bin")
+            .agg(F.count("*").alias(cname))
+        )
+
+    ca, cb = _binned(a, "_ca"), _binned(b, "_cb")
+    dims = ca.select("dim").union(cb.select("dim")).distinct()
+    grid = dims.select(
+        "dim",
+        F.explode(F.sequence(F.lit(0), F.lit(hi))).alias("bin"),
+    )
+    cells = (
+        grid.join(ca, ["dim", "bin"], "left")
+        .join(cb, ["dim", "bin"], "left")
+        .select(
+            "dim",
+            "bin",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+    )
+    per_dim = cells.groupBy("dim").agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    scored = cells.join(F.broadcast(per_dim), "dim").select(
+        "dim",
+        "n_a",
+        "n_b",
+        F.expr(
+            f"abs((_ca + 1) * 1000000 div (n_a + {n_bins})"
+            f" - (_cb + 1) * 1000000 div (n_b + {n_bins}))"
+        ).alias("_d6"),
+    )
+    return (
+        scored.groupBy("dim", "n_a", "n_b")
+        .agg(F.expr("sum(_d6) div 2").alias("tvd6"))
+        .select(
+            "dim",
+            "n_a",
+            "n_b",
+            "tvd6",
+            (F.col("tvd6") > F.lit(tvd_threshold6)).alias("drifted"),
+        )
+    )

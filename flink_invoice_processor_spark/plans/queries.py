@@ -7437,6 +7437,71 @@ def events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift_tvd",
+    """
+    WITH pts AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(LEAST(GREATEST(
+                   (CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT) + 600000) // 100000, 0), 11)
+                    AS INTEGER) AS bin,
+               vec_id % 2 AS side
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        WHERE embedding IS NOT NULL
+    ),
+    ca AS (SELECT dim, bin, COUNT(*) AS c FROM pts WHERE side = 0
+           GROUP BY 1, 2),
+    cb AS (SELECT dim, bin, COUNT(*) AS c FROM pts WHERE side = 1
+           GROUP BY 1, 2),
+    grid AS (
+        SELECT dim, CAST(b AS INTEGER) AS bin
+        FROM (SELECT DISTINCT dim FROM pts),
+             (SELECT unnest(range(0, 12)) AS b)
+    ),
+    cells AS (
+        SELECT g.dim, g.bin,
+               COALESCE(ca.c, 0) AS _ca, COALESCE(cb.c, 0) AS _cb
+        FROM grid g
+        LEFT JOIN ca ON ca.dim = g.dim AND ca.bin = g.bin
+        LEFT JOIN cb ON cb.dim = g.dim AND cb.bin = g.bin
+    ),
+    pd AS (
+        SELECT dim, CAST(SUM(_ca) AS BIGINT) AS n_a,
+               CAST(SUM(_cb) AS BIGINT) AS n_b
+        FROM cells GROUP BY 1
+    ),
+    s AS (
+        SELECT c.dim, p.n_a, p.n_b,
+               ABS((c._ca + 1) * 1000000 // (p.n_a + 12)
+                   - (c._cb + 1) * 1000000 // (p.n_b + 12)) AS d6
+        FROM cells c JOIN pd p USING (dim)
+    )
+    SELECT dim, n_a, n_b,
+           CAST(SUM(d6) // 2 AS BIGINT) AS tvd6,
+           SUM(d6) // 2 > 100000 AS drifted
+    FROM s GROUP BY 1, 2, 3
+    """,
+)
+def embedding_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution drift between two embedding snapshots
+    (even vs odd vec_id as the deterministic two-epoch split) — the
+    vector-table monitoring report
+    (functions/similarity.py:distribution_drift).  Total variation
+    distance over a fixed micro-unit binning with add-one smoothing,
+    end-to-end integer arithmetic (deliberately TVD and not PSI/KL:
+    IEEE ln's last-ulp behavior differs between JVM and C libm — the
+    same reason the TF-IDF family replaced log-idf).  Each snapshot is
+    one posexplode into a (dim, bin)-keyed map-side-combined aggregate;
+    the corpora are never joined against each other."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.distribution_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -7470,7 +7535,12 @@ _DRIVER_FIRST = [
     "pmi_bigrams_wide_docs",
     "dsir_weights_wide_docs",
     "duplicate_spans_docs",
-    "mix_sample_docs",
+    # round-9 part 3 (never driver-gated): vector-distribution drift
+    # monitoring.  mix_sample_docs (driver-green r6, implementation
+    # unchanged, the curation family amply in-window via
+    # adaptive_quality_cut_docs / contrastive / leakage rows) rotates
+    # out; stays registered and replica-checked.
+    "embedding_drift_tvd",
     # (length_bucket_batches_docs, driver-green r4+r5, rotates out for
     # the two-stage PQ re-rank)
     "pq_rerank_topk_embeddings",

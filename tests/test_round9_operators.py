@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from flink_invoice_processor_spark.functions import cdc as CDC
 from flink_invoice_processor_spark.functions import curation as CUR
@@ -365,3 +365,126 @@ class TestKmvJoinSizeEstimate:
         row = kmv_join_size_estimate(a, b, F.col("k"), k=64).first()
         assert row.exact_join_size == 500 * 2
         assert 0.5 * row.exact_join_size <= row.est_join_size <= 2.0 * row.exact_join_size
+
+
+class TestDistributionDrift:
+    def _emb(self, spark, vecs, start_id=0):
+        return spark.createDataFrame(
+            [(start_id + i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: long, embedding: array<float>",
+        )
+
+    def test_identical_snapshots_have_zero_tvd(self, spark):
+        rng = np.random.RandomState(23)
+        vecs = rng.uniform(-0.5, 0.5, size=(40, 3)).astype(np.float32)
+        a, b = self._emb(spark, vecs), self._emb(spark, vecs, 1000)
+        rows = SIM.distribution_drift(a, b).collect()
+        assert len(rows) == 3
+        assert all(r.tvd6 == 0 and not r.drifted for r in rows)
+
+    def test_shifted_dimension_flags(self, spark):
+        rng = np.random.RandomState(29)
+        base = rng.uniform(-0.1, 0.1, size=(60, 2)).astype(np.float32)
+        shifted = base.copy()
+        shifted[:, 1] += 0.4  # dim 1 drifts, dim 0 does not
+        a, b = self._emb(spark, base), self._emb(spark, shifted, 1000)
+        got = {r.dim: r for r in SIM.distribution_drift(a, b).collect()}
+        assert not got[0].drifted and got[0].tvd6 < 50_000
+        assert got[1].drifted and got[1].tvd6 > 500_000
+
+    def test_matches_python_model(self, spark):
+        rng = np.random.RandomState(31)
+        va = rng.uniform(-0.6, 0.5, size=(25, 2))
+        vb = rng.uniform(-0.4, 0.6, size=(35, 2))
+        a = self._emb(spark, va.astype(np.float32))
+        b = self._emb(spark, vb.astype(np.float32), 1000)
+        got = {r.dim: (r.n_a, r.n_b, r.tvd6) for r in SIM.distribution_drift(a, b).collect()}
+
+        def bins(vals):
+            c = [0] * 12
+            for x in vals:
+                q = round(float(np.float32(x)) * 1_000_000)
+                c[min(max((q + 600_000) // 100_000, 0), 11)] += 1
+            return c
+
+        for d in range(2):
+            ca, cb = bins(va[:, d]), bins(vb[:, d])
+            na, nb = sum(ca), sum(cb)
+            tvd = sum(
+                abs((ca[i] + 1) * 1_000_000 // (na + 12)
+                    - (cb[i] + 1) * 1_000_000 // (nb + 12))
+                for i in range(12)
+            ) // 2
+            assert got[d] == (na, nb, tvd)
+
+
+class TestAdaptiveThresholdFromStream:
+    def test_threshold_served_from_maintained_histogram(self, spark, tmp_path):
+        """The adaptive gate's per-source threshold can be served from
+        the STREAMING histogram rollup: maintain (source, score6)
+        histograms across micro-batches, then rank-select — the served
+        threshold equals the batch operator's."""
+        from flink_invoice_processor_spark.functions.text import (
+            QC_CENTER,
+            QC_MOD,
+            quality_classifier,
+        )
+        from flink_invoice_processor_spark.streaming.sketch_rollup import (
+            histogram_rollup_writer,
+            read_histogram_table,
+        )
+
+        rows = [
+            (i, " ".join(f"w{j}{i % 5}" for j in range(i % 6 + 1)), f"s{i % 2}")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id: long, text: string, source: string"
+        )
+        scored = (
+            docs.select("source", "doc_id")
+            .join(quality_classifier(docs), "doc_id")
+            .selectExpr(
+                "source",
+                f"CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE ((feat_sum + n_toks * {QC_CENTER}) * 1000000)"
+                f" div (n_toks * {QC_MOD}) END AS score6",
+            )
+        )
+        table = str(tmp_path / "hist")
+        writer = histogram_rollup_writer(
+            F.col("source"), F.col("score6"), table
+        )
+        # two "micro-batches" by doc parity
+        writer(scored.where("score6 % 2 = 0"), 0)
+        writer(scored.where("score6 % 2 = 1"), 1)
+
+        hist = read_histogram_table(spark, table)
+        cum = hist.withColumn(
+            "cum",
+            F.sum("cnt").over(Window.partitionBy("k").orderBy("val")),
+        )
+        tot = hist.groupBy("k").agg(F.sum("cnt").alias("n"))
+        served = {
+            r.k: r.thr6
+            for r in cum.join(tot, "k")
+            .groupBy("k")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n * 75 + 99) div 100"),
+                        F.col("val"),
+                    )
+                ).alias("thr6")
+            )
+            .collect()
+        }
+
+        batch = {
+            r.source: r.thr6
+            for r in CUR.adaptive_quality_cut(docs, pct=75)
+            .select("source", "thr6")
+            .distinct()
+            .collect()
+        }
+        assert served == batch

@@ -83,6 +83,8 @@ REPRESENTATIVE = [
     # reductions; its exact calibration column is the only key shuffle)
     "embedding_standardize",
     "events_join_size_estimate",
+    # drift monitoring: two (dim, bin)-keyed aggregates + a grid join
+    "embedding_drift_tvd",
 ]
 
 
@@ -126,6 +128,7 @@ DECADE_FAMILIES = [
     "adaptive_quality_cut_docs",
     "embedding_standardize",
     "events_join_size_estimate",
+    "embedding_drift_tvd",
 ]
 
 
