@@ -227,23 +227,55 @@ def _shingle_intersections(
     return inter.join(sa, "doc_id_a").join(sb, "doc_id_b"), sh
 
 
+def shingle_intersection_base(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """The finished (doc_id_a < doc_id_b, n_inter, n_a, n_b) candidate
+    table both exact-overlap scorers read — exposed so a suite runner
+    can build it ONCE and hand it to :func:`jaccard_pairs` and
+    :func:`containment_pairs` via their ``base=`` parameter (the
+    tfidf_top_terms suite-cache pattern): the shingle explode, cap, and
+    self-join are identical for both; only the scoring denominator
+    differs.  Standalone callers never need this — each scorer builds
+    its own base when ``base`` is omitted."""
+    base, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
+    return _finish_pairs(base, sh)
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     max_shingle_doc_freq: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     ``J(a,b) = |S_a ∩ S_b| / (|S_a| + |S_b| - |S_a ∩ S_b|)`` computed from a
     shingle self-join; returns (doc_id_a < doc_id_b, jaccard) above the
     threshold.  ``max_shingle_doc_freq`` prunes stop-shingles pre-join
-    (mandatory at scale; see module docstring).
+    (mandatory at scale; see module docstring).  A suite runner can pass
+    a shared :func:`shingle_intersection_base` as ``base``; the scorer is
+    then a pure projection of it (n/text_col/cap are ignored — the base
+    carries them).
     """
-    base, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
+    if base is not None:
+        return base.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+    base_df, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
     out = (
-        base.select(
+        base_df.select(
             "doc_id_a",
             "doc_id_b",
             F.round(
@@ -267,6 +299,7 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     max_shingle_doc_freq: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate pairs by exact n-gram set CONTAINMENT.
 
@@ -277,21 +310,25 @@ def containment_pairs(
     self-join as :func:`jaccard_pairs` (and the same mandatory-at-scale
     ``max_shingle_doc_freq`` stop-shingle cut); only the denominator
     differs.  Returns (doc_id_a < doc_id_b, n_inter, containment ≥
-    threshold, rounded to 4 decimals).
+    threshold, rounded to 4 decimals).  A suite runner can pass a shared
+    :func:`shingle_intersection_base` as ``base`` (see
+    :func:`jaccard_pairs`).
     """
-    base, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
-    out = (
-        base.select(
+
+    def score(b: DataFrame) -> DataFrame:
+        return b.select(
             "doc_id_a",
             "doc_id_b",
             "n_inter",
             F.round(
                 F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4
             ).alias("containment"),
-        )
-        .where(F.col("containment") >= threshold)
-    )
-    return _finish_pairs(out, sh)
+        ).where(F.col("containment") >= threshold)
+
+    if base is not None:
+        return score(base)
+    base_df, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
+    return _finish_pairs(score(base_df), sh)
 
 
 def source_overlap(

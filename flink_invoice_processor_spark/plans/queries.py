@@ -1149,9 +1149,17 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle guard SET (shingles in > 100 docs are dropped pre-join —
     mandatory at scale: one corpus-frequent shingle makes the self-join
     quadratic).  The oracle mirrors the cut on the identical md5-derived
-    63-bit shingle hash, with per-doc sizes computed post-filter."""
+    63-bit shingle hash, with per-doc sizes computed post-filter.  The
+    candidate base is suite-cache-shared with containment_pairs_docs
+    (identical explode/cap/self-join; only the denominator differs)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_doc_freq=100)
+    base = SC.memo(
+        (sf_dir, "shingle_base", 3, 100),
+        lambda: DD.shingle_intersection_base(
+            docs, n=3, max_shingle_doc_freq=100
+        ),
+    )
+    return DD.jaccard_pairs(docs, n=3, threshold=0.5, base=base)
 
 
 def _mh_sql(j: int) -> str:
@@ -6865,11 +6873,16 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     long one, which Jaccard structurally scores near zero.  Same blocked
     shingle self-join and mandatory stop-shingle cap as ngram_jaccard_docs
     (functions/dedup.py:containment_pairs); only the denominator differs,
-    and both ride the identical shared intersection core."""
+    and both ride the identical shared intersection core — suite-cache-
+    shared with ngram_jaccard_docs as the `shingle_base` artifact."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.containment_pairs(
-        docs, n=3, threshold=0.8, max_shingle_doc_freq=100
+    base = SC.memo(
+        (sf_dir, "shingle_base", 3, 100),
+        lambda: DD.shingle_intersection_base(
+            docs, n=3, max_shingle_doc_freq=100
+        ),
     )
+    return DD.containment_pairs(docs, n=3, threshold=0.8, base=base)
 
 
 _SOURCE_SHINGLES_SQL = f"""
