@@ -306,6 +306,8 @@ def density_outliers(
     min_neighbors: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    fine_planes: int = 10,
 ) -> DataFrame:
     """Embedding-density outliers: vectors with fewer than ``min_neighbors``
     cosine-≥-threshold neighbors inside their LSH signature bucket — the
@@ -319,16 +321,47 @@ def density_outliers(
     yields no qualifying neighbor at all re-enter via a left join with a
     coalesced zero — those zero-neighbor rows are the strongest outliers
     and a join that dropped them would silently miss the whole point.
-    Scale: the per-bucket product is the same bounded block the near-dup
-    path already audits; the left join keys on the unique vector id.
+
+    Scale — ADAPTIVE blocking (``max_bucket``): with a fixed plane count
+    the bucket count is fixed, so bucket population grows linearly with
+    the corpus and the in-bucket product grows QUADRATICALLY (measured:
+    4-plane steady ratio 6.8× at 4× vectors, SCALING_r07).  When
+    ``max_bucket`` is set, coarse buckets larger than it re-block on the
+    ``fine_planes``-bit signature (the SAME md5 plane family — the fine
+    signature's low bits ARE the coarse signature, so fine buckets
+    subdivide their coarse bucket).  Neighbor counting is then
+    bucket-LOCAL at whichever level applies — the documented semantics
+    of this estimator, mirrored exactly by the SQL oracle (the level
+    decision is a deterministic CASE on the coarse-bucket count).  For
+    corpora where even fine buckets exceed the cap, raise
+    ``fine_planes`` ~log2(n) — the residual contract is the stop-shingle
+    cap's.  ``max_bucket=None`` keeps the single-level legacy behavior.
     Output: (vec_id, n_neighbors < min_neighbors).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
-    sig = nn.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
-    )
+    if max_bucket is None:
+        sig = nn.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
+        )
+    else:
+        two = nn.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            lsh_signature(F.col(vec_col), dims, n_planes).alias("_sc"),
+            lsh_signature(F.col(vec_col), dims, fine_planes).alias("_sf"),
+        )
+        csize = two.groupBy("_sc").agg(F.count("*").alias("_cn"))
+        # fine keys are offset past every coarse key (sig_c < 2^n_planes
+        # <= 2^fine_planes), so the two levels can never collide
+        sig = two.join(F.broadcast(csize), "_sc").select(
+            "vec_id",
+            "_v",
+            F.when(F.col("_cn") <= max_bucket, F.col("_sc"))
+            .otherwise(F.lit(1 << fine_planes) + F.col("_sf"))
+            .alias("_sig"),
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     neigh = (

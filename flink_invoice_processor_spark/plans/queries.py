@@ -6934,12 +6934,19 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS (
         SELECT vec_id, embedding AS v,
-               {_lsh_sig_sql("embedding", 4, 64)} AS s
+               {_lsh_sig_sql("embedding", 4, 64)} AS sc,
+               {_lsh_sig_sql("embedding", 10, 64)} AS sf
         FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cs AS (SELECT sc, COUNT(*) AS cn FROM sig GROUP BY 1),
+    keyed AS (
+        SELECT g.vec_id, g.v,
+               CASE WHEN c.cn <= 25 THEN g.sc ELSE 1024 + g.sf END AS s
+        FROM sig g JOIN cs c USING (sc)
     ),
     neigh AS (
         SELECT a.vec_id, COUNT(*) AS n_neighbors
-        FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id <> b.vec_id
+        FROM keyed a JOIN keyed b ON a.s = b.s AND a.vec_id <> b.vec_id
         WHERE round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
                     / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
                        * sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))),
@@ -6954,15 +6961,20 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-density outliers: vectors with < 2 cosine-≥0.2 neighbors
-    in their 4-plane LSH bucket — the low-density points a curation
+    in their ADAPTIVE LSH bucket — the low-density points a curation
     pipeline drops or audits, the inverse of near-dup detection
-    (functions/similarity.py:density_outliers).  Zero-neighbor vectors
-    re-enter via the left join (they are the strongest outliers); the
-    hyperplanes and dot-sum order are the exact literals the LSH near-dup
-    oracle already pins."""
+    (functions/similarity.py:density_outliers).  Coarse 4-plane buckets
+    larger than 25 members re-block on the 10-plane signature (same md5
+    plane family, so fine buckets subdivide their coarse bucket) — with
+    fixed planes the in-bucket product grows quadratically with the
+    corpus (measured 6.8× steady at 4× vectors before this fix,
+    SCALING_r07).  Zero-neighbor vectors re-enter via the left join
+    (they are the strongest outliers); the hyperplanes, dot-sum order,
+    and the CASE level decision are exact literals the oracle pins."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.density_outliers(
-        emb, dims=64, threshold=0.2, n_planes=4, min_neighbors=2
+        emb, dims=64, threshold=0.2, n_planes=4, min_neighbors=2,
+        max_bucket=25, fine_planes=10,
     )
 
 

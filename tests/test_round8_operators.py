@@ -100,6 +100,56 @@ class TestDensityOutliers:
         ).collect()
         assert {r.vec_id for r in out} == {1}
 
+    def test_adaptive_blocking_matches_legacy_when_under_cap(self, spark):
+        """With every coarse bucket under max_bucket the adaptive path
+        must produce the legacy single-level answer bit for bit."""
+        import numpy as np
+
+        rng = np.random.RandomState(37)
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(
+                rng.uniform(-0.5, 0.5, size=(40, 4)).astype(np.float32)
+            )
+        ]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        legacy = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=4, threshold=0.2, n_planes=4, min_neighbors=2
+                ).collect(),
+            )
+        )
+        adaptive = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=4, threshold=0.2, n_planes=4, min_neighbors=2,
+                    max_bucket=10_000, fine_planes=10,
+                ).collect(),
+            )
+        )
+        assert adaptive == legacy
+
+    def test_adaptive_blocking_subdivides_oversized_buckets(self, spark):
+        """A tight cluster that overflows max_bucket is re-blocked on the
+        fine signature; identical vectors share every fine bit, so true
+        duplicates keep their neighbors while the block size shrinks."""
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [(i, base) for i in range(30)] + [(100, [0.0, 1.0, 0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        out = {
+            r.vec_id: r.n_neighbors
+            for r in SIM.density_outliers(
+                emb, dims=4, threshold=0.3, n_planes=4, min_neighbors=2,
+                max_bucket=5, fine_planes=10,
+            ).collect()
+        }
+        # the 30 identical vectors all share the same FINE bucket too ->
+        # 29 neighbors each, none flagged; the orthogonal one is flagged
+        assert set(out) == {100} and out[100] == 0
+
 
 class TestOovRate:
     def test_exact_rates_and_tiebreak(self, spark):
