@@ -488,3 +488,57 @@ class TestAdaptiveThresholdFromStream:
             .collect()
         }
         assert served == batch
+
+
+class TestRound9EdgeCases:
+    def test_covariance_single_vector(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [0.25, -0.5])], "vec_id: long, embedding: array<float>"
+        )
+        rows = {(r.i, r.j): r for r in SIM.covariance_matrix(emb).collect()}
+        assert len(rows) == 3
+        # n=1: every covariance is exactly 0 (n*sum_xy == sum_x*sum_y)
+        assert all(r.cov_e12 == 0 and r.n_vecs == 1 for r in rows.values())
+
+    def test_standardize_single_vector_all_dead(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [0.25, -0.5])], "vec_id: long, embedding: array<float>"
+        )
+        out = SIM.standardize(emb).collect()
+        assert sorted((r.dim, r.z4) for r in out) == [(0, 0.0), (1, 0.0)]
+
+    def test_drift_one_empty_side(self, spark):
+        a = spark.createDataFrame(
+            [(0, [0.1]), (1, [0.2])], "vec_id: long, embedding: array<float>"
+        )
+        b = a.where("vec_id < 0")  # empty
+        rows = SIM.distribution_drift(a, b).collect()
+        # grid comes from side a's dims; smoothing keeps every p6 finite
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_a == 2 and r.n_b == 0 and 0 <= r.tvd6 <= 1_000_000
+
+    def test_adaptive_cut_single_doc_sources(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", "A"), (2, "gamma delta", "B")],
+            "doc_id: long, text: string, source: string",
+        )
+        out = CUR.adaptive_quality_cut(docs, pct=75).collect()
+        # one doc per source: threshold == its own score -> kept
+        assert sorted(r.doc_id for r in out) == [1, 2]
+        assert all(r.score6 == r.thr6 for r in out)
+
+    def test_snapshot_diff_both_empty(self, spark):
+        e = spark.createDataFrame([], "k: long, a: string, b: long")
+        assert CDC.snapshot_diff(e, e, ["k"], ["a", "b"]).count() == 0
+
+    def test_pca_on_constant_vectors(self, spark):
+        # zero covariance everywhere: projections are constant per
+        # component (x.v - m.v == 0 for every row)
+        emb = spark.createDataFrame(
+            [(i, [0.25, -0.5, 0.1]) for i in range(5)],
+            "vec_id: long, embedding: array<float>",
+        )
+        rows = SIM.pca_project(emb, k=2).collect()
+        assert len(rows) == 5
+        assert all(abs(r.pc0) < 1e-6 and abs(r.pc1) < 1e-6 for r in rows)
