@@ -263,8 +263,8 @@ def jaccard_pairs(
     then a pure projection of it (n/text_col/cap are ignored — the base
     carries them).
     """
-    if base is not None:
-        return base.select(
+    def score(b: DataFrame) -> DataFrame:
+        return b.select(
             "doc_id_a",
             "doc_id_b",
             F.round(
@@ -273,24 +273,15 @@ def jaccard_pairs(
                 4,
             ).alias("jaccard"),
         ).where(F.col("jaccard") >= threshold)
+
+    if base is not None:
+        return score(base)
     base_df, sh = _shingle_intersections(df, n, text_col, max_shingle_doc_freq)
-    out = (
-        base_df.select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        # the (small) pair output is materialized so the (large) persisted
-        # shingle explode can be released NOW instead of leaking its cache
-        # handle into the caller's session; checkpoint blocks free with the
-        # DataFrame (ContextCleaner), no manual handle survives the call
-    )
-    return _finish_pairs(out, sh)
+    # the (small) pair output is materialized so the (large) persisted
+    # shingle explode can be released NOW instead of leaking its cache
+    # handle into the caller's session; checkpoint blocks free with the
+    # DataFrame (ContextCleaner), no manual handle survives the call
+    return _finish_pairs(score(base_df), sh)
 
 
 def containment_pairs(

@@ -339,6 +339,13 @@ def density_outliers(
     Output: (vec_id, n_neighbors < min_neighbors).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
+    if max_bucket is not None and fine_planes < n_planes:
+        raise ValueError(
+            "density_outliers: fine_planes must be >= n_planes (fine"
+            " buckets subdivide coarse buckets, and the level-key offset"
+            f" requires it); got n_planes={n_planes},"
+            f" fine_planes={fine_planes}"
+        )
     if max_bucket is None:
         sig = nn.select(
             F.col(id_col).alias("vec_id"),
@@ -1263,6 +1270,27 @@ def vector_stat_partials(
             " CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
         ).alias("_q")
     )
+    # per-row magnitude guard BEFORE the pair expansion: x*y is computed
+    # in BIGINT (one multiply per pair, the hot path), which wraps
+    # silently past |q| ~ 3.03e9 (values of magnitude ~3037) under
+    # ansi=off — the repo's overflow convention requires the bound to
+    # fail LOUDLY, as dim_stats' DECIMAL squares and the HUGEINT oracle
+    # never wrap and the engines would silently diverge
+    q = q.where(
+        F.assert_true(
+            F.expr(
+                "aggregate(_q, CAST(0 AS BIGINT),"
+                " (m, x) -> greatest(m, abs(x)))"
+            )
+            <= F.lit(3_000_000_000),
+            F.lit(
+                "vector_stat_partials: quantized magnitude exceeds the"
+                " int64 pair-product range (|value| > 3000) — normalize"
+                " the vectors first (standardize), or widen the products"
+                " to DECIMAL"
+            ),
+        ).isNull()
+    )
     pairs = q.select(
         F.explode(
             F.expr(
@@ -1373,14 +1401,26 @@ def pca_project(
     (``(x - mean) · v``) rounded to 4 decimals.  Not oracle-checkable
     (eigendecomposition has no ANSI-SQL form) — verified in pytest
     against a pure-numpy PCA of the same quantized data
-    (tests/test_pca.py).
+    (tests/test_round9_operators.py::TestPcaProject).
 
     Output: (``id_col``, pc0 .. pc{k-1}).
     """
     import numpy as np
 
-    cov_rows = covariance_matrix(emb, vec_col).collect()
-    stat_rows = dim_stats(emb, vec_col).select("dim", "mean_micro").collect()
+    # ONE partials build serves both the covariance and the means (the
+    # diagonal rows carry s and n) — checkpointed so the two serve-side
+    # collects read the d(d+1)/2-row table instead of re-scanning the
+    # corpus twice
+    part = vector_stat_partials(emb, vec_col).localCheckpoint()
+    cov_rows = covariance_from_partials(part).collect()
+    stat_rows = (
+        dim_stats_from_partials(part).select("dim", "mean_micro").collect()
+    )
+    if not cov_rows:
+        raise ValueError(
+            "pca_project: no non-null vectors in the input — nothing to"
+            " decompose"
+        )
     d = max(r["j"] for r in cov_rows) + 1
     if not 1 <= k <= d:
         raise ValueError(f"pca_project: k must be in [1, {d}], got {k}")

@@ -1151,15 +1151,20 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic).  The oracle mirrors the cut on the identical md5-derived
     63-bit shingle hash, with per-doc sizes computed post-filter.  The
     candidate base is suite-cache-shared with containment_pairs_docs
-    (identical explode/cap/self-join; only the denominator differs)."""
+    (identical explode/cap/self-join; only the denominator differs) —
+    ONLY when a suite runner enabled the cache: standalone runs keep the
+    original plan, which checkpoints the small filtered output rather
+    than the full pre-threshold candidate table."""
     docs = load_table(spark, sf_dir, "documents")
-    base = SC.memo(
-        (sf_dir, "shingle_base", 3, 100),
-        lambda: DD.shingle_intersection_base(
-            docs, n=3, max_shingle_doc_freq=100
-        ),
-    )
-    return DD.jaccard_pairs(docs, n=3, threshold=0.5, base=base)
+    if SC.enabled():
+        base = SC.memo(
+            (sf_dir, "shingle_base", 3, 100),
+            lambda: DD.shingle_intersection_base(
+                docs, n=3, max_shingle_doc_freq=100
+            ),
+        )
+        return DD.jaccard_pairs(docs, n=3, threshold=0.5, base=base)
+    return DD.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_doc_freq=100)
 
 
 def _mh_sql(j: int) -> str:
@@ -6874,15 +6879,21 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join and mandatory stop-shingle cap as ngram_jaccard_docs
     (functions/dedup.py:containment_pairs); only the denominator differs,
     and both ride the identical shared intersection core — suite-cache-
-    shared with ngram_jaccard_docs as the `shingle_base` artifact."""
+    shared with ngram_jaccard_docs as the `shingle_base` artifact when a
+    suite runner enabled the cache; standalone runs keep the original
+    small-output-checkpoint plan."""
     docs = load_table(spark, sf_dir, "documents")
-    base = SC.memo(
-        (sf_dir, "shingle_base", 3, 100),
-        lambda: DD.shingle_intersection_base(
-            docs, n=3, max_shingle_doc_freq=100
-        ),
+    if SC.enabled():
+        base = SC.memo(
+            (sf_dir, "shingle_base", 3, 100),
+            lambda: DD.shingle_intersection_base(
+                docs, n=3, max_shingle_doc_freq=100
+            ),
+        )
+        return DD.containment_pairs(docs, n=3, threshold=0.8, base=base)
+    return DD.containment_pairs(
+        docs, n=3, threshold=0.8, max_shingle_doc_freq=100
     )
-    return DD.containment_pairs(docs, n=3, threshold=0.8, base=base)
 
 
 _SOURCE_SHINGLES_SQL = f"""

@@ -542,3 +542,34 @@ class TestRound9EdgeCases:
         rows = SIM.pca_project(emb, k=2).collect()
         assert len(rows) == 5
         assert all(abs(r.pc0) < 1e-6 and abs(r.pc1) < 1e-6 for r in rows)
+
+    def test_covariance_magnitude_guard_fires(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [4000.0, 0.1]), (1, [1.0, 2.0])],
+            "vec_id: long, embedding: array<float>",
+        )
+        with pytest.raises(Exception) as exc:
+            SIM.covariance_matrix(emb).collect()
+        assert "int64 pair-product range" in str(exc.value)
+
+    def test_density_fine_planes_validation(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(ValueError, match="fine_planes"):
+            SIM.density_outliers(
+                emb, dims=2, n_planes=10, max_bucket=5, fine_planes=4
+            )
+
+    def test_pca_empty_input_raises_named_error(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, None)], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            SIM.pca_project(emb, k=1)
