@@ -1255,3 +1255,60 @@ def adaptive_quality_cut(
         .where(F.col("score6") >= F.col("thr6"))
         .select("source", "doc_id", "score6", "thr6")
     )
+
+
+def quantile_normalize_scores(
+    df: DataFrame,
+    pct_scale: int = 1_000_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source score CALIBRATION: replace each document's raw
+    classifier score with its exact within-source quantile — the move
+    that makes scores comparable across heterogeneous sources before a
+    single global cut (a web crawl and a code dump score on different
+    raw scales; their 90th percentiles mean the same thing).
+
+    ``q6 = cum * pct_scale div n`` where ``cum`` counts the source's
+    documents with score ≤ mine — the empirical CDF in integer fixed
+    point, exact and engine-agnostic.  Rides the same (source, score6)
+    VALUE HISTOGRAM as :func:`adaptive_quality_cut` (shuffle bounded by
+    the score domain, never row count); each document joins its
+    histogram row by (source, score6) — a broadcast of the model-sized
+    histogram.
+
+    Output: (source, doc_id, score6, q6); ties share one quantile (the
+    CDF at their common value).
+    """
+    from .text import QC_CENTER, QC_MOD, quality_classifier
+
+    scored = (
+        df.select(F.col(source_col).alias("source"), "doc_id")
+        .join(quality_classifier(df, text_col), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            F.when(F.col("n_toks") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"((feat_sum + n_toks * {QC_CENTER}) * 1000000)"
+                    f" div (n_toks * {QC_MOD})"
+                )
+            )
+            .alias("score6"),
+        )
+    )
+    hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("val")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    lookup = cum.join(F.broadcast(tot), "source").select(
+        "source",
+        F.col("val").alias("score6"),
+        F.expr(f"cum * {int(pct_scale)} div n").alias("q6"),
+    )
+    return scored.join(
+        F.broadcast(lookup), ["source", "score6"]
+    ).select("source", "doc_id", "score6", "q6")

@@ -310,3 +310,76 @@ def winsorized_stats(
             F.sum(F.col("cnt") * F.col("val")).alias("raw_sum"),
         )
     )
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    key_col: str,
+    fold_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD target encoding: each row's category
+    (``key_col``) is replaced by the mean target over all OTHER folds'
+    rows of that category — the standard tabular-feature construction
+    where using the row's own fold would leak its label into its
+    feature (the feature-side complement of
+    curation.leakage_safe_split).
+
+    ``enc = (sum_key - sum_key_fold) div (n_key - n_key_fold)`` in
+    integer truncating division (targets must be integers — cents, not
+    floats — so both engines agree bit for bit).  A category seen ONLY
+    in the row's own fold has no out-of-fold evidence and falls back to
+    the fold-excluded GLOBAL prior (same formula over all rows), which
+    is how unseen categories are scored at inference time too.
+
+    Scale shape: one (key) and one (key, fold) map-side-combined
+    aggregate joined back on their keys — two keyed shuffles of
+    aggregate tables, never a row-level self-join; the n_folds-row
+    global prior table broadcasts.
+
+    Output: ``df``'s rows + ``enc`` (the fold column is the caller's
+    ``fold_col``, already present) — enc NULL only if a fold held the
+    entire dataset.
+    """
+    if "enc" in df.columns:
+        raise ValueError(
+            "oof_target_encoding: input column 'enc' collides with the"
+            " output column; rename it first"
+        )
+    rows = df.select(
+        "*",
+        F.col(fold_col).alias("_fold"),
+        F.col(val_col).alias("_t"),
+    )
+    by_key = rows.groupBy(key_col).agg(
+        F.sum("_t").alias("_s_all"), F.count("*").alias("_n_all")
+    )
+    by_key_fold = rows.groupBy(key_col, "_fold").agg(
+        F.sum("_t").alias("_s_f"), F.count("*").alias("_n_f")
+    )
+    g_all = rows.agg(F.sum("_t").alias("_gs"), F.count("*").alias("_gn"))
+    g_fold = rows.groupBy("_fold").agg(
+        F.sum("_t").alias("_gs_f"), F.count("*").alias("_gn_f")
+    )
+    prior = g_fold.crossJoin(F.broadcast(g_all)).select(
+        "_fold",
+        F.when(
+            F.col("_gn") > F.col("_gn_f"),
+            F.expr("(_gs - _gs_f) div (_gn - _gn_f)"),
+        ).alias("_prior"),
+    )
+    return (
+        rows.join(by_key, key_col)
+        .join(by_key_fold, [key_col, "_fold"])
+        .join(F.broadcast(prior), "_fold")
+        .select(
+            *df.columns,
+            F.coalesce(
+                F.when(
+                    F.col("_n_all") > F.col("_n_f"),
+                    F.expr("(_s_all - _s_f) div (_n_all - _n_f)"),
+                ),
+                F.col("_prior"),
+            ).alias("enc"),
+        )
+    )

@@ -7538,6 +7538,115 @@ def embedding_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_quantile_norm_docs",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_transform({_TOKENS_SQL}, x -> lower(x)))
+                   AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    f AS (
+        SELECT doc_id,
+               ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096)
+                * 2654435761 + 40503) % 1000003 - 501001 AS w
+        FROM tok
+    ),
+    a AS (
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(w) AS BIGINT) AS feat_sum
+        FROM f GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.source, d.doc_id,
+               CASE WHEN COALESCE(a.n_toks, 0) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(((a.feat_sum + a.n_toks * 501001) * 1000000)
+                              // (a.n_toks * 1000003) AS BIGINT) END
+                   AS score6
+        FROM documents d LEFT JOIN a USING (doc_id)
+    ),
+    hist AS (SELECT source, score6 AS val, COUNT(*) AS cnt
+             FROM scored GROUP BY 1, 2),
+    cum AS (
+        SELECT source, val,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY val) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n
+        FROM hist
+    )
+    SELECT s.source, s.doc_id, s.score6,
+           CAST(c.cum * 1000000 // c.n AS BIGINT) AS q6
+    FROM scored s JOIN cum c ON c.source = s.source AND c.val = s.score6
+    """,
+)
+def quality_quantile_norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration
+    (functions/curation.py:quantile_normalize_scores): each document's
+    classifier score replaced by its exact within-source quantile (the
+    empirical CDF in 1e-6 fixed point) — a web crawl and a code dump
+    score on different raw scales; their 90th percentiles mean the same
+    thing, so a single global cut becomes meaningful.  Rides the same
+    (source, score6) value histogram as the adaptive gate; the
+    model-sized quantile lookup broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CUR.quantile_normalize_scores(docs)
+
+
+@register(
+    "events_oof_target_encoding",
+    """
+    WITH rows_ AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100) AS BIGINT) AS target,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 5 AS fold_id
+        FROM events
+    ),
+    bk AS (SELECT user_id, SUM(target) AS s_all, COUNT(*) AS n_all
+           FROM rows_ GROUP BY 1),
+    bkf AS (SELECT user_id, fold_id, SUM(target) AS s_f, COUNT(*) AS n_f
+            FROM rows_ GROUP BY 1, 2),
+    g AS (SELECT SUM(target) AS gs, COUNT(*) AS gn FROM rows_),
+    gf AS (SELECT fold_id, SUM(target) AS gs_f, COUNT(*) AS gn_f
+           FROM rows_ GROUP BY 1),
+    prior AS (
+        SELECT gf.fold_id,
+               CASE WHEN g.gn > gf.gn_f
+                    THEN (g.gs - gf.gs_f) // (g.gn - gf.gn_f) END AS p
+        FROM gf, g
+    )
+    SELECT r.event_id, r.user_id, r.target, r.fold_id,
+           CAST(COALESCE(
+               CASE WHEN bk.n_all > bkf.n_f
+                    THEN (bk.s_all - bkf.s_f) // (bk.n_all - bkf.n_f) END,
+               prior.p) AS BIGINT) AS enc
+    FROM rows_ r
+    JOIN bk USING (user_id)
+    JOIN bkf ON bkf.user_id = r.user_id AND bkf.fold_id = r.fold_id
+    JOIN prior ON prior.fold_id = r.fold_id
+    """,
+)
+def events_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding
+    (functions/stats.py:oof_target_encoding): each event's user_id
+    category encoded as the mean target (cents) over that user's rows
+    in all OTHER folds — using the row's own fold would leak its label
+    into its feature; categories seen only in the row's fold fall back
+    to the fold-excluded global prior (how unseen categories score at
+    inference).  Two map-side-combined aggregates joined back on their
+    keys; the 5-row prior table broadcasts.  The feature-side complement
+    of leakage_safe_split_docs."""
+    from ..functions.dedup import _md5_int63
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("target"),
+        (_md5_int63(F.col("event_id").cast("string")) % 5).alias("fold_id"),
+    )
+    return ST.oof_target_encoding(rows, "user_id", "fold_id", "target")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -7568,7 +7677,6 @@ _DRIVER_FIRST = [
     # rotate out to make room)
     "bpe_merges_docs",
     "bpe_encode_docs",
-    "pmi_bigrams_wide_docs",
     "dsir_weights_wide_docs",
     "duplicate_spans_docs",
     # round-9 part 3 (never driver-gated): vector-distribution drift
@@ -7614,10 +7722,19 @@ _DRIVER_FIRST = [
     # rotate out to make room)
     "orders_cdc_apply",
     "events_incident_overlap_join",
-    # exact order statistics (new this round; never driver-gated)
+    # exact order statistics (new round 6; events_value_percentiles —
+    # driver-green r6, its family still in-window via
+    # events_value_outliers + lineitem_winsorized_price — rotates out
+    # for the round-9 part-4 additions below)
     "events_value_outliers",
-    "events_value_percentiles",
     "lineitem_winsorized_price",
+    # round-9 part 4 (never driver-gated): cross-source quantile
+    # calibration and leakage-safe out-of-fold target encoding
+    # (pmi_bigrams_wide_docs — driver-green r6, the wide-decimal family
+    # still in-window via dsir_weights_wide_docs + chi2_bigrams_docs —
+    # rotates out; stays registered and replica-checked)
+    "quality_quantile_norm_docs",
+    "events_oof_target_encoding",
     # changed semantics this round (hub-term cap in the blocking, oracle
     # mirrored) — back in the window for a fresh driver row on the new
     # definition

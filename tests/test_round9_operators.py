@@ -573,3 +573,86 @@ class TestRound9EdgeCases:
         )
         with pytest.raises(ValueError, match="no non-null vectors"):
             SIM.pca_project(emb, k=1)
+
+
+class TestQuantileNormalize:
+    def test_quantiles_match_empirical_cdf(self, spark):
+        rows = [
+            (i, " ".join(f"w{j}{i % 4}" for j in range(i % 5 + 1)), f"s{i % 2}")
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id: long, text: string, source: string"
+        )
+        out = CUR.quantile_normalize_scores(docs).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append((r.doc_id, r.score6, r.q6))
+        for source, docs_ in by_src.items():
+            scores = sorted(s for _, s, _ in docs_)
+            n = len(scores)
+            for _, s, q in docs_:
+                cum = sum(1 for x in scores if x <= s)
+                assert q == cum * 1_000_000 // n
+        # every document present exactly once
+        assert sorted(r.doc_id for r in out) == list(range(20))
+
+    def test_max_score_gets_quantile_one(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa bb", "A"), (2, "cc dd ee", "A"), (3, "ff", "A")],
+            "doc_id: long, text: string, source: string",
+        )
+        out = {r.doc_id: (r.score6, r.q6) for r in
+               CUR.quantile_normalize_scores(docs).collect()}
+        top = max(out.values())[0]
+        for doc_id, (s, q) in out.items():
+            if s == top:
+                assert q == 1_000_000
+
+
+class TestOofTargetEncoding:
+    def _rows(self, spark, data):
+        from flink_invoice_processor_spark.functions import stats as ST
+
+        df = spark.createDataFrame(
+            data, "event_id: long, user_id: long, target: long, fold_id: long"
+        )
+        return {
+            r.event_id: r.enc
+            for r in ST.oof_target_encoding(
+                df, "user_id", "fold_id", "target"
+            ).collect()
+        }
+
+    def test_excludes_own_fold(self, spark):
+        # user 1: fold 0 rows target 10, 20; fold 1 row target 100
+        got = self._rows(
+            spark,
+            [(1, 1, 10, 0), (2, 1, 20, 0), (3, 1, 100, 1)],
+        )
+        # rows in fold 0 see only fold 1: enc = 100
+        assert got[1] == 100 and got[2] == 100
+        # row in fold 1 sees folds != 1: enc = (10+20) div 2 = 15
+        assert got[3] == 15
+
+    def test_single_fold_category_falls_back_to_prior(self, spark):
+        # user 7 appears only in fold 0 -> prior over all rows NOT in
+        # fold 0: targets 100, 200 -> 150
+        got = self._rows(
+            spark,
+            [(1, 7, 1, 0), (2, 8, 100, 1), (3, 9, 200, 1)],
+        )
+        assert got[1] == 150
+        # users 8/9 in fold 1, each seen only there -> prior over rows
+        # not in fold 1: target 1 -> 1
+        assert got[2] == 1 and got[3] == 1
+
+    def test_enc_column_collision_raises(self, spark):
+        import pytest
+        from flink_invoice_processor_spark.functions import stats as ST
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 0)], "event_id: long, user_id: long, enc: long, f: long"
+        )
+        with pytest.raises(ValueError, match="enc"):
+            ST.oof_target_encoding(df, "user_id", "f", "enc")

@@ -44,6 +44,11 @@ ALLOWED_SOFT = {
         "1-row bad-op count for the lazy op-domain assert (the diff's"
         " 'new' side is built by apply_changes, which carries the guard)"
     ),
+    "events_oof_target_encoding": (
+        "1-row global-sum aggregate feeding the n_folds-row fold-excluded"
+        " prior table (the fallback for categories seen only in their own"
+        " fold), broadcast back — model-sized by construction"
+    ),
     "events_join_size_estimate": (
         "sketch-sized/1-row model aggregates (two side counts, three"
         " <=k-row KMV min-sets, the match count, the exact-size sum)"

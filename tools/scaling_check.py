@@ -85,6 +85,10 @@ REPRESENTATIVE = [
     "events_join_size_estimate",
     # drift monitoring: two (dim, bin)-keyed aggregates + a grid join
     "embedding_drift_tvd",
+    # round-9 part 4: histogram-bounded quantile calibration and the
+    # two-aggregate out-of-fold encoder
+    "quality_quantile_norm_docs",
+    "events_oof_target_encoding",
 ]
 
 
@@ -129,6 +133,8 @@ DECADE_FAMILIES = [
     "embedding_standardize",
     "events_join_size_estimate",
     "embedding_drift_tvd",
+    "quality_quantile_norm_docs",
+    "events_oof_target_encoding",
 ]
 
 
