@@ -1527,30 +1527,63 @@ def distribution_drift(
     never joined or shuffled against each other.
 
     Output: (dim, n_a, n_b, tvd6, drifted) — one row per dimension.
+
+    Built as ``drift_from_bin_counts(binned_counts(a), binned_counts(b))``
+    — ONE definition of the binning and the TVD algebra, shared with the
+    streaming monitor (streaming/drift_job.py), so batch and maintained
+    answers agree by construction.
     """
-    hi = n_bins - 1
+    return drift_from_bin_counts(
+        binned_counts(a, vec_col, n_bins, lo_micro, bin_micro),
+        binned_counts(b, vec_col, n_bins, lo_micro, bin_micro),
+        n_bins=n_bins,
+        tvd_threshold6=tvd_threshold6,
+    )
 
-    def _binned(side: DataFrame, cname: str) -> DataFrame:
-        ex = side.where(F.col(vec_col).isNotNull()).select(
-            F.posexplode(vec_col).alias("dim", "_x")
-        )
-        bin_ = F.least(
-            F.greatest(
-                F.expr(
-                    f"(CAST(round(CAST(_x AS DOUBLE) * 1000000, 0) AS BIGINT)"
-                    f" - {lo_micro}) div {bin_micro}"
-                ),
-                F.lit(0),
+
+def binned_counts(
+    side: DataFrame,
+    vec_col: str = "embedding",
+    n_bins: int = 12,
+    lo_micro: int = -600_000,
+    bin_micro: int = 100_000,
+) -> DataFrame:
+    """A snapshot's (dim, bin, cnt) micro-unit bin histogram — the
+    mergeable half of the drift monitor (counts merge by SUM per
+    (dim, bin), exactly what the streaming writer maintains).  One
+    posexplode into one map-side-combined aggregate, d·n_bins keys."""
+    ex = side.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("dim", "_x")
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.expr(
+                f"(CAST(round(CAST(_x AS DOUBLE) * 1000000, 0) AS BIGINT)"
+                f" - {lo_micro}) div {bin_micro}"
             ),
-            F.lit(hi),
-        )
-        return (
-            ex.select("dim", bin_.cast("int").alias("bin"))
-            .groupBy("dim", "bin")
-            .agg(F.count("*").alias(cname))
-        )
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        ex.select("dim", bin_.cast("int").alias("bin"))
+        .groupBy("dim", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
 
-    ca, cb = _binned(a, "_ca"), _binned(b, "_cb")
+
+def drift_from_bin_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    n_bins: int = 12,
+    tvd_threshold6: int = 100_000,
+) -> DataFrame:
+    """The TVD drift report from two (dim, bin, cnt) histograms — the
+    serving half of ``distribution_drift``, shared by the batch operator
+    and readers of the streaming monitor's stored tables."""
+    hi = n_bins - 1
+    ca = counts_a.select("dim", "bin", F.col("cnt").alias("_ca"))
+    cb = counts_b.select("dim", "bin", F.col("cnt").alias("_cb"))
     dims = ca.select("dim").union(cb.select("dim")).distinct()
     grid = dims.select(
         "dim",

@@ -104,91 +104,113 @@ def test_replayed_epoch_is_fenced(spark, tmp_path):
 
 
 def test_drift_served_from_maintained_bin_histograms(spark, tmp_path):
-    """The drift monitor is streaming-servable: maintain each snapshot's
-    (dim, bin) counts with the histogram rollup (key=dim, val=bin), then
-    run the TVD tail over the stored tables — equals the batch
+    """The drift monitor is streaming-servable: each snapshot's
+    (dim, bin) histogram is maintained by streaming/drift_job.py (the
+    binned_counts/drift_from_bin_counts halves of the batch operator),
+    and the report over the stored tables equals the batch
     distribution_drift over the raw vectors."""
-    from pyspark.sql import functions as F
-
-    from flink_invoice_processor_spark.streaming.sketch_rollup import (
-        histogram_rollup_writer,
-        read_histogram_table,
+    from flink_invoice_processor_spark.functions import similarity as SIM
+    from flink_invoice_processor_spark.streaming.drift_job import (
+        drift_histogram_writer,
+        drift_report,
+        read_drift_table,
     )
 
     side_a = _vecs(41, 30, d=2) + _vecs(42, 25, d=2)
     side_b = _vecs(43, 20, d=2)
 
-    def binned(df):
-        ex = df.select(F.posexplode("embedding").alias("dim", "_x"))
-        return ex.select(
-            "dim",
-            F.least(
-                F.greatest(
-                    F.expr(
-                        "(CAST(round(CAST(_x AS DOUBLE) * 1000000, 0)"
-                        " AS BIGINT) + 600000) div 100000"
-                    ),
-                    F.lit(0),
-                ),
-                F.lit(11),
-            ).alias("bin"),
-        )
-
-    tables = {}
+    paths = {}
     for name, batches in (("a", [side_a[:30], side_a[30:]]), ("b", [side_b])):
         path = str(tmp_path / f"hist_{name}")
-        w = histogram_rollup_writer(F.col("dim"), F.col("bin"), path)
+        w = drift_histogram_writer(path)
         for i, rows in enumerate(batches):
-            df = spark.createDataFrame(
-                [(r["vec_id"], r["embedding"]) for r in rows], SCHEMA
+            w(
+                spark.createDataFrame(
+                    [(r["vec_id"], r["embedding"]) for r in rows], SCHEMA
+                ),
+                i,
             )
-            w(binned(df), i)
-        tables[name] = read_histogram_table(spark, path)
+        paths[name] = path
 
-    # TVD tail over the MAINTAINED tables (same grid/smoothing algebra)
-    ca = tables["a"].selectExpr("CAST(k AS INT) AS dim", "CAST(val AS INT) AS bin", "cnt AS _ca")
-    cb = tables["b"].selectExpr("CAST(k AS INT) AS dim", "CAST(val AS INT) AS bin", "cnt AS _cb")
-    grid = (
-        ca.select("dim").union(cb.select("dim")).distinct()
-        .select("dim", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("bin"))
+    served = sorted(
+        map(tuple, drift_report(spark, paths["a"], paths["b"]).collect())
     )
-    cells = (
-        grid.join(ca, ["dim", "bin"], "left")
-        .join(cb, ["dim", "bin"], "left")
-        .select(
-            "dim", "bin",
-            F.coalesce("_ca", F.lit(0)).alias("_ca"),
-            F.coalesce("_cb", F.lit(0)).alias("_cb"),
-        )
-    )
-    pd_ = cells.groupBy("dim").agg(
-        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
-    )
-    served = {
-        r.dim: (r.n_a, r.n_b, r.tvd6)
-        for r in cells.join(pd_, "dim")
-        .select(
-            "dim", "n_a", "n_b",
-            F.expr(
-                "abs((_ca + 1) * 1000000 div (n_a + 12)"
-                " - (_cb + 1) * 1000000 div (n_b + 12))"
-            ).alias("_d6"),
-        )
-        .groupBy("dim", "n_a", "n_b")
-        .agg(F.expr("sum(_d6) div 2").alias("tvd6"))
-        .collect()
-    }
-
-    from flink_invoice_processor_spark.functions import similarity as SIM
-
     a_df = spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in side_a], SCHEMA
     )
     b_df = spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in side_b], SCHEMA
     )
-    batch = {
-        r.dim: (r.n_a, r.n_b, r.tvd6)
-        for r in SIM.distribution_drift(a_df, b_df).collect()
-    }
+    batch = sorted(
+        map(tuple, SIM.distribution_drift(a_df, b_df).collect())
+    )
+    assert served == batch
+
+    # stored state is model-sized and a replayed epoch is fenced
+    stored = read_drift_table(spark, paths["a"])
+    assert stored.count() <= 2 * 12
+    before = sorted(map(tuple, stored.collect()))
+    drift_histogram_writer(paths["a"])(a_df, 1)  # replay of batch id 1
+    after = sorted(
+        map(tuple, read_drift_table(spark, paths["a"]).collect())
+    )
+    assert after == before
+
+
+def test_drift_monitor_end_to_end_stream(spark, tmp_path):
+    """Checkpointed Structured Streaming end to end: vectors arrive as
+    files, the drift histogram accrues via foreachBatch, and the served
+    report equals the batch operator."""
+    import json as _json
+
+    from flink_invoice_processor_spark.functions import similarity as SIM
+    from flink_invoice_processor_spark.streaming.drift_job import (
+        drift_histogram_writer,
+        drift_report,
+    )
+
+    src = tmp_path / "in"
+    rows = _vecs(51, 25, d=2)
+    _write(src, "a.jsonl", rows[:10])
+    _write(src, "b.jsonl", rows[10:])
+
+    cur = str(tmp_path / "cur")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(drift_histogram_writer(cur))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = str(tmp_path / "base")
+    baseline_rows = _vecs(52, 40, d=2)
+    drift_histogram_writer(base)(
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in baseline_rows], SCHEMA
+        ),
+        0,
+    )
+    served = sorted(
+        map(tuple, drift_report(spark, base, cur).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            SIM.distribution_drift(
+                spark.createDataFrame(
+                    [(r["vec_id"], r["embedding"]) for r in baseline_rows],
+                    SCHEMA,
+                ),
+                spark.createDataFrame(
+                    [(r["vec_id"], r["embedding"]) for r in rows], SCHEMA
+                ),
+            ).collect(),
+        )
+    )
     assert served == batch
