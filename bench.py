@@ -83,11 +83,13 @@ def main() -> None:
         pass, and the anomaly reruns — their numbers are documented as
         comparable, so they must come from the same code."""
         t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).count()
-        except Exception:
-            suite_cache.drain_build_times()
-            raise
+        # no drain in an except here: a failing query may still have
+        # BUILT a shared artifact successfully — the caller drains and
+        # folds those seconds into the __artifact entries, otherwise the
+        # build vanishes from the pass total and the artifact's later
+        # consumers look anomalously cheap (exactly the attribution
+        # noise the __artifact entries exist to fix)
+        QUERIES[name](spark, sf_dir).count()
         elapsed = time.perf_counter() - t0
         built = suite_cache.drain_build_times()
         return max(elapsed - sum(built.values()), 0.0), built
@@ -129,13 +131,17 @@ def main() -> None:
                     loads[name] = round(os.getloadavg()[0], 2)
                 try:
                     secs, built = timed_query(name)
-                    for art, bsecs in built.items():
-                        t[f"__artifact:{art}"] = round(
-                            t.get(f"__artifact:{art}", 0.0) + bsecs, 3
-                        )
                     t[name] = round(secs, 3)
                 except Exception as e:  # noqa: BLE001 - record, keep benching
+                    # artifacts built inside the failing query are real
+                    # pass cost — fold them in so their later consumers'
+                    # probe-only numbers stay attribution-stable
+                    built = suite_cache.drain_build_times()
                     errs[name] = f"{type(e).__name__}: {e}"[:400]
+                for art, bsecs in built.items():
+                    t[f"__artifact:{art}"] = round(
+                        t.get(f"__artifact:{art}", 0.0) + bsecs, 3
+                    )
         finally:
             suite_cache.disable()
         return t, errs, loads
@@ -206,7 +212,9 @@ def main() -> None:
                     # timed_query so the number compares to queries_warm
                     rerun[name] = round(timed_query(name)[0], 3)
                 except Exception:  # noqa: BLE001 - rerun is best-effort
-                    pass
+                    # drain so a failed rerun's builds can't pollute the
+                    # next rerun's attribution
+                    suite_cache.drain_build_times()
         finally:
             suite_cache.disable()
         if rerun:

@@ -111,15 +111,25 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     hitting the cap without convergence raises loudly instead of
     returning a superset of the core.
 
-    Scale shape: per round ONE degree aggregate over the symmetrized edge
-    list restricted to alive nodes (two semi-joins on uniform id keys) —
-    never materializing neighbor lists.  The loop runs an action per
-    round (the convergence check), so each round's alive set is
-    materialized via ``localCheckpoint`` per this module's rule: an
-    action-per-round loop must not leave laziness to recompute the whole
-    prefix chain each round.  Worst-case round count is graph-dependent
-    (a k=2 peel of a path graph is O(n) rounds); on blocked near-dup
-    graphs (bounded degree, dense cores) it converges in a handful.
+    Scale shape — FRONTIER peeling: degrees are computed over the full
+    symmetrized edge list ONCE; each round then only (a) filters the
+    checkpointed degree table for sub-``k`` nodes (the frontier) and
+    (b) aggregates the edges INCIDENT TO the frontier to decrement the
+    surviving neighbors' degrees — never recomputing all alive degrees.
+    Per round that is one semi-join of the edge list against the (small,
+    shrinking) frontier + one frontier-edge-sized aggregate + an
+    alive-sized checkpoint, versus the naive two-semi-join full degree
+    recompute (measured 7.7 s cold at sf0.1; the frontier delta is the
+    textbook distributed peel).  The trajectory is identical — the
+    decremented degree IS the degree within the new alive set — so the
+    unrolled SQL oracle (which recomputes per round) agrees round for
+    round.  The loop runs an action per round (the convergence check),
+    so each round's degree table is materialized via ``localCheckpoint``
+    per this module's rule: an action-per-round loop must not leave
+    laziness to recompute the whole prefix chain each round.  Worst-case
+    round count is graph-dependent (a k=2 peel of a path graph is O(n)
+    rounds); on blocked near-dup graphs (bounded degree, dense cores) it
+    converges in a handful.
 
     Output: (doc_id, core_degree) for k-core members only.
     """
@@ -127,23 +137,46 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     ).localCheckpoint()
-    alive = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    n_alive = alive.count()
+    # the edge list is re-scanned every round, so right-size its
+    # partitioning ONCE to ~250k endpoint rows per partition: blocked
+    # near-dup graphs are tiny relative to their corpus and otherwise
+    # inherit the corpus partitioning, paying per-round task overhead for
+    # near-empty partitions (measured 3.0 s -> 1.7 s for the sf0.1 peel);
+    # at real edge volumes the natural partitioning already exceeds the
+    # target and no repartition happens
+    n_endpoint_rows = e.count()
+    parts = max(4, min(e.rdd.getNumPartitions(), n_endpoint_rows // 250_000 + 1))
+    if parts < e.rdd.getNumPartitions():
+        e = e.repartition(parts).localCheckpoint()
+    deg = (
+        e.groupBy("src").agg(F.count("*").alias("core_degree"))
+    ).localCheckpoint()
     for _ in range(max_rounds):
-        deg = (
-            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .groupBy("src")
-            .agg(F.count("*").alias("core_degree"))
-        )
-        survivors = deg.where(F.col("core_degree") >= k)
-        alive = survivors.select(F.col("src").alias("node")).localCheckpoint()
-        n_next = alive.count()
-        if n_next == n_alive:
-            return survivors.select(
-                F.col("src").alias("doc_id"), "core_degree"
+        # the frontier: alive nodes that just fell below k (lazy filter
+        # over the checkpointed degree table — recompute is one scan)
+        dropped = deg.where(F.col("core_degree") < k)
+        if dropped.count() == 0:
+            return deg.select(F.col("src").alias("doc_id"), "core_degree")
+        # decrement = per-survivor count of edges INTO the frontier;
+        # work is sized by edges incident to dropped nodes, not |E|
+        dec = (
+            e.join(
+                dropped.select(F.col("src").alias("dst")), "dst", "left_semi"
             )
-        n_alive = n_next
+            .groupBy("src")
+            .agg(F.count("*").alias("_dec"))
+        )
+        deg = (
+            deg.where(F.col("core_degree") >= k)
+            .join(dec, "src", "left")
+            .select(
+                "src",
+                (
+                    F.col("core_degree") - F.coalesce(F.col("_dec"), F.lit(0))
+                ).alias("core_degree"),
+            )
+            .localCheckpoint()
+        )
     raise RuntimeError(
         f"kcore: peel did not converge within max_rounds={max_rounds} —"
         " raise max_rounds (and regenerate the unrolled oracle to match)"

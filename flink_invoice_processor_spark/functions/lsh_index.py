@@ -205,9 +205,9 @@ def compact_lsh_store(
     mid-sweep leaves duplicate rows the probe's DISTINCT tolerates, and
     a re-run finishes the sweep).  Returns the number of increments
     folded."""
-    import glob
     import os
-    import shutil
+
+    from .fsops import delete_matching_dirs
 
     if meta is None:
         meta = read_store_meta(spark, store_path)
@@ -229,9 +229,12 @@ def compact_lsh_store(
         .partitionBy("band_bucket", "batch")
         .parquet(store_path)
     )
+    # retire the folded increments through the Hadoop FS API — the writes
+    # above resolve the filesystem from the path scheme, and the cleanup
+    # must too (a local glob/shutil sweep silently no-ops on HDFS/S3 and
+    # the store grows forever)
     for b in todo:
-        for d in glob.glob(
-            os.path.join(store_path, "band_bucket=*", f"batch={b}")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+        delete_matching_dirs(
+            spark, os.path.join(store_path, "band_bucket=*", f"batch={b}")
+        )
     return len(todo)

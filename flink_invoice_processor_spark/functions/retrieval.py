@@ -280,9 +280,9 @@ def compact_trigram_index(
     duplicate scan cost, never wrong results, healed by the next
     compaction.  ``run_trigram_index_job(compact_every=N)`` applies
     this contract from inside the maintainer."""
-    import glob
     import os
-    import shutil
+
+    from .fsops import delete_matching_dirs
 
     if meta is None:
         meta = _read_index_meta(spark, index_path)
@@ -306,11 +306,14 @@ def compact_trigram_index(
         .partitionBy("tri_bucket", "batch")
         .parquet(index_path)
     )
+    # retire the folded increments through the Hadoop FS API — the writes
+    # above resolve the filesystem from the path scheme, and the cleanup
+    # must too (a local glob/shutil sweep silently no-ops on HDFS/S3 and
+    # the index grows forever)
     for b in todo:
-        for d in glob.glob(
-            os.path.join(index_path, "tri_bucket=*", f"batch={b}")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+        delete_matching_dirs(
+            spark, os.path.join(index_path, "tri_bucket=*", f"batch={b}")
+        )
     return len(todo)
 
 

@@ -298,6 +298,28 @@ def neardup_pairs_lsh(
     )
 
 
+#: key-space offset between blocking levels — level i's keys live in
+#: [i * _LEVEL_OFFSET, i * _LEVEL_OFFSET + 2^planes_i), so ladders up to
+#: 48 planes can never collide across levels.
+_LEVEL_OFFSET = 1 << 48
+
+
+def density_ladder(n: int, max_bucket: int, n_planes: int = 4,
+                   step: int = 6, cap: int = 46) -> tuple[int, ...]:
+    """Derive a blocking-level ladder from the corpus size: starting at
+    ``n_planes``, add ``step`` planes per level until the top level has at
+    least ``n / max_bucket`` buckets (expected bucket size <= max_bucket),
+    with at least two levels so oversized coarse buckets always have an
+    escape.  Pure integer rule — deterministic across engines and
+    mirrorable in SQL (no IEEE log2)."""
+    levels = [n_planes]
+    while (
+        len(levels) < 2 or (1 << levels[-1]) * max_bucket < n
+    ) and levels[-1] < cap:
+        levels.append(min(levels[-1] + step, cap))
+    return tuple(levels)
+
+
 def density_outliers(
     emb: DataFrame,
     dims: int,
@@ -308,6 +330,7 @@ def density_outliers(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     fine_planes: int = 10,
+    levels: tuple[int, ...] | str | None = None,
 ) -> DataFrame:
     """Embedding-density outliers: vectors with fewer than ``min_neighbors``
     cosine-≥-threshold neighbors inside their LSH signature bucket — the
@@ -322,24 +345,35 @@ def density_outliers(
     coalesced zero — those zero-neighbor rows are the strongest outliers
     and a join that dropped them would silently miss the whole point.
 
-    Scale — ADAPTIVE blocking (``max_bucket``): with a fixed plane count
-    the bucket count is fixed, so bucket population grows linearly with
-    the corpus and the in-bucket product grows QUADRATICALLY (measured:
-    4-plane steady ratio 6.8× at 4× vectors, SCALING_r07).  When
-    ``max_bucket`` is set, coarse buckets larger than it re-block on the
-    ``fine_planes``-bit signature (the SAME md5 plane family — the fine
-    signature's low bits ARE the coarse signature, so fine buckets
-    subdivide their coarse bucket).  Neighbor counting is then
-    bucket-LOCAL at whichever level applies — the documented semantics
-    of this estimator, mirrored exactly by the SQL oracle (the level
-    decision is a deterministic CASE on the coarse-bucket count).  For
-    corpora where even fine buckets exceed the cap, raise
-    ``fine_planes`` ~log2(n) — the residual contract is the stop-shingle
-    cap's.  ``max_bucket=None`` keeps the single-level legacy behavior.
+    Scale — CASCADING adaptive blocking (``max_bucket`` + ``levels``):
+    with a fixed plane count the bucket count is fixed, so bucket
+    population grows linearly with the corpus and the in-bucket product
+    grows QUADRATICALLY (measured: 4-plane steady ratio 6.8× at 4×
+    vectors, then a 5.77× decade BUILD ratio for the two-level variant,
+    SCALING_r07).  With ``max_bucket`` set, any bucket larger than it
+    re-blocks on the next level's signature, recursively down the
+    ``levels`` ladder — all levels share ONE md5 plane family, so a
+    level-``L`` signature is just the low ``L`` bits of the top-level
+    signature (one signature computed per row, levels derived by modulo)
+    and each level's buckets subdivide the previous level's.  Every
+    non-final bucket used for neighbor counting is therefore <=
+    ``max_bucket`` BY CONSTRUCTION — the in-bucket pair product is
+    linear in the corpus, not quadratic, however skewed the data —
+    and only the final level can exceed the cap (exact-duplicate
+    clusters, which no hyperplane family can split).  The level decision
+    is a deterministic CASE over per-level bucket censuses (tiny
+    broadcast aggregates), mirrored exactly by the SQL oracle.
+
+    ``levels``: explicit plane-count ladder (strictly increasing, first
+    entry = ``n_planes``); ``"auto"`` derives it from ``nn.count()`` via
+    :func:`density_ladder` — no human knob at any corpus size (one extra
+    count action at build).  ``None`` keeps the legacy two-level
+    ``(n_planes, fine_planes)`` ladder.  ``max_bucket=None`` keeps the
+    single-level legacy behavior.
     Output: (vec_id, n_neighbors < min_neighbors).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
-    if max_bucket is not None and fine_planes < n_planes:
+    if max_bucket is not None and levels is None and fine_planes < n_planes:
         raise ValueError(
             "density_outliers: fine_planes must be >= n_planes (fine"
             " buckets subdivide coarse buckets, and the level-key offset"
@@ -353,22 +387,58 @@ def density_outliers(
             lsh_signature(F.col(vec_col), dims, n_planes).alias("_sig"),
         )
     else:
-        two = nn.select(
+        if levels == "auto":
+            levels = density_ladder(nn.count(), max_bucket, n_planes)
+        elif levels is None:
+            levels = (n_planes, fine_planes)
+        levels = tuple(levels)
+        if levels[0] != n_planes or any(
+            b <= a for a, b in zip(levels, levels[1:])
+        ):
+            raise ValueError(
+                "density_outliers: levels must be strictly increasing and"
+                f" start at n_planes={n_planes}; got {levels}"
+            )
+        if levels[-1] >= 48:
+            raise ValueError(
+                f"density_outliers: top level {levels[-1]} >= 48 planes"
+                " collides with the level-key offset"
+            )
+        # ONE top-level signature per row; level-L signature = low L bits
+        df = nn.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_v"),
-            lsh_signature(F.col(vec_col), dims, n_planes).alias("_sc"),
-            lsh_signature(F.col(vec_col), dims, fine_planes).alias("_sf"),
+            lsh_signature(F.col(vec_col), dims, levels[-1]).alias("_st"),
         )
-        csize = two.groupBy("_sc").agg(F.count("*").alias("_cn"))
-        # fine keys are offset past every coarse key (sig_c < 2^n_planes
-        # <= 2^fine_planes), so the two levels can never collide
-        sig = two.join(F.broadcast(csize), "_sc").select(
-            "vec_id",
-            "_v",
-            F.when(F.col("_cn") <= max_bucket, F.col("_sc"))
-            .otherwise(F.lit(1 << fine_planes) + F.col("_sf"))
-            .alias("_sig"),
-        )
+        for i, pl in enumerate(levels):
+            df = df.withColumn(
+                f"_s{i}",
+                F.col("_st") % F.lit(1 << pl) if pl < levels[-1]
+                else F.col("_st"),
+            )
+        # per-level bucket census among rows escalated past all previous
+        # levels; censuses are <= 2^planes rows -> broadcast
+        for i in range(len(levels) - 1):
+            esc = F.lit(True)
+            for j in range(i):
+                esc = esc & (F.col(f"_cn{j}") > max_bucket)
+            census = (
+                df.where(esc)
+                .groupBy(f"_s{i}")
+                .agg(F.count("*").alias(f"_cn{i}"))
+            )
+            df = df.join(F.broadcast(census), f"_s{i}", "left")
+        # first level whose bucket fits the cap wins; the final level is
+        # the unconditional fallback
+        key = None
+        for i in range(len(levels) - 1):
+            arm = F.lit(i * _LEVEL_OFFSET) + F.col(f"_s{i}")
+            cond = F.col(f"_cn{i}") <= max_bucket
+            key = F.when(cond, arm) if key is None else key.when(cond, arm)
+        last = len(levels) - 1
+        fallback = F.lit(last * _LEVEL_OFFSET) + F.col(f"_s{last}")
+        key = fallback if key is None else key.otherwise(fallback)
+        sig = df.select("vec_id", "_v", key.alias("_sig"))
     a = sig.alias("a")
     b = sig.alias("b")
     neigh = (
@@ -409,10 +479,14 @@ def dim_stats(
 
     Scale shape: one posexplode (rows × dims) into ONE map-side-combinable
     aggregate keyed by dimension — dims keys, no skew (every key has
-    exactly n rows); output is dims rows.  Intermediates are proven under
-    1e38 for n ≤ 1e12 vectors of O(1)-magnitude values; the bound fails
-    LOUDLY via a division-only assert on the dims-row aggregate, not per
-    input row.
+    exactly n rows); output is dims rows.  BOTH bounds fail LOUDLY: the
+    1e12-vector count bound via a division-only assert on the dims-row
+    aggregate, and the value-magnitude bound via the same per-element
+    |q| <= 3e9 assert :func:`vector_stat_partials` uses — the two paths
+    are pytest-pinned identical and must FAIL identically too (the
+    micro-quantization cast saturates and the DECIMAL square would
+    otherwise silently diverge from the oracle's HUGEINT for
+    |value| > ~3000).
 
     Output: (dim, n_vals, mean_micro, var_e12, min_micro, max_micro,
     is_dead) — ``var_e12`` is the population variance in 1e-12 units;
@@ -426,6 +500,18 @@ def dim_stats(
             F.expr(
                 "CAST(round(CAST(_v AS DOUBLE) * 1000000, 0) AS BIGINT)"
             ).alias("_vi"),
+        )
+        .where(
+            F.assert_true(
+                F.abs(F.col("_vi")) <= F.lit(3_000_000_000),
+                F.lit(
+                    "dim_stats: quantized magnitude exceeds the int64"
+                    " pair-product range (|value| > 3000) — normalize the"
+                    " vectors first (standardize); bound shared with"
+                    " vector_stat_partials so the batch and maintained"
+                    " paths fail identically"
+                ),
+            ).isNull()
         )
     )
     agg = ex.groupBy("dim").agg(

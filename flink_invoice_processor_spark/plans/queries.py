@@ -6945,15 +6945,28 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS (
         SELECT vec_id, embedding AS v,
-               {_lsh_sig_sql("embedding", 4, 64)} AS sc,
-               {_lsh_sig_sql("embedding", 10, 64)} AS sf
+               {_lsh_sig_sql("embedding", 22, 64)} AS st
         FROM embeddings WHERE embedding IS NOT NULL
     ),
-    cs AS (SELECT sc, COUNT(*) AS cn FROM sig GROUP BY 1),
+    lv AS (
+        SELECT vec_id, v, st % 16 AS s0, st % 1024 AS s1,
+               st % 65536 AS s2, st AS s3
+        FROM sig
+    ),
+    c0 AS (SELECT s0, COUNT(*) AS n0 FROM lv GROUP BY 1),
+    e0 AS (SELECT lv.*, c0.n0 FROM lv JOIN c0 USING (s0)),
+    c1 AS (SELECT s1, COUNT(*) AS n1 FROM e0 WHERE n0 > 25 GROUP BY 1),
+    e1 AS (SELECT e0.*, c1.n1 FROM e0 LEFT JOIN c1 USING (s1)),
+    c2 AS (SELECT s2, COUNT(*) AS n2 FROM e1
+           WHERE n0 > 25 AND n1 > 25 GROUP BY 1),
+    e2 AS (SELECT e1.*, c2.n2 FROM e1 LEFT JOIN c2 USING (s2)),
     keyed AS (
-        SELECT g.vec_id, g.v,
-               CASE WHEN c.cn <= 25 THEN g.sc ELSE 1024 + g.sf END AS s
-        FROM sig g JOIN cs c USING (sc)
+        SELECT vec_id, v,
+               CASE WHEN n0 <= 25 THEN s0
+                    WHEN n1 <= 25 THEN 281474976710656 + s1
+                    WHEN n2 <= 25 THEN 562949953421312 + s2
+                    ELSE 844424930131968 + s3 END AS s
+        FROM e2
     ),
     neigh AS (
         SELECT a.vec_id, COUNT(*) AS n_neighbors
@@ -6972,20 +6985,26 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-density outliers: vectors with < 2 cosine-≥0.2 neighbors
-    in their ADAPTIVE LSH bucket — the low-density points a curation
-    pipeline drops or audits, the inverse of near-dup detection
-    (functions/similarity.py:density_outliers).  Coarse 4-plane buckets
-    larger than 25 members re-block on the 10-plane signature (same md5
-    plane family, so fine buckets subdivide their coarse bucket) — with
-    fixed planes the in-bucket product grows quadratically with the
-    corpus (measured 6.8× steady at 4× vectors before this fix,
-    SCALING_r07).  Zero-neighbor vectors re-enter via the left join
-    (they are the strongest outliers); the hyperplanes, dot-sum order,
-    and the CASE level decision are exact literals the oracle pins."""
+    in their CASCADING-adaptive LSH bucket — the low-density points a
+    curation pipeline drops or audits, the inverse of near-dup detection
+    (functions/similarity.py:density_outliers).  Any bucket larger than
+    25 members re-blocks on the next level of the (4, 10, 16, 22)-plane
+    ladder — one md5 plane family, each level the low bits of one
+    top-level signature, so every non-final neighbor-counting bucket is
+    <= 25 BY CONSTRUCTION and the in-bucket pair product stays linear in
+    the corpus (the fixed two-level variant measured a 5.77× decade
+    BUILD ratio, SCALING_r07; a single fixed level measured 6.8× steady
+    at 4× vectors).  The fixed ladder covers 25·2^22 ≈ 10^8 vectors;
+    ``levels="auto"`` (functions/similarity.py:density_ladder) derives
+    an arbitrarily deep ladder from the corpus count with no human knob
+    — pytest-pinned equal to explicit ladders.  Zero-neighbor vectors
+    re-enter via the left join (they are the strongest outliers); the
+    hyperplanes, dot-sum order, the per-level censuses, and the CASE
+    level decision are exact literals the oracle pins."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.density_outliers(
         emb, dims=64, threshold=0.2, n_planes=4, min_neighbors=2,
-        max_bucket=25, fine_planes=10,
+        max_bucket=25, levels=(4, 10, 16, 22),
     )
 
 

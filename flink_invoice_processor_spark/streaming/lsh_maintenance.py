@@ -57,6 +57,23 @@ def lsh_micro_batch(
     )
 
 
+def init_pairs_table(spark, pairs_path: str) -> None:
+    """Make ``pairs_path`` readable from epoch zero: land a zero-row
+    schema-bearing file under a ``batch=-2`` sentinel partition (mode
+    ``ignore`` — a restart never touches an existing table).  Without
+    this, epochs that are empty or surface no candidate pairs write
+    nothing (dynamic overwrite of zero partitions), so the table would
+    not EXIST until the first pair-producing epoch and every reader in
+    the interim would die on path-not-found.  The sentinel partition
+    holds no rows, so no query's answer changes; dynamic overwrites only
+    ever rewrite their own ``batch=epoch`` partition and never touch
+    it."""
+    empty = spark.createDataFrame(
+        [], "doc_id_a long, doc_id_b long, n_shared_bands long"
+    ).repartition(1)
+    empty.write.mode("ignore").parquet(pairs_path.rstrip("/") + "/batch=-2")
+
+
 def run_lsh_dedup_job(
     docs: DataFrame,
     store_path: str,
@@ -69,12 +86,15 @@ def run_lsh_dedup_job(
     DataFrame (doc_id LONG, text STRING).  The store at ``store_path``
     must exist (``build_lsh_store`` — its ``_store_meta`` pins
     k/bands/n/n_buckets/text_col so the stream can never drift from the
-    bootstrap layout); the meta is read ONCE here.
+    bootstrap layout); the meta is read ONCE here.  The pairs table is
+    initialized empty-but-readable before the stream starts
+    (:func:`init_pairs_table`).
 
     ``compact_every=N`` folds committed increments (epochs
     ``<= epoch-1``) into the base every N epochs; the current epoch's
     increment is never compacted, so crash-replay stays idempotent."""
     meta = read_store_meta(docs.sparkSession, store_path)
+    init_pairs_table(docs.sparkSession, pairs_path)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         lsh_micro_batch(batch_df, epoch_id, store_path, pairs_path, meta=meta)

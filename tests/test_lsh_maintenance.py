@@ -13,7 +13,7 @@ import json
 import os
 import time
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from flink_invoice_processor_spark.functions import dedup as DD
 from flink_invoice_processor_spark.functions import lsh_index as LX
@@ -180,3 +180,34 @@ def test_streaming_job_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(pairs_path).collect()
     }
     assert emitted == _batch_pairs(spark)
+
+
+def test_init_pairs_table_readable_before_first_pair(spark, tmp_path):
+    """An empty or pair-less prefix of epochs must not leave the pairs
+    table unreadable: init lands a zero-row schema-bearing sentinel
+    partition, later epoch writes coexist with it, and re-init (restart)
+    never touches an existing table."""
+    from flink_invoice_processor_spark.streaming.lsh_maintenance import (
+        init_pairs_table,
+    )
+
+    pairs_path = str(tmp_path / "pairs")
+    init_pairs_table(spark, pairs_path)
+    first = spark.read.parquet(pairs_path)
+    assert first.count() == 0
+    assert set(first.columns) == {
+        "doc_id_a", "doc_id_b", "n_shared_bands", "batch",
+    }
+    # a later epoch's dynamic overwrite coexists with the sentinel
+    spark.createDataFrame(
+        [(1, 2, 3)], "doc_id_a long, doc_id_b long, n_shared_bands long"
+    ).withColumn("batch", F.lit(5)).coalesce(1).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch"
+    ).parquet(pairs_path)
+    # re-init after restart is a no-op: the epoch-5 row survives
+    init_pairs_table(spark, pairs_path)
+    after = spark.read.parquet(pairs_path)
+    assert after.where("batch = 5").count() == 1
+    assert after.count() == 1

@@ -1,0 +1,170 @@
+"""Round-8 build: cascading density-outlier blocking and the auto ladder.
+
+The quadratic hazard this guards: any FIXED plane count gives a fixed
+bucket count, so buckets fill linearly with the corpus and the in-bucket
+pair product grows quadratically (SCALING_r07 measured 5.77x decade
+build for the two-level variant).  The cascade re-blocks every oversized
+bucket on the next ladder level, so every non-final bucket is bounded by
+max_bucket BY CONSTRUCTION.
+"""
+
+from __future__ import annotations
+
+import flink_invoice_processor_spark.functions.similarity as SIM
+
+
+class TestDensityLadder:
+    def test_ladder_grows_with_corpus(self):
+        # 2 levels minimum even for tiny corpora
+        assert SIM.density_ladder(100, 25) == (4, 10)
+        # expected bucket size <= max_bucket at the top level
+        assert SIM.density_ladder(25 * (1 << 10), 25) == (4, 10)
+        assert SIM.density_ladder(25 * (1 << 10) + 1, 25) == (4, 10, 16)
+        assert SIM.density_ladder(25 * (1 << 22) + 1, 25) == (4, 10, 16, 22, 28)
+        # 100 TB of 64-dim float32 vectors ~ 4e11 rows: still capped < 48
+        lad = SIM.density_ladder(400_000_000_000, 25)
+        assert lad[-1] < 48 and (1 << lad[-1]) * 25 >= 400_000_000_000
+
+    def test_ladder_is_strictly_increasing_and_capped(self):
+        lad = SIM.density_ladder(10**18, 25)
+        assert all(b > a for a, b in zip(lad, lad[1:]))
+        assert lad[-1] == 46
+
+
+class TestDensityCascade:
+    def test_cascade_matches_two_level_when_fine_fits(self, spark):
+        """With no 10-plane bucket over the cap, the 4-level ladder's
+        deeper levels are no-ops and it must equal the legacy two-level
+        answer bit for bit."""
+        import numpy as np
+
+        rng = np.random.RandomState(41)
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(
+                rng.uniform(-0.5, 0.5, size=(60, 8)).astype(np.float32)
+            )
+        ]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        legacy = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=8, threshold=0.2, n_planes=4, min_neighbors=2,
+                    max_bucket=10, fine_planes=10,
+                ).collect(),
+            )
+        )
+        cascade = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=8, threshold=0.2, n_planes=4, min_neighbors=2,
+                    max_bucket=10, levels=(4, 10, 16, 22),
+                ).collect(),
+            )
+        )
+        assert cascade == legacy
+
+    def test_auto_levels_match_explicit_ladder(self, spark):
+        """levels="auto" derives the same ladder density_ladder gives for
+        the corpus count, so the answers are identical."""
+        import numpy as np
+
+        rng = np.random.RandomState(43)
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(
+                rng.uniform(-0.5, 0.5, size=(50, 8)).astype(np.float32)
+            )
+        ]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        explicit = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=8, threshold=0.2, n_planes=4, min_neighbors=2,
+                    max_bucket=5, levels=SIM.density_ladder(50, 5),
+                ).collect(),
+            )
+        )
+        auto = sorted(
+            map(
+                tuple,
+                SIM.density_outliers(
+                    emb, dims=8, threshold=0.2, n_planes=4, min_neighbors=2,
+                    max_bucket=5, levels="auto",
+                ).collect(),
+            )
+        )
+        assert auto == explicit
+
+    def test_duplicate_cluster_survives_every_level(self, spark):
+        """Exact duplicates share all signature bits, so they ride the
+        cascade to the final level TOGETHER — neighbors are never split
+        away, only the block around them shrinks."""
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [(i, base) for i in range(30)] + [(100, [0.0, 1.0, 0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        out = {
+            r.vec_id: r.n_neighbors
+            for r in SIM.density_outliers(
+                emb, dims=4, threshold=0.3, n_planes=4, min_neighbors=2,
+                max_bucket=5, levels=(4, 10, 16, 22),
+            ).collect()
+        }
+        # the 30 duplicates end in one final-level bucket with 29
+        # neighbors each -> not flagged; the orthogonal vector is flagged
+        assert set(out) == {100}
+        assert out[100] == 0
+
+    def test_levels_validation(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(ValueError, match="strictly increasing"):
+            SIM.density_outliers(
+                emb, dims=2, n_planes=4, max_bucket=5, levels=(4, 4, 10)
+            )
+        with pytest.raises(ValueError, match="start at n_planes"):
+            SIM.density_outliers(
+                emb, dims=2, n_planes=4, max_bucket=5, levels=(6, 10)
+            )
+        with pytest.raises(ValueError, match="48 planes"):
+            SIM.density_outliers(
+                emb, dims=2, n_planes=4, max_bucket=5, levels=(4, 50)
+            )
+
+
+class TestKcoreFrontierPeel:
+    def test_multi_round_peel_matches_definition(self, spark):
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        # path 1-2-3-4-5 plus a triangle 6-7-8 hanging off 5 via 6:
+        # k=2 peels the path ends round by round (multi-round frontier),
+        # leaving exactly the triangle with degree 2 each
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (6, 8), (7, 8)],
+            "a: long, b: long",
+        )
+        out = {r.doc_id: r.core_degree for r in GR.kcore(edges, k=2).collect()}
+        assert out == {6: 2, 7: 2, 8: 2}
+
+    def test_whole_graph_is_core(self, spark):
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        # K4: every node degree 3, nothing peels, returns in round 1
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+            "a: long, b: long",
+        )
+        out = {r.doc_id: r.core_degree for r in GR.kcore(edges, k=3).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_everything_peels_to_empty(self, spark):
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
+        assert GR.kcore(edges, k=3).count() == 0
