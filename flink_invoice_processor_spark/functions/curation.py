@@ -1202,9 +1202,36 @@ def adaptive_quality_cut(
 
     Output: (source, doc_id, score6, thr6) for kept documents only.
     """
+    scored = classifier_score6(df, text_col=text_col, source_col=source_col)
+    hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    thr = threshold_from_histogram(hist, pct=pct)
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("score6") >= F.col("thr6"))
+        .select("source", "doc_id", "score6", "thr6")
+    )
+
+
+def classifier_score6(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, doc_id, score6): the nonnegative integer fixed-point of
+    the hashed-bag linear classifier — ``score6 = (feat_sum +
+    n_toks*QC_CENTER) * 1e6 div (n_toks*QC_MOD)`` ∈ [0, ~1e6], empty
+    documents 0.  THE single scoring definition: the batch gate
+    (:func:`adaptive_quality_cut`), the quantile calibrator
+    (:func:`quantile_normalize_scores`), and the streaming curation
+    job's maintained histogram (``streaming/curation_job.py``) all call
+    this, so their scores agree by construction.  Fails loudly on
+    documents whose token count would overflow the int64 fixed-point
+    product (n_toks > 9e6)."""
     from .text import QC_CENTER, QC_MOD, quality_classifier
 
-    scored = (
+    return (
         df.select(F.col(source_col).alias("source"), "doc_id")
         .join(quality_classifier(df, text_col), "doc_id")
         .withColumn(
@@ -1212,7 +1239,7 @@ def adaptive_quality_cut(
             F.assert_true(
                 F.col("n_toks") <= F.lit(9_000_000),
                 F.lit(
-                    "adaptive_quality_cut: score6 int64 arithmetic is only"
+                    "classifier_score6: score6 int64 arithmetic is only"
                     " proven to 9e6 tokens per document — chunk longer"
                     " documents first (chunk_documents)"
                 ),
@@ -1232,13 +1259,22 @@ def adaptive_quality_cut(
             .alias("score6"),
         )
     )
-    hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
-        F.count("*").alias("cnt")
-    )
+
+
+def threshold_from_histogram(hist: DataFrame, pct: int = 75) -> DataFrame:
+    """(source, thr6) from a (source, val, cnt) VALUE HISTOGRAM: the
+    exact ``pct``-th-percentile rank selection ``thr6 = MIN(val WHERE
+    cum >= ceil(pct*n/100))``.  THE single threshold definition — the
+    batch gate computes its histogram inline, the streaming job serves
+    the SAME selection from the maintained histogram rollup
+    (``streaming/sketch_rollup.histogram_rollup_writer``), so the two
+    gates agree bit for bit over identical ingested data.  The window
+    runs over histogram rows (bounded by the score domain), never the
+    corpus."""
     w = Window.partitionBy("source").orderBy("val")
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
     tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
-    thr = (
+    return (
         cum.join(F.broadcast(tot), "source")
         .groupBy("source")
         .agg(
@@ -1249,11 +1285,6 @@ def adaptive_quality_cut(
                 )
             ).alias("thr6")
         )
-    )
-    return (
-        scored.join(F.broadcast(thr), "source")
-        .where(F.col("score6") >= F.col("thr6"))
-        .select("source", "doc_id", "score6", "thr6")
     )
 
 
@@ -1280,24 +1311,7 @@ def quantile_normalize_scores(
     Output: (source, doc_id, score6, q6); ties share one quantile (the
     CDF at their common value).
     """
-    from .text import QC_CENTER, QC_MOD, quality_classifier
-
-    scored = (
-        df.select(F.col(source_col).alias("source"), "doc_id")
-        .join(quality_classifier(df, text_col), "doc_id")
-        .select(
-            "source",
-            "doc_id",
-            F.when(F.col("n_toks") == 0, F.lit(0).cast("long"))
-            .otherwise(
-                F.expr(
-                    f"((feat_sum + n_toks * {QC_CENTER}) * 1000000)"
-                    f" div (n_toks * {QC_MOD})"
-                )
-            )
-            .alias("score6"),
-        )
-    )
+    scored = classifier_score6(df, text_col=text_col, source_col=source_col)
     hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
         F.count("*").alias("cnt")
     )

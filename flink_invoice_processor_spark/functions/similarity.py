@@ -416,18 +416,46 @@ def density_outliers(
                 F.col("_st") % F.lit(1 << pl) if pl < levels[-1]
                 else F.col("_st"),
             )
-        # per-level bucket census among rows escalated past all previous
-        # levels; censuses are <= 2^planes rows -> broadcast
+        # ONE corpus aggregate over the second-to-last level's signature
+        # (<= 2^levels[-2] rows); every non-final level's census derives
+        # from it by modulo re-grouping (lower levels ARE its low bits),
+        # and the escalated-bucket filters run inside the model-sized
+        # table — naive per-level censuses re-scan the corpus L-1 times
+        second = len(levels) - 2
+        # model-sized, materialized ONCE when several censuses derive
+        # from it: each census below feeds its own broadcast exchange,
+        # and without the checkpoint every one of those broadcasts would
+        # re-run the corpus scan this aggregate reads (measured 3
+        # redundant corpus scans at 3 levels); a 2-level ladder has a
+        # single census, so the scan happens once either way and the
+        # checkpoint job would be pure overhead
+        base_cnt = df.groupBy(F.col(f"_s{second}").alias("_sb")).agg(
+            F.count("*").alias("_cb")
+        )
+        if len(levels) > 2:
+            base_cnt = base_cnt.localCheckpoint()
+        esc = base_cnt  # buckets escalated into level i
         for i in range(len(levels) - 1):
-            esc = F.lit(True)
-            for j in range(i):
-                esc = esc & (F.col(f"_cn{j}") > max_bucket)
-            census = (
-                df.where(esc)
-                .groupBy(f"_s{i}")
-                .agg(F.count("*").alias(f"_cn{i}"))
-            )
-            df = df.join(F.broadcast(census), f"_s{i}", "left")
+            ci = esc.groupBy(
+                (F.col("_sb") % F.lit(1 << levels[i])).alias(f"_s{i}")
+            ).agg(F.sum("_cb").alias(f"_cn{i}"))
+            df = df.join(F.broadcast(ci), f"_s{i}", "left")
+            if i < second:
+                # a bucket escalates past level i iff its level-i census
+                # exceeds the cap (whole buckets escalate together)
+                esc = (
+                    esc.withColumn(
+                        f"_s{i}", F.col("_sb") % F.lit(1 << levels[i])
+                    )
+                    .join(
+                        ci.where(F.col(f"_cn{i}") > max_bucket).select(
+                            f"_s{i}"
+                        ),
+                        f"_s{i}",
+                        "left_semi",
+                    )
+                    .drop(f"_s{i}")
+                )
         # first level whose bucket fits the cap wins; the final level is
         # the unconditional fallback
         key = None

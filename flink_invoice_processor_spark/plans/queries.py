@@ -6945,28 +6945,23 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS (
         SELECT vec_id, embedding AS v,
-               {_lsh_sig_sql("embedding", 22, 64)} AS st
+               {_lsh_sig_sql("embedding", 16, 64)} AS st
         FROM embeddings WHERE embedding IS NOT NULL
     ),
     lv AS (
-        SELECT vec_id, v, st % 16 AS s0, st % 1024 AS s1,
-               st % 65536 AS s2, st AS s3
+        SELECT vec_id, v, st % 16 AS s0, st % 1024 AS s1, st AS s2
         FROM sig
     ),
     c0 AS (SELECT s0, COUNT(*) AS n0 FROM lv GROUP BY 1),
     e0 AS (SELECT lv.*, c0.n0 FROM lv JOIN c0 USING (s0)),
     c1 AS (SELECT s1, COUNT(*) AS n1 FROM e0 WHERE n0 > 25 GROUP BY 1),
     e1 AS (SELECT e0.*, c1.n1 FROM e0 LEFT JOIN c1 USING (s1)),
-    c2 AS (SELECT s2, COUNT(*) AS n2 FROM e1
-           WHERE n0 > 25 AND n1 > 25 GROUP BY 1),
-    e2 AS (SELECT e1.*, c2.n2 FROM e1 LEFT JOIN c2 USING (s2)),
     keyed AS (
         SELECT vec_id, v,
                CASE WHEN n0 <= 25 THEN s0
                     WHEN n1 <= 25 THEN 281474976710656 + s1
-                    WHEN n2 <= 25 THEN 562949953421312 + s2
-                    ELSE 844424930131968 + s3 END AS s
-        FROM e2
+                    ELSE 562949953421312 + s2 END AS s
+        FROM e1
     ),
     neigh AS (
         SELECT a.vec_id, COUNT(*) AS n_neighbors
@@ -6988,13 +6983,15 @@ def embedding_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in their CASCADING-adaptive LSH bucket — the low-density points a
     curation pipeline drops or audits, the inverse of near-dup detection
     (functions/similarity.py:density_outliers).  Any bucket larger than
-    25 members re-blocks on the next level of the (4, 10, 16, 22)-plane
+    25 members re-blocks on the next level of the (4, 10, 16)-plane
     ladder — one md5 plane family, each level the low bits of one
     top-level signature, so every non-final neighbor-counting bucket is
     <= 25 BY CONSTRUCTION and the in-bucket pair product stays linear in
     the corpus (the fixed two-level variant measured a 5.77× decade
     BUILD ratio, SCALING_r07; a single fixed level measured 6.8× steady
-    at 4× vectors).  The fixed ladder covers 25·2^22 ≈ 10^8 vectors;
+    at 4× vectors).  All censuses derive from ONE model-sized corpus
+    aggregate (the second-to-last level's signature counts).  The fixed
+    ladder covers 25·2^16 ≈ 1.6M vectors — far past any gate SF;
     ``levels="auto"`` (functions/similarity.py:density_ladder) derives
     an arbitrarily deep ladder from the corpus count with no human knob
     — pytest-pinned equal to explicit ladders.  Zero-neighbor vectors
@@ -7004,7 +7001,7 @@ def embedding_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.density_outliers(
         emb, dims=64, threshold=0.2, n_planes=4, min_neighbors=2,
-        max_bucket=25, levels=(4, 10, 16, 22),
+        max_bucket=25, levels=(4, 10, 16),
     )
 
 

@@ -17,6 +17,21 @@ batch queries use (``quality_columns`` / ``language_columns`` /
 ``normalize_text`` / ``chunk_documents``), so a row admitted by the
 streaming job is exactly the row the batch pipeline would admit —
 pinned by ``tests/test_streaming_curation.py`` comparing the two.
+
+Two gate variants:
+
+- :func:`run_curation_job` — the STATIC gate (fixed classifier cut +
+  language filter), fully stream-native: pure maps + watermark-bounded
+  dedup, chunks append continuously.
+- :func:`run_adaptive_curation_job` — the CALIBRATED gate
+  (``adaptive_quality_cut``'s per-source exact percentile): the stream
+  maintains two model-sized tables (scored docs + the (source, score6)
+  histogram rollup) and the gated corpus is a VIEW over them
+  (:func:`adaptive_survivors`), re-evaluated under the current
+  threshold — a percentile gate is corpus-dependent, so per-batch hard
+  admission would grandfather early documents past a cut that later
+  data tightened; serving the gate as a view is what makes the stream
+  equal the batch operator bit for bit at every point in time.
 """
 
 from __future__ import annotations
@@ -63,6 +78,97 @@ def curate_stream(
     )
     return chunk_documents(
         deduped.select("doc_id", "text"), chunk_size=chunk_size, stride=stride
+    )
+
+
+def adaptive_curation_micro_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    scored_path: str,
+    hist_path: str,
+) -> None:
+    """One ingest increment of the ADAPTIVE gate's state: score the batch
+    once (``classifier_score6`` — the batch operators' own scoring), fold
+    the scores into the maintained (source, score6) histogram (batch-id
+    fenced), and land the scored rows under their own ``batch=epoch``
+    partition (replay rewrites identical content).  Crash between the two
+    writes is safe in either order: the histogram fence skips a replayed
+    epoch, the scored partition rewrite is idempotent."""
+    from ..functions.curation import classifier_score6
+    from .sketch_rollup import histogram_rollup_writer
+
+    if batch_df.isEmpty():
+        return
+    scored = classifier_score6(batch_df).localCheckpoint()
+    histogram_rollup_writer(F.col("source"), F.col("score6"), hist_path)(
+        scored, epoch_id
+    )
+    (
+        scored.withColumn("batch", F.lit(int(epoch_id)))
+        .coalesce(1)  # score rows are tiny; one file per epoch
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(scored_path)
+    )
+
+
+def adaptive_survivors(
+    spark, scored_path: str, hist_path: str, pct: int = 75
+) -> DataFrame:
+    """The calibrated adaptive gate SERVED from maintained state: per-
+    source thresholds rank-selected from the histogram rollup
+    (``functions/curation.threshold_from_histogram`` — the batch gate's
+    own selection) against the stored scored-docs table.  No corpus
+    re-scan, no re-scoring: two model-sized reads + one broadcast join.
+
+    Because score and threshold algebra are THE batch operator's
+    functions and histogram merge is exact, this equals
+    ``adaptive_quality_cut`` over everything ingested so far, bit for
+    bit — unlike a hard per-batch gate, admission is re-evaluated under
+    the current threshold, so early documents are never grandfathered
+    past a cut that later data tightened (pinned in
+    ``tests/test_streaming_curation.py``)."""
+    from ..functions.curation import threshold_from_histogram
+    from .sketch_rollup import read_histogram_table
+
+    hist = read_histogram_table(spark, hist_path).select(
+        F.col("k").alias("source"), "val", "cnt"
+    )
+    thr = threshold_from_histogram(hist, pct=pct)
+    scored = spark.read.parquet(scored_path).select(
+        "source", "doc_id", "score6"
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("score6") >= F.col("thr6"))
+        .select("source", "doc_id", "score6", "thr6")
+    )
+
+
+def run_adaptive_curation_job(
+    docs: DataFrame,
+    scored_path: str,
+    hist_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 5,
+) -> StreamingQuery:
+    """Start the continuous ADAPTIVE curation job over a streaming
+    documents DataFrame (doc_id LONG, text STRING, source STRING): the
+    calibrated per-source percentile gate replaces the static classifier
+    cut.  The stream maintains the two model-sized state tables; the
+    gated corpus is a VIEW over them (:func:`adaptive_survivors`), so
+    the served threshold always reflects every document ingested."""
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        adaptive_curation_micro_batch(
+            batch_df, epoch_id, scored_path, hist_path
+        )
+
+    return (
+        docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
     )
 
 

@@ -132,3 +132,141 @@ def _count(spark, out):
         return spark.read.parquet(str(out)).count()
     except Exception:
         return 0
+
+
+class TestAdaptiveCurationJob:
+    """The calibrated adaptive gate served from maintained state must
+    equal the batch operator over everything ingested — in any split,
+    and after replay."""
+
+    ROWS = [
+        (i, " ".join(f"w{j}{i % 5}" for j in range(i % 6 + 1)), f"s{i % 2}")
+        for i in range(30)
+    ]
+    SCHEMA = "doc_id: long, text: string, source: string"
+
+    def _batch_expected(self, spark):
+        from flink_invoice_processor_spark.functions.curation import (
+            adaptive_quality_cut,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        return sorted(map(tuple, adaptive_quality_cut(docs).collect()))
+
+    def test_survivors_equal_batch_operator_any_split(self, spark, tmp_path):
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_curation_micro_batch,
+            adaptive_survivors,
+        )
+
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        # three uneven "micro-batches"
+        for epoch, pred in enumerate(
+            ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+        ):
+            adaptive_curation_micro_batch(
+                docs.where(pred), epoch, scored, hist
+            )
+        served = sorted(
+            map(tuple, adaptive_survivors(spark, scored, hist).collect())
+        )
+        assert served == self._batch_expected(spark)
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_curation_micro_batch,
+            adaptive_survivors,
+        )
+
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        adaptive_curation_micro_batch(docs.where("doc_id < 15"), 0, scored, hist)
+        adaptive_curation_micro_batch(docs.where("doc_id >= 15"), 1, scored, hist)
+        # at-least-once replay of the last epoch
+        adaptive_curation_micro_batch(docs.where("doc_id >= 15"), 1, scored, hist)
+        served = sorted(
+            map(tuple, adaptive_survivors(spark, scored, hist).collect())
+        )
+        assert served == self._batch_expected(spark)
+
+    def test_threshold_tightens_retroactively(self, spark, tmp_path):
+        """A document admitted under an early threshold is NOT
+        grandfathered: the serve path re-evaluates under the current
+        threshold, so survivors after more data equal the batch answer,
+        not the union of per-batch gates."""
+        from flink_invoice_processor_spark.functions.curation import (
+            adaptive_quality_cut,
+        )
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_curation_micro_batch,
+            adaptive_survivors,
+        )
+
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        adaptive_curation_micro_batch(docs.where("doc_id < 10"), 0, scored, hist)
+        first = {
+            r.doc_id for r in adaptive_survivors(spark, scored, hist).collect()
+        }
+        # prefix parity: equals the batch operator run on the prefix
+        prefix_expected = {
+            r.doc_id
+            for r in adaptive_quality_cut(docs.where("doc_id < 10")).collect()
+        }
+        assert first == prefix_expected
+        adaptive_curation_micro_batch(docs.where("doc_id >= 10"), 1, scored, hist)
+        served = sorted(
+            map(tuple, adaptive_survivors(spark, scored, hist).collect())
+        )
+        assert served == self._batch_expected(spark)
+
+    def test_streaming_job_end_to_end(self, spark, tmp_path):
+        import json as _json
+        import time as _time
+
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_survivors,
+            run_adaptive_curation_job,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir(parents=True, exist_ok=True)
+        (src / "d.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t, "source": s})
+                for i, t, s in self.ROWS
+            )
+            + "\n"
+        )
+        stream = spark.readStream.schema(
+            "doc_id LONG, text STRING, source STRING"
+        ).json(str(src))
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        q = run_adaptive_curation_job(
+            stream, scored, hist, str(tmp_path / "ckpt"), trigger_seconds=1
+        )
+        try:
+            expected = self._batch_expected(spark)
+            deadline = _time.time() + 90
+            served = None
+            while _time.time() < deadline:
+                try:
+                    served = sorted(
+                        map(
+                            tuple,
+                            adaptive_survivors(spark, scored, hist).collect(),
+                        )
+                    )
+                except Exception:
+                    served = None
+                if served == expected:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert served == expected
