@@ -1736,3 +1736,94 @@ def drift_from_bin_counts(
             (F.col("tvd6") > F.lit(tvd_threshold6)).alias("drifted"),
         )
     )
+
+
+def matryoshka_fidelity(
+    emb: DataFrame,
+    ks: tuple[int, ...] = (8, 16, 32),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncation-fidelity report for an embedding column: for each
+    candidate prefix length ``k``, what fraction of every vector's
+    squared norm the first ``k`` dimensions carry — the QA run before
+    adopting Matryoshka-style dimension truncation (serving a 16-dim
+    prefix of a 64-dim model), where a LOW tail minimum means some
+    vectors lose most of their signal even when the mean looks fine.
+
+    Integer-exact end to end (the chi2/PMI wide idiom): values quantize
+    to 1e-6 micro-units per row, squared norms accumulate in
+    DECIMAL(38,0), and ``frac6 = (1e6 * ssq_prefix) div ssq_total`` is a
+    truncating division both engines compute identically — no IEEE
+    sqrt/cosine whose last ulp could differ.  Per-element magnitude
+    bound |q| <= 3e9 shared with :func:`vector_stat_partials` (fails
+    loudly, identically).  Zero vectors carry no direction and are
+    excluded (documented, mirrored in the oracle).
+
+    Scale shape: ONE corpus scan — per-row arithmetic into a
+    len(ks)-row explode and a map-side-combined aggregate keyed by k
+    (len(ks) keys); output is len(ks) rows.
+
+    Output: (k_dims, n_vecs, mean_frac6, min_frac6).
+    """
+    ssq = (
+        "aggregate({0}, CAST(0 AS DECIMAL(38,0)),"
+        " (a, x) -> a + CAST(x AS DECIMAL(19,0)) * x)"
+    )
+    q = emb.where(F.col(vec_col).isNotNull()).select(
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("_q")
+    )
+    q = q.where(
+        F.assert_true(
+            F.expr(
+                "aggregate(_q, CAST(0 AS BIGINT),"
+                " (m, x) -> greatest(m, abs(x)))"
+            )
+            <= F.lit(3_000_000_000),
+            F.lit(
+                "matryoshka_fidelity: quantized magnitude exceeds the"
+                " int64 square range (|value| > 3000) — normalize the"
+                " vectors first (standardize)"
+            ),
+        ).isNull()
+    )
+    per_k = (
+        q.select(
+            F.expr(ssq.format("_q")).alias("_st"),
+            *[
+                F.expr(ssq.format(f"slice(_q, 1, {int(k)})")).alias(f"_s{k}")
+                for k in ks
+            ],
+        )
+        .where(F.col("_st") > 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(k)).cast("long").alias("k_dims"),
+                            F.expr(
+                                f"CAST((CAST(1000000 AS DECIMAL(38,0))"
+                                f" * _s{k}) DIV _st AS BIGINT)"
+                            ).alias("frac6"),
+                        )
+                        for k in ks
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.k_dims", "e.frac6")
+    )
+    return (
+        per_k.groupBy("k_dims")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr("CAST(SUM(frac6) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_frac6"
+            ),
+            F.min("frac6").alias("min_frac6"),
+        )
+        .orderBy("k_dims")
+    )

@@ -7663,6 +7663,56 @@ def events_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.oof_target_encoding(rows, "user_id", "fold_id", "target")
 
 
+@register(
+    "embedding_matryoshka_fidelity",
+    """
+    WITH q AS (
+        SELECT list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+               AS qv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+        SELECT list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))
+                   AS st,
+               list_sum(list_transform(qv[1:8],
+                   x -> CAST(x AS HUGEINT) * x)) AS s8,
+               list_sum(list_transform(qv[1:16],
+                   x -> CAST(x AS HUGEINT) * x)) AS s16,
+               list_sum(list_transform(qv[1:32],
+                   x -> CAST(x AS HUGEINT) * x)) AS s32
+        FROM q
+    ),
+    e AS (
+        SELECT 8 AS k_dims, (1000000 * s8) // st AS frac6
+        FROM s WHERE st > 0
+        UNION ALL
+        SELECT 16, (1000000 * s16) // st FROM s WHERE st > 0
+        UNION ALL
+        SELECT 32, (1000000 * s32) // st FROM s WHERE st > 0
+    )
+    SELECT CAST(k_dims AS BIGINT) AS k_dims,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(frac6) // COUNT(*) AS BIGINT) AS mean_frac6,
+           CAST(MIN(frac6) AS BIGINT) AS min_frac6
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-fidelity QA
+    (functions/similarity.py:matryoshka_fidelity): per candidate prefix
+    length k ∈ {8, 16, 32}, the mean and MINIMUM fraction of squared
+    norm the first k dimensions carry — the report read before serving
+    a truncated prefix of the 64-dim embedding (a healthy mean with a
+    collapsed minimum means some vectors lose nearly all signal).
+    Integer-exact: micro-quantized squares summed in DECIMAL(38,0) /
+    HUGEINT, truncating fixed-point division — no IEEE sqrt.  One corpus
+    scan into a 3-key map-combined aggregate; zero vectors excluded
+    (no direction to preserve)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.matryoshka_fidelity(emb, ks=(8, 16, 32))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -7688,158 +7738,65 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # round-6 additions — never driver-gated (q10_returned_items,
-    # events_user_rolling, events_zorder_keys — each driver-green r4+r5 —
-    # rotate out to make room)
-    "bpe_merges_docs",
-    "bpe_encode_docs",
-    "dsir_weights_wide_docs",
-    "duplicate_spans_docs",
-    # round-9 part 3 (never driver-gated): vector-distribution drift
-    # monitoring.  mix_sample_docs (driver-green r6, implementation
-    # unchanged, the curation family amply in-window via
-    # adaptive_quality_cut_docs / contrastive / leakage rows) rotates
-    # out; stays registered and replica-checked.
-    "embedding_drift_tvd",
-    # (length_bucket_batches_docs, driver-green r4+r5, rotates out for
-    # the two-stage PQ re-rank)
-    "pq_rerank_topk_embeddings",
-    # changed implementation in round 6 (now probes the persisted trigram
-    # index) — stays in the window for a fresh driver row on the new path
-    "substring_search_docs",
-    # late round-6 additions: the six adapted TPC-H shapes — never
-    # driver-gated (ivf_pq_topk_embeddings, pq_codes_embeddings,
-    # pq_adq_topk_embeddings, domain_mix_weights_docs,
-    # ivf_pq_sampled_topk_embeddings, rfm_segments_customers — each
-    # driver-green r4+r5 / r5 — rotate out to make room; all stay
-    # registered and replica-checked)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    # round-9 late additions (never driver-gated): whitening serve path
-    # and KMV join-size estimation.  q12_ship_speed_priority and
-    # q16_supplier_variety (driver-green r6, implementations unchanged,
-    # the TPC-H relational family still exercised in-window by
-    # q2/q11/q20/q21) rotate out to make room; both stay registered and
-    # replica-checked.
-    "embedding_standardize",
-    "events_join_size_estimate",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # Bloom membership sketch (new round 6; pagerank_docs — driver-green
-    # r5, its corpus-scale successor pagerank_tight_docs already in the
-    # window — rotates out to make room)
-    "events_bloom_membership",
-    # SCD2 state history (new round 6; bigram_familiarity_docs —
-    # driver-green r4+r5 — rotates out to make room)
-    "events_scd2_history",
-    # CDC merge-apply + bucketized interval join (new round 6;
-    # dsir_weights_docs and pmi_bigrams_docs — driver-green r5, and their
-    # wide variants stay in the window exercising the same family —
-    # rotate out to make room)
-    "orders_cdc_apply",
-    "events_incident_overlap_join",
-    # exact order statistics (new round 6; events_value_percentiles —
-    # driver-green r6, its family still in-window via
-    # events_value_outliers + lineitem_winsorized_price — rotates out
-    # for the round-9 part-4 additions below)
-    "events_value_outliers",
-    "lineitem_winsorized_price",
-    # round-9 part 4 (never driver-gated): cross-source quantile
-    # calibration and leakage-safe out-of-fold target encoding
-    # (pmi_bigrams_wide_docs — driver-green r6, the wide-decimal family
-    # still in-window via dsir_weights_wide_docs + chi2_bigrams_docs —
-    # rotates out; stays registered and replica-checked)
-    "quality_quantile_norm_docs",
-    "events_oof_target_encoding",
-    # changed semantics this round (hub-term cap in the blocking, oracle
-    # mirrored) — back in the window for a fresh driver row on the new
-    # definition
-    "tfidf_doc_similarity",
-    # round-5 additions, driver-green once (r5) — second confirmation
-    # (boilerplate_strip_docs, hybrid_rrf_docs, bpe_pair_counts_docs,
-    # pps_sample_docs — driver-green r5, their families still exercised
-    # in-window by duplicate_spans_docs / substring_search_docs /
-    # bpe_merges_docs / mix_sample_docs — rotate out to make room for
-    # the four rows above; all stay registered and replica-checked)
-    # round-7 late additions (never driver-gated): snapshot-version diff,
-    # exact fixed-point covariance, adaptive per-source quality gate.
-    # Rotated out to make room, each double-confirmed driver-green r5+r6
-    # with unchanged implementations and their family still exercised
-    # in-window: semantic_dedup_embeddings (embeddings — dim_stats,
-    # density_outliers, pq_rerank stay), events_equidepth_histogram and
-    # events_hll_mergeability (sketches — bloom_membership stays; the
-    # histogram family also rides events_value_percentiles).  All stay
-    # registered and replica-checked.
-    "orders_snapshot_diff",
-    "embedding_covariance",
-    "adaptive_quality_cut_docs",
-    # round-8 additions (never driver-gated): containment dedup,
-    # cross-source contamination matrix, embedding density outliers,
-    # n-gram vocabulary coverage.  Rotated out to make room, each now
-    # double-confirmed driver-green r5+r6 with their family still
-    # exercised in-window: events_heavy_hitters + events_kmv_distinct
-    # (sketches — equidepth/HLL/Bloom stay), triangle_counts_docs
-    # (graph — kcore_docs + pagerank_tight_docs stay),
-    # dq_checks_lineitem (lineitem relational — winsorized + q21 stay).
-    # All stay registered and replica-checked.
-    "containment_pairs_docs",
-    "source_overlap_docs",
+    # reference-surface rows whose last driver-green is r3 (VERDICT r7
+    # item 5: rotate the r2/r3 cohort in) — they double as §2 coverage
+    "heterogeneous_union",
+    "json_extract_keying",
+    # implementations CHANGED in round 8 — each needs a fresh driver row
+    # on the new code path: cascading density blocking, frontier-peel
+    # kcore, and the classifier_score6/threshold_from_histogram refactor
+    # behind the two calibration queries
     "embedding_density_outliers",
-    "vocab_oov_docs",
-    # new in round 6: the corpus-scale PageRank variant (events_funnel,
-    # driver-green r4+r5, rotates out to make room)
-    "pagerank_tight_docs",
-    # round-7 rotation, part 1: the four round-6 snapshot additions that
-    # have NEVER had a driver row (VERDICT r6 item 3) — registered after
-    # the r6 gate window was recorded; kcore's oracle is now runnable
-    # (AS MATERIALIZED peel CTEs, VERDICT r6 item 1):
-    "chi2_bigrams_docs",
     "kcore_docs",
-    "contrastive_pairs_docs",
-    "leakage_safe_split_docs",
-    # new in round 7 (never driver-gated): two-stage LSH->exact-Jaccard
-    # verification and c-TF-IDF domain term lift (events_asof_join and
-    # embedding_neardup_pairs — driver-green r2+r6, their families still
-    # in-window via events_incident_overlap_join / embedding_neardup_lsh —
-    # rotate out to make room; all stay registered and replica-checked)
-    "lsh_verified_pairs_docs",
-    "domain_term_lift_docs",
-    # the maintained LSH band store's oracle row (corpus_curation —
-    # driver-green r2+r6, its components all in-window via
-    # quality_classifier_docs / dup_clusters_docs — rotates out)
-    "lsh_incremental_pairs_docs",
-    # round-6 rotation: 15 confirmed rows rotate OUT (triple-confirmed
-    # r3+r4+r5: training_mix_pipeline, decontaminate_docs,
-    # pack_sequences_docs, bigram_lm_counts, fuzzy_prefix_pairs,
-    # events_retention_hourly, events_approx_topk, q6_revenue_filter,
-    # revenue_grouping_sets; double-confirmed r4+r5: large_quantity_orders,
-    # order_count_distribution, q7_nation_volume, q8_market_share,
-    # q9_product_profit, cohort_retention_orders — all stay registered and
-    # replica-checked) so the 12 OLDEST rows — last driver-green in r2 —
-    # get a fresh driver row before their oracles age further.  Round-7
-    # rotation, part 2: four of those 12, now double-confirmed r2+r6 and
-    # from families still exercised in-window (customer_order_gaps,
-    # customers_without_orders by the TPC-H rows; doc_fingerprint,
-    # doc_quality by quality_classifier_docs / corpus_curation), rotate
-    # out to make room for the four above; all stay registered and
-    # replica-checked:
-    "dup_clusters_docs",
-    # round-8 additions, part 2 (never driver-gated): survivor selection,
-    # corpus novelty, stop-shingle audit, MinHash calibration, embedding
-    # dimension QA.  Rotated out to make room: ann_ivf_topk, ann_lsh_topk,
-    # embedding_cosine_topk, embedding_neardup_lsh (each double-confirmed
-    # r2+r6 with unchanged implementations; the ANN/embedding families
-    # stay exercised in-window by pq_rerank_topk_embeddings,
-    # semantic_dedup_embeddings, embedding_density_outliers and
-    # embedding_dim_stats) and quality_classifier_docs (r5+r6).
-    # dup_clusters_docs STAYS: its label-propagation core was rewritten in
-    # round 7 and needs a driver row on the new implementation — and
-    # dedup_survivors_docs consumes the same shared clustering.
-    "dedup_survivors_docs",
-    "novelty_rate_docs",
-    "stop_shingles_docs",
-    "minhash_calibration_docs",
-    "embedding_dim_stats",
+    "adaptive_quality_cut_docs",
+    "quality_quantile_norm_docs",
+    # new in round 8 (never driver-gated)
+    "embedding_matryoshka_fidelity",
+    # the r2 cohort: every query whose LAST driver-green is round 2 (28
+    # rows — the oldest evidence in the registry; VERDICT r7 item 5).
+    # All implementations unchanged since their last green row.
+    "events_approx_stats",
+    "events_cube_counts",
+    "events_pivot_counts",
+    "events_purchase_click_window",
+    "events_salted_counts",
+    "events_sessionization",
+    "events_sliding",
+    "events_tumbling",
+    "exact_dedup_docs",
+    "language_id_docs",
+    "lineitem_quantity_stats",
+    "minhash_lsh_docs",
+    "minhash_signatures_docs",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "ngram_jaccard_docs",
+    "orders_above_customer_avg",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "revenue_rollup",
+    "simhash_docs",
+    "simhash_pairs_docs",
+    "token_count_docs",
+    "top_orders_global",
+    "top_parts_per_brand",
+    "users_click_no_purchase",
+    # the r3 cohort, part 1 (8 of 12 non-reference rows; the other four —
+    # ann_ivf_kmeans_topk, label_centroids, tfidf_top_terms,
+    # embedding_quantize — defer to round 9 with their families covered
+    # in-window by ann_recall_report / kmeans_clusters / bm25_topk_docs /
+    # the embedding rows, and MUST be gated next round (verdict r7: no
+    # row older than r4 by r9)
+    "ann_recall_report",
+    "bm25_topk_docs",
+    "doc_chunking",
+    "gopher_repetition_docs",
+    "kmeans_clusters",
+    "pii_redaction_docs",
+    "q1_pricing_summary",
+    "stratified_sample_docs",
 ]
 
 

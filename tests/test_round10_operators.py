@@ -168,3 +168,36 @@ class TestKcoreFrontierPeel:
 
         edges = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
         assert GR.kcore(edges, k=3).count() == 0
+
+
+class TestMatryoshkaFidelity:
+    def test_hand_computed_fractions(self, spark):
+        # v1 = [3,4,0,0]: prefix-1 carries 9/25 = 0.36 of squared norm
+        # v2 = [0,0,1,1]: prefix-1 carries 0
+        emb = spark.createDataFrame(
+            [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 1.0])],
+            "vec_id: long, embedding: array<float>",
+        )
+        out = {
+            r.k_dims: (r.n_vecs, r.mean_frac6, r.min_frac6)
+            for r in SIM.matryoshka_fidelity(emb, ks=(1, 4)).collect()
+        }
+        assert out[1] == (2, (360000 + 0) // 2, 0)
+        assert out[4] == (2, 1000000, 1000000)
+
+    def test_zero_vectors_excluded(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
+            "vec_id: long, embedding: array<float>",
+        )
+        out = SIM.matryoshka_fidelity(emb, ks=(1,)).collect()
+        assert len(out) == 1 and out[0].n_vecs == 1
+
+    def test_magnitude_guard_fails_loudly(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(1, [4000.0, 0.0])], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(Exception, match="int64 square range"):
+            SIM.matryoshka_fidelity(emb, ks=(1,)).collect()
