@@ -1315,14 +1315,28 @@ def quantile_normalize_scores(
     hist = scored.groupBy("source", F.col("score6").alias("val")).agg(
         F.count("*").alias("cnt")
     )
+    lookup = quantile_lookup_from_histogram(hist, pct_scale=pct_scale)
+    return scored.join(
+        F.broadcast(lookup), ["source", "score6"]
+    ).select("source", "doc_id", "score6", "q6")
+
+
+def quantile_lookup_from_histogram(
+    hist: DataFrame, pct_scale: int = 1_000_000
+) -> DataFrame:
+    """(source, score6, q6) from a (source, val, cnt) VALUE HISTOGRAM:
+    the empirical CDF ``q6 = cum * pct_scale div n`` in integer fixed
+    point.  THE single calibration definition — the batch normalizer
+    computes its histogram inline, the streaming curation job serves the
+    SAME lookup from the maintained histogram rollup
+    (``streaming/curation_job.calibrated_scores``), so the two calibrate
+    identically over identical ingested data.  Windows run over
+    histogram rows (bounded by the score domain), never the corpus."""
     w = Window.partitionBy("source").orderBy("val")
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
     tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
-    lookup = cum.join(F.broadcast(tot), "source").select(
+    return cum.join(F.broadcast(tot), "source").select(
         "source",
         F.col("val").alias("score6"),
         F.expr(f"cum * {int(pct_scale)} div n").alias("q6"),
     )
-    return scored.join(
-        F.broadcast(lookup), ["source", "score6"]
-    ).select("source", "doc_id", "score6", "q6")

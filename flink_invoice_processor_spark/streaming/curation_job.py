@@ -146,6 +146,31 @@ def adaptive_survivors(
     )
 
 
+def calibrated_scores(
+    spark, scored_path: str, hist_path: str, pct_scale: int = 1_000_000
+) -> DataFrame:
+    """Cross-source quantile CALIBRATION served from the same maintained
+    state as :func:`adaptive_survivors`: each stored document's score
+    replaced by its exact within-source quantile, the lookup derived
+    from the histogram rollup by the batch normalizer's own algebra
+    (``functions/curation.quantile_lookup_from_histogram``) — equals
+    ``quantile_normalize_scores`` over everything ingested, bit for
+    bit.  Output: (source, doc_id, score6, q6)."""
+    from ..functions.curation import quantile_lookup_from_histogram
+    from .sketch_rollup import read_histogram_table
+
+    hist = read_histogram_table(spark, hist_path).select(
+        F.col("k").alias("source"), "val", "cnt"
+    )
+    lookup = quantile_lookup_from_histogram(hist, pct_scale=pct_scale)
+    scored = spark.read.parquet(scored_path).select(
+        "source", "doc_id", "score6"
+    )
+    return scored.join(F.broadcast(lookup), ["source", "score6"]).select(
+        "source", "doc_id", "score6", "q6"
+    )
+
+
 def run_adaptive_curation_job(
     docs: DataFrame,
     scored_path: str,

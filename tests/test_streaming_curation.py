@@ -270,3 +270,25 @@ class TestAdaptiveCurationJob:
         finally:
             q.stop()
         assert served == expected
+
+    def test_calibrated_scores_equal_batch_normalizer(self, spark, tmp_path):
+        from flink_invoice_processor_spark.functions.curation import (
+            quantile_normalize_scores,
+        )
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_curation_micro_batch,
+            calibrated_scores,
+        )
+
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        adaptive_curation_micro_batch(docs.where("doc_id % 2 = 0"), 0, scored, hist)
+        adaptive_curation_micro_batch(docs.where("doc_id % 2 = 1"), 1, scored, hist)
+        served = sorted(
+            map(tuple, calibrated_scores(spark, scored, hist).collect())
+        )
+        expected = sorted(
+            map(tuple, quantile_normalize_scores(docs).collect())
+        )
+        assert served == expected

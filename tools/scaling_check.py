@@ -89,6 +89,10 @@ REPRESENTATIVE = [
     # two-aggregate out-of-fold encoder
     "quality_quantile_norm_docs",
     "events_oof_target_encoding",
+    # round-8 build: frontier-peel kcore and the one-scan matryoshka
+    # truncation-fidelity report
+    "kcore_docs",
+    "embedding_matryoshka_fidelity",
 ]
 
 
@@ -135,6 +139,10 @@ DECADE_FAMILIES = [
     "embedding_drift_tvd",
     "quality_quantile_norm_docs",
     "events_oof_target_encoding",
+    # round-8 build: the frontier-peel kcore (iterative graph, documents
+    # input) and the one-scan matryoshka fidelity report
+    "kcore_docs",
+    "embedding_matryoshka_fidelity",
 ]
 
 
