@@ -7664,6 +7664,89 @@ def events_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_prefix_recall",
+    """
+    WITH qf AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10),
+    cf AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                       neighbor_id) AS rank
+            FROM qf, cf WHERE query_id <> neighbor_id
+        ) WHERE rank <= 5
+    ),
+    qp AS (SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cp AS (SELECT vec_id AS neighbor_id, (embedding::DOUBLE[])[1:16] AS cv
+           FROM embeddings),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                       neighbor_id) AS rank
+            FROM qp, cp WHERE query_id <> neighbor_id
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(16 AS BIGINT) AS prefix_dims,
+           CAST(COALESCE(h.n_hits, 0) * 100 / 5 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-level truncation QA, the complement of
+    embedding_matryoshka_fidelity's norm report: recall@5 of brute-force
+    cosine top-5 computed on the 16-dim PREFIX against the full 64-dim
+    exact top-5, per query — norm retention says the prefix keeps
+    energy; this says it keeps the NEIGHBORHOOD ORDER, which is what a
+    truncated serving index actually needs.  Pure composition of the
+    registered brute-force ranker (functions/similarity.py:cosine_topk)
+    at two dimensionalities + a semi-join hit count; deterministic
+    (4-decimal-rounded scores, id tiebreak), integer outputs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    exact = SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = SIM.cosine_topk(pre, pre.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    q = exact.select("query_id").distinct()
+    return q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(16).cast("long").alias("prefix_dims"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 100 / 5).cast("long").alias(
+            "recall_pct"
+        ),
+    )
+
+
+@register(
     "embedding_matryoshka_fidelity",
     """
     WITH q AS (
@@ -7752,6 +7835,7 @@ _DRIVER_FIRST = [
     "quality_quantile_norm_docs",
     # new in round 8 (never driver-gated)
     "embedding_matryoshka_fidelity",
+    "matryoshka_prefix_recall",
     # the r2 cohort: every query whose LAST driver-green is round 2 (28
     # rows — the oldest evidence in the registry; VERDICT r7 item 5).
     # All implementations unchanged since their last green row.
@@ -7783,16 +7867,16 @@ _DRIVER_FIRST = [
     "top_orders_global",
     "top_parts_per_brand",
     "users_click_no_purchase",
-    # the r3 cohort, part 1 (8 of 12 non-reference rows; the other four —
+    # the r3 cohort, part 1 (7 of 12 non-reference rows; the other five —
     # ann_ivf_kmeans_topk, label_centroids, tfidf_top_terms,
-    # embedding_quantize — defer to round 9 with their families covered
-    # in-window by ann_recall_report / kmeans_clusters / bm25_topk_docs /
-    # the embedding rows, and MUST be gated next round (verdict r7: no
-    # row older than r4 by r9)
+    # embedding_quantize, gopher_repetition_docs — defer to round 9 with
+    # their families covered in-window by ann_recall_report /
+    # kmeans_clusters / bm25_topk_docs / the embedding rows / the two
+    # quality-calibration rows, and MUST be gated next round (verdict
+    # r7: no row older than r4 by r9)
     "ann_recall_report",
     "bm25_topk_docs",
     "doc_chunking",
-    "gopher_repetition_docs",
     "kmeans_clusters",
     "pii_redaction_docs",
     "q1_pricing_summary",
