@@ -394,15 +394,16 @@ def novelty_rate(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
     only re-crawling what we already have?" — a collapsing novelty rate
     over doc_id is the signal to stop ingesting a source.
 
-    Scale shape: one distinct shingle explode hashed to int63, a
-    map-side-combinable ``min(doc_id)`` per shingle, and ONE equi-join of
-    the explode back onto that first-seen table on the shingle hash —
-    per-key fan-out on the join is the shingle's document frequency
-    (bounded corpus-wide by Zipf, and the hot keys carry no skew hazard
-    because the join output collapses straight into the per-doc count
-    aggregate).  Documents with no shingles (< ``n`` tokens) are absent
-    from the report, exactly as they are absent from every shingle-based
-    dedup path.
+    Scale shape: one distinct shingle explode hashed to int63 feeding TWO
+    map-side-combinable aggregates — per-doc shingle counts, and
+    ``min(doc_id)`` per shingle whose doc-keyed regroup counts each
+    document's firsts — then one doc-keyed join of the two doc-sized
+    results.  The exploded table is never JOINED back on the shingle key
+    (the previous shape; its per-key fan-out was each shingle's document
+    frequency and its shuffle carried the whole explode a second time —
+    a strictly larger plan for the same two numbers).  Documents with no
+    shingles (< ``n`` tokens) are absent from the report, exactly as
+    they are absent from every shingle-based dedup path.
 
     Output: (doc_id, n_sh, n_novel, novelty_rate rounded to 4 decimals).
     """
@@ -410,22 +411,23 @@ def novelty_rate(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
         "doc_id", _md5_int63(F.col("shingle")).alias("shingle_h")
     )
     if MATERIALIZE_PAIRS:
-        sh = sh.persist()  # first-seen aggregate + the probe both read it
-    firsts = sh.groupBy("shingle_h").agg(F.min("doc_id").alias("first_doc"))
+        sh = sh.persist()  # the two aggregates both read it
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    n_novel = (
+        sh.groupBy("shingle_h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
     out = (
-        sh.join(firsts, "shingle_h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        n_sh.join(n_novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_sh",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_sh"), 4).alias("novelty_rate"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_sh"), 4
+            ).alias("novelty_rate"),
         )
     )
     return _finish_pairs(out, sh)
