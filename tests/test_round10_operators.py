@@ -201,3 +201,25 @@ class TestMatryoshkaFidelity:
         )
         with pytest.raises(Exception, match="int64 square range"):
             SIM.matryoshka_fidelity(emb, ks=(1,)).collect()
+
+
+class TestFsops:
+    def test_delete_matching_dirs(self, spark, tmp_path):
+        from flink_invoice_processor_spark.functions.fsops import (
+            delete_matching_dirs,
+        )
+
+        base = tmp_path / "store"
+        for b in (3, 4):
+            for bucket in (0, 1):
+                d = base / f"bucket={bucket}" / f"batch={b}"
+                d.mkdir(parents=True)
+                (d / "part-0.parquet").write_bytes(b"x")
+        n = delete_matching_dirs(spark, str(base / "bucket=*" / "batch=3"))
+        assert n == 2
+        left = sorted(p.name for p in base.glob("bucket=*/batch=*"))
+        assert left == ["batch=4", "batch=4"]
+        # no matches -> 0, no error (compaction re-run tolerance)
+        assert delete_matching_dirs(
+            spark, str(base / "bucket=*" / "batch=3")
+        ) == 0
