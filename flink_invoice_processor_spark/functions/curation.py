@@ -1207,6 +1207,15 @@ def adaptive_quality_cut(
         F.count("*").alias("cnt")
     )
     thr = threshold_from_histogram(hist, pct=pct)
+    return apply_quality_gate(scored, thr)
+
+
+def apply_quality_gate(scored: DataFrame, thr: DataFrame) -> DataFrame:
+    """Admit ``scored`` (source, doc_id, score6) rows at or above their
+    source's ``thr6`` — THE single admission predicate and output
+    projection, shared by the batch gate above and the streaming serve
+    path (``streaming/curation_job.adaptive_survivors``) so a change to
+    the tie semantics or columns can never drift the two apart."""
     return (
         scored.join(F.broadcast(thr), "source")
         .where(F.col("score6") >= F.col("thr6"))
@@ -1316,6 +1325,14 @@ def quantile_normalize_scores(
         F.count("*").alias("cnt")
     )
     lookup = quantile_lookup_from_histogram(hist, pct_scale=pct_scale)
+    return apply_quantile_lookup(scored, lookup)
+
+
+def apply_quantile_lookup(scored: DataFrame, lookup: DataFrame) -> DataFrame:
+    """Attach each scored row's within-source quantile — THE single
+    calibration join and projection, shared by the batch normalizer
+    above and the streaming serve path
+    (``streaming/curation_job.calibrated_scores``)."""
     return scored.join(
         F.broadcast(lookup), ["source", "score6"]
     ).select("source", "doc_id", "score6", "q6")

@@ -312,6 +312,11 @@ def density_ladder(n: int, max_bucket: int, n_planes: int = 4,
     with at least two levels so oversized coarse buckets always have an
     escape.  Pure integer rule — deterministic across engines and
     mirrorable in SQL (no IEEE log2)."""
+    if n_planes >= cap:
+        raise ValueError(
+            f"density_ladder: n_planes={n_planes} leaves no room for a"
+            f" second level under cap={cap} — a cascade needs >= 2 levels"
+        )
     levels = [n_planes]
     while (
         len(levels) < 2 or (1 << levels[-1]) * max_bucket < n
@@ -373,6 +378,12 @@ def density_outliers(
     Output: (vec_id, n_neighbors < min_neighbors).
     """
     nn = emb.where(F.col(vec_col).isNotNull())
+    if levels is not None and max_bucket is None:
+        raise ValueError(
+            "density_outliers: levels without max_bucket would silently"
+            " degrade to single-level blocking (the quadratic hazard the"
+            " cascade exists to prevent) — pass max_bucket, or drop levels"
+        )
     if max_bucket is not None and levels is None and fine_planes < n_planes:
         raise ValueError(
             "density_outliers: fine_planes must be >= n_planes (fine"
@@ -392,6 +403,11 @@ def density_outliers(
         elif levels is None:
             levels = (n_planes, fine_planes)
         levels = tuple(levels)
+        if len(levels) < 2:
+            raise ValueError(
+                "density_outliers: a cascade needs at least 2 levels"
+                f" (oversized buckets must have an escape); got {levels}"
+            )
         if levels[0] != n_planes or any(
             b <= a for a, b in zip(levels, levels[1:])
         ):
@@ -531,7 +547,12 @@ def dim_stats(
         )
         .where(
             F.assert_true(
-                F.abs(F.col("_vi")) <= F.lit(3_000_000_000),
+                # range check, NOT abs(): the non-ANSI double->long cast
+                # saturates extreme values to Long.MIN_VALUE, whose abs()
+                # overflows back to itself (negative) and would slip an
+                # abs()-based bound
+                (F.col("_vi") >= F.lit(-3_000_000_000))
+                & (F.col("_vi") <= F.lit(3_000_000_000)),
                 F.lit(
                     "dim_stats: quantized magnitude exceeds the int64"
                     " pair-product range (|value| > 3000) — normalize the"
@@ -1392,11 +1413,14 @@ def vector_stat_partials(
     # never wrap and the engines would silently diverge
     q = q.where(
         F.assert_true(
+            # range check, NOT abs(): the non-ANSI double->long cast
+            # saturates extreme values to Long.MIN_VALUE, whose abs()
+            # overflows back to itself (negative) and would slip an
+            # abs()-based bound
             F.expr(
-                "aggregate(_q, CAST(0 AS BIGINT),"
-                " (m, x) -> greatest(m, abs(x)))"
-            )
-            <= F.lit(3_000_000_000),
+                "forall(_q, x ->"
+                " x BETWEEN -3000000000 AND 3000000000)"
+            ),
             F.lit(
                 "vector_stat_partials: quantized magnitude exceeds the"
                 " int64 pair-product range (|value| > 3000) — normalize"
@@ -1777,11 +1801,14 @@ def matryoshka_fidelity(
     )
     q = q.where(
         F.assert_true(
+            # range check, NOT abs(): the non-ANSI double->long cast
+            # saturates extreme values to Long.MIN_VALUE, whose abs()
+            # overflows back to itself (negative) and would slip an
+            # abs()-based bound
             F.expr(
-                "aggregate(_q, CAST(0 AS BIGINT),"
-                " (m, x) -> greatest(m, abs(x)))"
-            )
-            <= F.lit(3_000_000_000),
+                "forall(_q, x ->"
+                " x BETWEEN -3000000000 AND 3000000000)"
+            ),
             F.lit(
                 "matryoshka_fidelity: quantized magnitude exceeds the"
                 " int64 square range (|value| > 3000) — normalize the"

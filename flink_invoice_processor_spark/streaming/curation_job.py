@@ -81,6 +81,21 @@ def curate_stream(
     )
 
 
+def init_scored_table(spark, scored_path: str) -> None:
+    """Make the scored-docs table readable from epoch zero: a zero-row
+    schema-bearing ``batch=-2`` sentinel partition (mode ``ignore`` — a
+    restart never touches an existing table), same fix as
+    ``lsh_maintenance.init_pairs_table``.  Without it,
+    :func:`adaptive_survivors` / :func:`calibrated_scores` die on
+    path-not-found until the first non-empty micro-batch lands —
+    contradicting the 'view over maintained state at every point in
+    time' contract."""
+    empty = spark.createDataFrame(
+        [], "source string, doc_id long, score6 long"
+    ).repartition(1)
+    empty.write.mode("ignore").parquet(scored_path.rstrip("/") + "/batch=-2")
+
+
 def adaptive_curation_micro_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -129,7 +144,10 @@ def adaptive_survivors(
     the current threshold, so early documents are never grandfathered
     past a cut that later data tightened (pinned in
     ``tests/test_streaming_curation.py``)."""
-    from ..functions.curation import threshold_from_histogram
+    from ..functions.curation import (
+        apply_quality_gate,
+        threshold_from_histogram,
+    )
     from .sketch_rollup import read_histogram_table
 
     hist = read_histogram_table(spark, hist_path).select(
@@ -139,11 +157,7 @@ def adaptive_survivors(
     scored = spark.read.parquet(scored_path).select(
         "source", "doc_id", "score6"
     )
-    return (
-        scored.join(F.broadcast(thr), "source")
-        .where(F.col("score6") >= F.col("thr6"))
-        .select("source", "doc_id", "score6", "thr6")
-    )
+    return apply_quality_gate(scored, thr)
 
 
 def calibrated_scores(
@@ -156,7 +170,10 @@ def calibrated_scores(
     (``functions/curation.quantile_lookup_from_histogram``) — equals
     ``quantile_normalize_scores`` over everything ingested, bit for
     bit.  Output: (source, doc_id, score6, q6)."""
-    from ..functions.curation import quantile_lookup_from_histogram
+    from ..functions.curation import (
+        apply_quantile_lookup,
+        quantile_lookup_from_histogram,
+    )
     from .sketch_rollup import read_histogram_table
 
     hist = read_histogram_table(spark, hist_path).select(
@@ -166,9 +183,7 @@ def calibrated_scores(
     scored = spark.read.parquet(scored_path).select(
         "source", "doc_id", "score6"
     )
-    return scored.join(F.broadcast(lookup), ["source", "score6"]).select(
-        "source", "doc_id", "score6", "q6"
-    )
+    return apply_quantile_lookup(scored, lookup)
 
 
 def run_adaptive_curation_job(
@@ -183,7 +198,12 @@ def run_adaptive_curation_job(
     calibrated per-source percentile gate replaces the static classifier
     cut.  The stream maintains the two model-sized state tables; the
     gated corpus is a VIEW over them (:func:`adaptive_survivors`), so
-    the served threshold always reflects every document ingested."""
+    the served threshold always reflects every document ingested.  The
+    scored table is initialized empty-but-readable before the stream
+    starts (:func:`init_scored_table`), so the view works from epoch
+    zero."""
+    init_scored_table(docs.sparkSession, scored_path)
+
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         adaptive_curation_micro_batch(
             batch_df, epoch_id, scored_path, hist_path

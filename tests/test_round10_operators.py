@@ -223,3 +223,62 @@ class TestFsops:
         assert delete_matching_dirs(
             spark, str(base / "bucket=*" / "batch=3")
         ) == 0
+
+
+class TestReviewFixes:
+    """Round-8 adversarial review: edge cases the oracle can't see."""
+
+    def test_levels_without_max_bucket_raises(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(ValueError, match="levels without max_bucket"):
+            SIM.density_outliers(emb, dims=2, n_planes=4, levels=(4, 10))
+
+    def test_single_level_ladder_raises(self, spark):
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+        )
+        with pytest.raises(ValueError, match="at least 2 levels"):
+            SIM.density_outliers(
+                emb, dims=2, n_planes=8, max_bucket=5, levels=(8,)
+            )
+        with pytest.raises(ValueError, match="no room for a second level"):
+            SIM.density_ladder(100, 25, n_planes=46)
+
+    def test_saturating_quantization_fails_loudly(self, spark):
+        """A double beyond the int64 micro-quantization range must FAIL
+        loudly on every ANSI setting: under ANSI (this session) the cast
+        itself raises CAST_OVERFLOW; under ansi=off the cast saturates
+        to Long.MIN_VALUE — whose abs() overflows back NEGATIVE, so the
+        guards are range checks (BETWEEN), never abs()-based."""
+        import pytest
+
+        emb = spark.createDataFrame(
+            [(0, [-1.0e13, 0.0])], "vec_id: long, embedding: array<float>"
+        )
+        loud = "int64 square range|pair-product range|CAST_OVERFLOW"
+        with pytest.raises(Exception, match=loud):
+            SIM.matryoshka_fidelity(emb, ks=(1,)).collect()
+        with pytest.raises(Exception, match=loud):
+            SIM.dim_stats(emb).collect()
+        with pytest.raises(Exception, match=loud):
+            SIM.vector_stat_partials(emb).collect()
+
+    def test_adaptive_view_readable_before_first_batch(self, spark, tmp_path):
+        from flink_invoice_processor_spark.streaming.curation_job import (
+            adaptive_survivors,
+            calibrated_scores,
+            init_scored_table,
+        )
+
+        scored = str(tmp_path / "scored")
+        hist = str(tmp_path / "hist")
+        init_scored_table(spark, scored)
+        # histogram table reads empty gracefully already; the view must too
+        assert adaptive_survivors(spark, scored, hist).count() == 0
+        assert calibrated_scores(spark, scored, hist).count() == 0
