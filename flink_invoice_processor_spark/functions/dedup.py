@@ -1095,3 +1095,85 @@ def fuzzy_pairs(
             "edit_distance",
         )
     )
+
+
+def fuzzy_contamination(pairs: DataFrame, eval_ids: DataFrame) -> DataFrame:
+    """Fuzzy eval-set contamination report: training documents with a
+    VERIFIED near-duplicate in the eval set — the fuzzy complement of
+    exact n-gram decontamination (``curation.decontaminate``), and the
+    production pre-training step that keeps benchmark paraphrases out of
+    the training mix (exact-match filters miss reworded eval items;
+    near-dup pairs catch them).
+
+    ``pairs`` is any verified pair table (doc_id_a < doc_id_b, ...,
+    jaccard) — in production :func:`lsh_verified_pairs`, so recall comes
+    from LSH banding and precision from exact Jaccard.  ``eval_ids`` is
+    the single-column eval membership table.  A pair flags the TRAINING
+    side only when exactly its other side is eval (eval–eval pairs are
+    internal to the benchmark; train–train pairs are ordinary dedup).
+
+    Scale shape: two broadcast membership joins on the (small) eval id
+    table + a union of the two orientations — pair-table-sized, no new
+    shuffle of anything corpus-sized.
+
+    Output: (doc_id, eval_doc_id, jaccard) — one row per contaminated
+    training doc × matching eval doc.
+    """
+    key = eval_ids.columns[0]
+    ea = eval_ids.select(F.col(key).alias("doc_id_a")).withColumn(
+        "_ae", F.lit(True)
+    )
+    eb = eval_ids.select(F.col(key).alias("doc_id_b")).withColumn(
+        "_be", F.lit(True)
+    )
+    j = (
+        pairs.join(F.broadcast(ea), "doc_id_a", "left")
+        .join(F.broadcast(eb), "doc_id_b", "left")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            F.coalesce(F.col("_ae"), F.lit(False)).alias("_ae"),
+            F.coalesce(F.col("_be"), F.lit(False)).alias("_be"),
+        )
+    )
+    hit_a = j.where(F.col("_be") & ~F.col("_ae")).select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("eval_doc_id"),
+        "jaccard",
+    )
+    hit_b = j.where(F.col("_ae") & ~F.col("_be")).select(
+        F.col("doc_id_b").alias("doc_id"),
+        F.col("doc_id_a").alias("eval_doc_id"),
+        "jaccard",
+    )
+    return hit_a.unionByName(hit_b)
+
+
+def cluster_weighted_sample(
+    clusters: DataFrame, rate_scale: int = 1000
+) -> DataFrame:
+    """Dedup-AWARE sampling ("soft dedup"): keep each document with
+    probability 1/cluster_size via a deterministic integer hash gate —
+    in expectation ONE representative per near-dup cluster survives,
+    so heavily duplicated content stops being over-represented in the
+    sample WITHOUT the hard drop of survivor selection (duplicates
+    still appear, proportionally to their cluster count rather than
+    their copy count — the soft-dedup weighting some data mixes prefer
+    over hard dedup).  Singletons (cluster_size 1) always survive.
+
+    The gate is ``md5_int63(doc_id) % (cluster_size * rate_scale) <
+    rate_scale`` — retry-safe (pure function of the doc id), exactly
+    mirrorable in SQL, and unbiased across clusters to ~1/rate_scale.
+
+    Scale shape: one pure-map filter over the clustering table (itself
+    the blocked connected-components output) — no new shuffle.
+
+    Output: (doc_id, cluster_id, cluster_size) for kept documents.
+    """
+    gate = _md5_int63(F.col("doc_id").cast("string")) % (
+        F.col("cluster_size") * F.lit(int(rate_scale))
+    )
+    return clusters.where(gate < F.lit(int(rate_scale))).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

@@ -76,3 +76,55 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def rate_spikes(
+    events: DataFrame,
+    spike_x: int = 3,
+    trailing: int = 24,
+    min_history: int = 12,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key event-RATE anomaly report: hours whose event count exceeds
+    ``spike_x`` times the average over the trailing ``trailing`` observed
+    hours — the monitoring query a continuous ingest runs to catch a
+    crawler gone hot, a bot flood, or a replayed partition before it
+    skews the training mix.
+
+    Pure integer test (no IEEE division): spike ⇔ ``cnt * prev_n >
+    spike_x * prev_sum`` over a ROWS window of the previous ``trailing``
+    OBSERVED hours (rows, not range — gap hours carry no row, so the
+    baseline is the activity level when the key was active; documented
+    semantics, mirrored exactly in SQL).  Hours with fewer than
+    ``min_history`` observed predecessor hours are warm-up and never
+    flagged (an empty window would flag everything).
+
+    Scale shape: one (key, hour)-keyed count aggregate (map-side
+    combined — state bounded by keys × active hours, however many raw
+    events stream through) and one KEYED window over those hourly rows
+    — never a global sort, never a window over raw events.
+
+    Output: (key, hr, cnt, prev_sum, prev_n) for flagged hours.
+    """
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"), F.date_trunc("hour", F.col(ts_col)).alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("hr")
+        .rowsBetween(-int(trailing), -1)
+    )
+    flagged = (
+        hourly.withColumn("prev_sum", F.sum("cnt").over(w))
+        .withColumn("prev_n", F.count("cnt").over(w))
+        .where(
+            (F.col("prev_n") >= int(min_history))
+            & (F.col("cnt") * F.col("prev_n") > int(spike_x) * F.col("prev_sum"))
+        )
+    )
+    return flagged.select(
+        F.col("k").alias(key_col), "hr", "cnt", "prev_sum", "prev_n"
+    )

@@ -282,3 +282,88 @@ class TestReviewFixes:
         # histogram table reads empty gracefully already; the view must too
         assert adaptive_survivors(spark, scored, hist).count() == 0
         assert calibrated_scores(spark, scored, hist).count() == 0
+
+
+class TestFuzzyContamination:
+    def test_orientations_and_exclusions(self, spark):
+        import flink_invoice_processor_spark.functions.dedup as DD
+
+        pairs = spark.createDataFrame(
+            [
+                (1, 10, 0.9),   # train 1 vs eval 10 -> flags 1
+                (20, 3, 0.8),   # eval 20 vs train 3 -> flags 3
+                (10, 20, 0.7),  # eval-eval -> excluded
+                (2, 4, 0.6),    # train-train -> excluded
+            ],
+            "doc_id_a: long, doc_id_b: long, jaccard: double",
+        )
+        eval_ids = spark.createDataFrame(
+            [(10,), (20,)], "doc_id: long"
+        )
+        out = sorted(
+            map(tuple, DD.fuzzy_contamination(pairs, eval_ids).collect())
+        )
+        assert out == [(1, 10, 0.9), (3, 20, 0.8)]
+
+
+class TestClusterWeightedSample:
+    def test_singletons_always_survive_and_big_clusters_thin(self, spark):
+        import flink_invoice_processor_spark.functions.dedup as DD
+
+        rows = [(i, 0, 200) for i in range(200)] + [
+            (1000 + i, 1000 + i, 1) for i in range(20)
+        ]
+        clusters = spark.createDataFrame(
+            rows, "doc_id: long, cluster_id: long, cluster_size: long"
+        )
+        kept = DD.cluster_weighted_sample(clusters).collect()
+        singles = [r for r in kept if r.cluster_size == 1]
+        bigs = [r for r in kept if r.cluster_size == 200]
+        assert len(singles) == 20          # probability 1
+        assert len(bigs) < 20              # ~1 in expectation from 200
+
+
+class TestRateSpikes:
+    def test_spike_flagged_warmup_not(self, spark):
+        from datetime import datetime, timedelta
+
+        from flink_invoice_processor_spark.functions.windows import (
+            rate_spikes,
+        )
+
+        base = datetime(2026, 1, 1)
+        rows = []
+        # 30 steady hours of 10 events, then one hour of 100
+        for h in range(30):
+            rows += [
+                (h * 1000 + i, base + timedelta(hours=h), "click")
+                for i in range(10)
+            ]
+        rows += [
+            (99000 + i, base + timedelta(hours=30), "click")
+            for i in range(100)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, event_type: string"
+        )
+        out = rate_spikes(ev, spike_x=3, trailing=24, min_history=12).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.cnt == 100 and r.prev_n == 24 and r.prev_sum == 240
+
+    def test_early_hours_never_flag(self, spark):
+        from datetime import datetime, timedelta
+
+        from flink_invoice_processor_spark.functions.windows import (
+            rate_spikes,
+        )
+
+        base = datetime(2026, 1, 1)
+        rows = [(0, base, "x")] + [
+            (100 + i, base + timedelta(hours=1), "x") for i in range(500)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, event_type: string"
+        )
+        # huge spike at hour 1, but only 1 hour of history -> warm-up
+        assert rate_spikes(ev, min_history=12).count() == 0
