@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     # truncation-fidelity report
     "kcore_docs",
     "embedding_matryoshka_fidelity",
+    "events_rate_spikes",
 ]
 
 
@@ -143,6 +144,8 @@ DECADE_FAMILIES = [
     # input) and the one-scan matryoshka fidelity report
     "kcore_docs",
     "embedding_matryoshka_fidelity",
+    # round-8 part 2: keyed hourly window over aggregate rows
+    "events_rate_spikes",
 ]
 
 
