@@ -1112,18 +1112,23 @@ def fuzzy_contamination(pairs: DataFrame, eval_ids: DataFrame) -> DataFrame:
     side only when exactly its other side is eval (eval–eval pairs are
     internal to the benchmark; train–train pairs are ordinary dedup).
 
-    Scale shape: two broadcast membership joins on the (small) eval id
-    table + a union of the two orientations — pair-table-sized, no new
-    shuffle of anything corpus-sized.
+    Scale shape: two broadcast membership joins on the (small, deduped
+    here — duplicate membership rows would multiply the join fan-out)
+    eval id table, then ONE conditional projection over the exactly-one-
+    side-eval rows — a union of two filtered branches would execute the
+    whole upstream pair pipeline once per branch (ReuseExchange dedupes
+    exchanges, not post-shuffle work).  Pair-table-sized; nothing
+    corpus-sized shuffles again.
 
     Output: (doc_id, eval_doc_id, jaccard) — one row per contaminated
     training doc × matching eval doc.
     """
     key = eval_ids.columns[0]
-    ea = eval_ids.select(F.col(key).alias("doc_id_a")).withColumn(
+    ev = eval_ids.select(F.col(key).alias("_eid")).distinct()
+    ea = ev.select(F.col("_eid").alias("doc_id_a")).withColumn(
         "_ae", F.lit(True)
     )
-    eb = eval_ids.select(F.col(key).alias("doc_id_b")).withColumn(
+    eb = ev.select(F.col("_eid").alias("doc_id_b")).withColumn(
         "_be", F.lit(True)
     )
     j = (
@@ -1137,17 +1142,15 @@ def fuzzy_contamination(pairs: DataFrame, eval_ids: DataFrame) -> DataFrame:
             F.coalesce(F.col("_be"), F.lit(False)).alias("_be"),
         )
     )
-    hit_a = j.where(F.col("_be") & ~F.col("_ae")).select(
-        F.col("doc_id_a").alias("doc_id"),
-        F.col("doc_id_b").alias("eval_doc_id"),
+    return j.where(F.col("_ae") != F.col("_be")).select(
+        F.when(F.col("_be"), F.col("doc_id_a"))
+        .otherwise(F.col("doc_id_b"))
+        .alias("doc_id"),
+        F.when(F.col("_be"), F.col("doc_id_b"))
+        .otherwise(F.col("doc_id_a"))
+        .alias("eval_doc_id"),
         "jaccard",
     )
-    hit_b = j.where(F.col("_ae") & ~F.col("_be")).select(
-        F.col("doc_id_b").alias("doc_id"),
-        F.col("doc_id_a").alias("eval_doc_id"),
-        "jaccard",
-    )
-    return hit_a.unionByName(hit_b)
 
 
 def cluster_weighted_sample(

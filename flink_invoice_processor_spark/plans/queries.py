@@ -1281,13 +1281,26 @@ def lsh_verified_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate doc ids, so stage-2 work is bounded by the recall
     stage, never corpus² (functions/dedup.py:lsh_verified_pairs).  The
     candidate stage is suite-cache-shared with minhash_lsh_docs /
-    dup_clusters_docs."""
+    dup_clusters_docs; the verified-pair stage is itself shared with
+    fuzzy_decontaminate_docs."""
     docs = load_table(spark, sf_dir, "documents")
+    return _lsh_verified_shared(sf_dir, docs)
+
+
+def _lsh_verified_shared(sf_dir: str, docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard-verified pairs, BOTH
+    stages suite-cache-shared (lsh_verified_pairs_docs and
+    fuzzy_decontaminate_docs consume the identical verified pair set;
+    standalone each rebuilds it — semantics unchanged).  Same shape as
+    :func:`_dup_clusters_shared`."""
     cand = SC.memo(
         (sf_dir, "minhash_lsh_pairs", 16, 4),
         lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
     )
-    return DD.lsh_verified_pairs(docs, threshold=0.5, candidates=cand)
+    return SC.memo_df(
+        (sf_dir, "lsh_verified_pairs", 16, 4, 3, 0.5),
+        lambda: DD.lsh_verified_pairs(docs, threshold=0.5, candidates=cand),
+    )
 
 
 @register(
@@ -7707,11 +7720,7 @@ def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (benchmark-internal) and train-train pairs (ordinary dedup)
     are excluded by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = SC.memo(
-        (sf_dir, "minhash_lsh_pairs", 16, 4),
-        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
-    )
-    pairs = DD.lsh_verified_pairs(docs, threshold=0.5, candidates=cand)
+    pairs = _lsh_verified_shared(sf_dir, docs)
     eval_ids = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
     return DD.fuzzy_contamination(pairs, eval_ids)
 
@@ -7785,10 +7794,8 @@ def events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mix.  Pure integer test (cnt·prev_n > 3·prev_sum, no IEEE
     division), ROWS-windowed over hourly aggregate rows (never raw
     events), warm-up hours (< 12 observed predecessors) never flag."""
-    from ..functions.windows import rate_spikes
-
     ev = load_table(spark, sf_dir, "events")
-    return rate_spikes(ev, spike_x=3, trailing=24, min_history=12)
+    return WIN.rate_spikes(ev, spike_x=3, trailing=24, min_history=12)
 
 
 @register(

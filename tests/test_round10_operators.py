@@ -297,8 +297,9 @@ class TestFuzzyContamination:
             ],
             "doc_id_a: long, doc_id_b: long, jaccard: double",
         )
+        # duplicate membership rows must not multiply the report
         eval_ids = spark.createDataFrame(
-            [(10,), (20,)], "doc_id: long"
+            [(10,), (20,), (10,)], "doc_id: long"
         )
         out = sorted(
             map(tuple, DD.fuzzy_contamination(pairs, eval_ids).collect())
