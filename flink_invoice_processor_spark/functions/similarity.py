@@ -384,12 +384,18 @@ def density_outliers(
             " degrade to single-level blocking (the quadratic hazard the"
             " cascade exists to prevent) — pass max_bucket, or drop levels"
         )
-    if max_bucket is not None and levels is None and fine_planes < n_planes:
+    if max_bucket is not None and levels is None and fine_planes <= n_planes:
+        # fine == n would map to levels=(n, n) below and fail the
+        # strictly-increasing ladder check with a 'levels'-worded error
+        # about a parameter the caller never passed — reject the
+        # degenerate legacy config in its own vocabulary instead (at
+        # equal widths the re-block is a no-op: oversized buckets stay
+        # oversized, which is the quadratic hazard the cascade prevents)
         raise ValueError(
-            "density_outliers: fine_planes must be >= n_planes (fine"
-            " buckets subdivide coarse buckets, and the level-key offset"
-            f" requires it); got n_planes={n_planes},"
-            f" fine_planes={fine_planes}"
+            "density_outliers: fine_planes must be > n_planes (fine"
+            " buckets must strictly subdivide coarse buckets — at equal"
+            " widths the re-block cannot shrink an oversized bucket);"
+            f" got n_planes={n_planes}, fine_planes={fine_planes}"
         )
     if max_bucket is None:
         sig = nn.select(
@@ -555,8 +561,11 @@ def dim_stats(
                 & (F.col("_vi") <= F.lit(3_000_000_000)),
                 F.lit(
                     "dim_stats: quantized magnitude exceeds the int64"
-                    " pair-product range (|value| > 3000) — normalize the"
-                    " vectors first (standardize); bound shared with"
+                    " pair-product range (|value| > 3000) or an array"
+                    " element is NULL (both trip this guard: a NULL"
+                    " range predicate is not-true to assert_true) —"
+                    " normalize the vectors first (standardize) and"
+                    " repair null elements; bound shared with"
                     " vector_stat_partials so the batch and maintained"
                     " paths fail identically"
                 ),
@@ -1423,9 +1432,11 @@ def vector_stat_partials(
             ),
             F.lit(
                 "vector_stat_partials: quantized magnitude exceeds the"
-                " int64 pair-product range (|value| > 3000) — normalize"
-                " the vectors first (standardize), or widen the products"
-                " to DECIMAL"
+                " int64 pair-product range (|value| > 3000) or an array"
+                " element is NULL (a NULL forall is not-true to"
+                " assert_true) — normalize the vectors first"
+                " (standardize), repair null elements, or widen the"
+                " products to DECIMAL"
             ),
         ).isNull()
     )

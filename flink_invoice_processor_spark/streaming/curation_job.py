@@ -31,7 +31,12 @@ Two gate variants:
   threshold — a percentile gate is corpus-dependent, so per-batch hard
   admission would grandfather early documents past a cut that later
   data tightened; serving the gate as a view is what makes the stream
-  equal the batch operator bit for bit at every point in time.
+  equal the batch operator bit for bit at every epoch boundary (the
+  histogram and scored-table writes are two separate commits, so a read
+  landing between them inside one micro-batch may pair the new
+  threshold with the old scored table — the crash-replay convergence
+  note on :func:`adaptive_curation_micro_batch` covers why the next
+  epoch heals it).
 """
 
 from __future__ import annotations
@@ -140,7 +145,11 @@ def adaptive_survivors(
     Because score and threshold algebra are THE batch operator's
     functions and histogram merge is exact, this equals
     ``adaptive_quality_cut`` over everything ingested so far, bit for
-    bit — unlike a hard per-batch gate, admission is re-evaluated under
+    bit, AT EPOCH BOUNDARIES — the histogram and scored-table writes
+    are not one atomic commit, so a read racing a micro-batch between
+    them can transiently see a threshold that includes documents absent
+    from the scored table; the next completed epoch restores exact
+    equality — unlike a hard per-batch gate, admission is re-evaluated under
     the current threshold, so early documents are never grandfathered
     past a cut that later data tightened (pinned in
     ``tests/test_streaming_curation.py``)."""
