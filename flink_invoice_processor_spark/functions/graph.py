@@ -175,22 +175,51 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
             )
         )
 
-    # TWO peels per action: peel tails are long runs of tiny frontiers
-    # (measured 12 rounds at the decade point, 7 of them dropping one
-    # node each) where the per-round fixed cost — a checkpoint and a
-    # count job — dominates the actual work, so composing two lazy peels
-    # per materialization halves the action count for the same
-    # trajectory.  Convergence = the alive count stopped changing
-    # (degrees can only change when a node drops); a peel past the
-    # fixpoint is a no-op, so the pairing never over-peels and the
-    # unrolled oracle (insensitive to action scheduling) agrees.
+    # ADAPTIVE peels per action: peel tails are long runs of tiny
+    # frontiers (measured 12 rounds at the decade point, 7 of them
+    # dropping one node each) where the per-action fixed cost — a
+    # checkpoint and a count job — dominates the actual work.  Start at
+    # two lazy peels per materialization; once an action drops <= 512
+    # nodes (the frontier is provably tiny from here on, because the
+    # alive set only shrinks and each subsequent frontier is a subset of
+    # nodes whose degree a tiny drop set could have decremented),
+    # escalate to eight peels per action — the decade tail then costs
+    # ~2 actions instead of ~6.  Extra lazy peels past the fixpoint are
+    # no-ops (the frontier filter matches nothing, the semi-join is
+    # empty), so escalation never over-peels and the unrolled oracle
+    # (insensitive to action scheduling) agrees.  Convergence = the
+    # alive count stopped changing (degrees can only change when a node
+    # drops).
     n_alive = deg.count()
-    for _ in range((max_rounds + 1) // 2):
-        deg = _peel_once(_peel_once(deg)).localCheckpoint()
+    peels_done = 0
+    per_action = 2
+    # budget: never execute a peel numbered past max_rounds — the
+    # unrolled oracle computes exactly max_rounds rounds, and a result
+    # converged DEEPER than that would hash-mismatch the oracle instead
+    # of raising loudly (the old fixed-2 schedule had the same clamp by
+    # construction: 8 actions x 2 peels = 16)
+    while peels_done < max_rounds:
+        batch = min(per_action, max_rounds - peels_done)
+        for _ in range(batch):
+            deg = _peel_once(deg)
+        deg = deg.localCheckpoint()
+        peels_done += batch
         n = deg.count()
         if n == n_alive:
             return deg.select(F.col("src").alias("doc_id"), "core_degree")
+        if n_alive - n <= 512:
+            per_action = 8
         n_alive = n
+    # budget exhausted with the last action still dropping nodes.  The
+    # fixpoint may still have landed exactly AT peel max_rounds (the
+    # action granularity can't see inside itself), so probe with ONE
+    # extra peel: unchanged count proves convergence within the cap
+    # (the probe was a no-op); a changed count proves the true core
+    # needs more rounds than the oracle unrolled — raise loudly rather
+    # than return a superset the oracle would hash-mismatch.
+    probe = _peel_once(deg).localCheckpoint()
+    if probe.count() == n_alive:
+        return deg.select(F.col("src").alias("doc_id"), "core_degree")
     raise RuntimeError(
         f"kcore: peel did not converge within max_rounds={max_rounds} —"
         " raise max_rounds (and regenerate the unrolled oracle to match)"

@@ -169,6 +169,48 @@ class TestKcoreFrontierPeel:
         edges = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
         assert GR.kcore(edges, k=3).count() == 0
 
+    def test_fixpoint_exactly_at_cap_returns_core(self, spark):
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        # triangle {0,1,2} + tail 2-3-4: the k=2 peel drops 4 (round 1)
+        # then 3 (round 2) — fixpoint exactly AT max_rounds=2.  The
+        # post-budget single-peel probe must prove convergence (the
+        # probe is a no-op) and return the triangle; the pre-round-9
+        # schedule raised spuriously here
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "a: long, b: long"
+        )
+        out = {
+            r.doc_id: r.core_degree
+            for r in GR.kcore(edges, k=2, max_rounds=2).collect()
+        }
+        assert out == {0: 2, 1: 2, 2: 2}
+
+    def test_long_tail_escalates_and_converges(self, spark):
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        # 20-node path, k=2: one endpoint pair drops per round (10 rounds
+        # of tiny frontiers) — exercises the adaptive 8-peels-per-action
+        # escalation; the core is empty
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "a: long, b: long"
+        )
+        assert GR.kcore(edges, k=2, max_rounds=16).count() == 0
+
+    def test_unconverged_within_cap_raises_loudly(self, spark):
+        import pytest
+
+        import flink_invoice_processor_spark.functions.graph as GR
+
+        # 30-node path needs 15 k=2 peel rounds; max_rounds=4 must raise
+        # (returning a superset would silently hash-mismatch the
+        # unrolled oracle)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "a: long, b: long"
+        )
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            GR.kcore(edges, k=2, max_rounds=4).count()
+
 
 class TestMatryoshkaFidelity:
     def test_hand_computed_fractions(self, spark):

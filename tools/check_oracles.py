@@ -56,6 +56,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from gitinfo import git_head
+
+    # producing-commit identity first, so a committed sweep file is
+    # checkable against git history without re-running the sweep
+    print(f"git_head: {git_head()}")
+
     # Replicate the driver: a PLAIN SparkSession, NOT the repo session
     # factory.  Round 1 shipped a conf that lived only in the factory and 13
     # queries died in the driver's harness while local checks stayed green.

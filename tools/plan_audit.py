@@ -179,9 +179,12 @@ def main() -> None:
     finally:
         dedup.MATERIALIZE_PAIRS = prior_materialize
     unexpected = {n: f for n, f in soft.items() if n not in ALLOWED_SOFT}
+    from gitinfo import git_head
+
     print(
         json.dumps(
             {
+                "git_head": git_head(),
                 "queries": len(names),
                 "hard": hard,
                 "soft_allowed": {

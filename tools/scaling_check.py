@@ -12,13 +12,23 @@ Prints one JSON line:
    "ratio": b/a}}}
 
 With a third directory (a 10x-sf0.1 set from
-tools/make_scaling_decade.py) an extra DECADE section runs the three
+tools/make_scaling_decade.py) an extra DECADE section runs the
 historically worst-scaling families one more decade up
-(large -> xlarge), under the suite cache and timed twice per point:
-``*_build`` (first call — includes maintained-artifact builds: the
+(large -> xlarge), timed twice per point: ``*_build`` (first call in a
+FRESH suite-cache scope — includes maintained-artifact builds: the
 trigram index, memoized SimHash pairs) and the bare name (second call —
 the steady state a long-running cluster pays).  ``ratio`` is the
 steady-state ratio; ``ratio_build`` the build-inclusive one.
+
+ATTRIBUTION STABILITY (round 9): every decade measurement is the MEDIAN
+of ``--reps`` repetitions (default 3), and each build repetition runs in
+its own suite-cache scope (``enable()`` clears the scope), so (a) a
+family's build charge never depends on which OTHER family ran first and
+warmed a shared artifact — the r8 harness shared one scope across the
+whole section, which is exactly why committed build ratios oscillated
+1.28x vs 3.29x between clean runs — and (b) one GC pause or JIT
+compilation can no longer own a committed number.  The output embeds the
+producing git sha so artifact identity is checkable from git alone.
 """
 
 from __future__ import annotations
@@ -149,10 +159,21 @@ DECADE_FAMILIES = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    large = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    xlarge = sys.argv[3] if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    large = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    xlarge = args[2] if len(args) > 2 else None
 
     from flink_invoice_processor_spark.functions import suite_cache
     from flink_invoice_processor_spark.plans.queries import QUERIES
@@ -165,26 +186,36 @@ def main() -> None:
         times = {}
         for label, sf_dir in (("small_s", small), ("large_s", large)):
             fn(spark, sf_dir).count()  # warm (codegen + footers)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            times[label] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            times[label] = round(_median(samples), 3)
         times["ratio"] = round(times["large_s"] / max(times["small_s"], 1e-9), 2)
         out[name] = times
 
     decade: dict[str, dict[str, float]] = {}
     if xlarge:
-        suite_cache.enable()
         try:
             for name in DECADE_FAMILIES:
                 fn = QUERIES[name]
                 times = {}
                 for label, sf_dir in (("large", large), ("xlarge", xlarge)):
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()  # builds maintained artifacts
-                    times[f"{label}_s_build"] = round(time.perf_counter() - t0, 3)
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()  # steady state
-                    times[f"{label}_s"] = round(time.perf_counter() - t0, 3)
+                    builds, steadies = [], []
+                    for _ in range(reps):
+                        # fresh scope per repetition: THIS family pays its
+                        # own full artifact build every time, regardless of
+                        # what any other family (or earlier rep) warmed
+                        suite_cache.enable()
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()
+                        builds.append(time.perf_counter() - t0)
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()  # steady state
+                        steadies.append(time.perf_counter() - t0)
+                    times[f"{label}_s_build"] = round(_median(builds), 3)
+                    times[f"{label}_s"] = round(_median(steadies), 3)
                 times["ratio"] = round(
                     times["xlarge_s"] / max(times["large_s"], 1e-9), 2
                 )
@@ -203,7 +234,14 @@ def main() -> None:
             return float("nan")
 
     ratio = round(_sf(large) / _sf(small), 2)
-    result = {"sf_ratio": ratio, "queries": out}
+    from gitinfo import git_head
+
+    result = {
+        "git_head": git_head(),
+        "reps": reps,
+        "sf_ratio": ratio,
+        "queries": out,
+    }
     if decade:
         result["decade"] = {"sf_ratio": 10.0, "queries": decade}
     print(json.dumps(result))
