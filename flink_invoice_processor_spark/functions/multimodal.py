@@ -7,8 +7,8 @@ Each processor:
 - runs as ``mapInPandas`` (Arrow-batched, one Python worker per partition —
   the only sane shape for CPU-bound media work at scale; never a row-UDF);
 - has TWO backends: ``backend="real"`` decodes what the standard library
-  can (PPM P6 / uncompressed 24bpp BMP / 8-bit RGB(A) PNG images, 16-bit
-  WAV PCM audio) and
+  can (PPM P6 / uncompressed 24bpp BMP / 8-bit RGB(A) and 1-8-bit
+  palette PNG images, 16-bit WAV PCM audio) and
   raises ``NotImplementedError`` naming the dependency (Pillow / ffmpeg /
   librosa) for formats beyond that — the gate sits per-format inside the
   decoder, not on the whole call; ``backend="fake"`` (default) produces
@@ -113,19 +113,20 @@ def _decode_rgb(data: bytes):
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
         "image format not supported by the stdlib backend (PPM P6, "
-        "uncompressed 24bpp BMP, and 8-bit RGB/RGBA PNG only); install "
+        "uncompressed 24bpp BMP, 8-bit RGB/RGBA PNG, and 1/2/4/8-bit "
+        "palette PNG only); install "
         "Pillow for the rest"
     )
 
 
 def _decode_png(data: bytes):
     """Stdlib-pure PNG decode for the container's most common real image
-    format: 8-bit-per-sample truecolor (color type 2) and truecolor+alpha
-    (color type 6), non-interlaced — ``zlib`` inflate of the IDAT stream
-    followed by per-scanline unfiltering (None/Sub/Up/Average/Paeth, PNG
-    spec §9).  Alpha is dropped (the feature/resize paths are RGB).
-    Palette, grayscale, 16-bit, and interlaced PNGs still gate on Pillow,
-    loudly and by name."""
+    formats: 8-bit-per-sample truecolor (color type 2), truecolor+alpha
+    (color type 6), and PALETTE images (color type 3, bit depth
+    1/2/4/8 — zlib inflate + the same per-scanline unfilter with a
+    1-byte pixel step, then a PLTE lookup), non-interlaced.  Alpha is
+    dropped (the feature/resize paths are RGB).  Grayscale, 16-bit, and
+    interlaced PNGs still gate on Pillow, loudly and by name."""
     import struct
     import zlib
 
@@ -133,6 +134,7 @@ def _decode_png(data: bytes):
 
     pos = 8
     idat = bytearray()
+    plte = None
     w = h = depth = ctype = interlace = None
     try:
         while pos + 8 <= len(data):
@@ -146,6 +148,12 @@ def _decode_png(data: bytes):
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", body
                 )
+            elif ctag == b"PLTE":
+                if len(body) % 3 != 0:
+                    raise NotImplementedError(
+                        "PNG PLTE length not a multiple of 3; corrupt file"
+                    )
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif ctag == b"IDAT":
                 idat += body
             elif ctag == b"IEND":
@@ -156,18 +164,28 @@ def _decode_png(data: bytes):
         raise NotImplementedError(f"PNG truncated/corrupt: {e}") from e
     if w is None:
         raise NotImplementedError("PNG missing IHDR; corrupt file")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    supported = (ctype in (2, 6) and depth == 8) or (
+        ctype == 3 and depth in (1, 2, 4, 8)
+    )
+    if not supported or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} interlace={interlace} "
-            "needs Pillow (stdlib backend reads 8-bit non-interlaced "
-            "RGB/RGBA only)"
+            "needs Pillow (stdlib backend reads non-interlaced 8-bit "
+            "RGB/RGBA and 1/2/4/8-bit palette only)"
         )
-    bpp = 3 if ctype == 2 else 4
+    if ctype == 3:
+        # filtering operates byte-wise with a 1-byte pixel step for
+        # sub-8-bit depths (PNG spec §9: bpp rounds up to one byte);
+        # each scanline is byte-aligned
+        bpp = 1
+        stride = (w * depth + 7) // 8
+    else:
+        bpp = 3 if ctype == 2 else 4
+        stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise NotImplementedError(f"PNG IDAT corrupt: {e}") from e
-    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise NotImplementedError(
             "PNG IDAT length mismatch; corrupt file or unsupported layout"
@@ -213,6 +231,28 @@ def _decode_png(data: bytes):
             raise NotImplementedError(f"PNG filter type {f}; corrupt file")
         img[y] = cur
         prev = cur
+    if ctype == 3:
+        b8 = img.astype(np.uint8)
+        if depth == 8:
+            idx = b8[:, :w]
+        else:
+            # sub-byte indices: rows are byte-aligned; unpack each
+            # row's bits and regroup ``depth`` bits per pixel (MSB
+            # first, PNG spec §7.2)
+            bits = np.unpackbits(b8, axis=1)[:, : w * depth].reshape(
+                h, w, depth
+            )
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2)
+        if plte is None:
+            raise NotImplementedError(
+                "PNG palette image missing PLTE chunk; corrupt file"
+            )
+        if int(idx.max(initial=0)) >= len(plte):
+            raise NotImplementedError(
+                "PNG palette index out of PLTE range; corrupt file"
+            )
+        return plte[idx].copy()
     out = img.astype(np.uint8).reshape(h, w, bpp)
     return out[:, :, :3].copy()
 
@@ -281,8 +321,9 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract image binaries → IMAGE_FEATURES_SCHEMA.
 
-    ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, and
-    8-bit RGB/RGBA PNG with stdlib byte parsing (no dependencies) and
+    ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, 8-bit
+    RGB/RGBA PNG, and 1/2/4/8-bit palette PNG with stdlib byte parsing
+    (no dependencies) and
     emits per-channel mean/std features; any other format raises
     ``NotImplementedError``
     naming Pillow — the dependency gate moved from the whole call down

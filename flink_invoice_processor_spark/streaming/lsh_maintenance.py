@@ -109,3 +109,34 @@ def run_lsh_dedup_job(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def fuzzy_contamination_from_store(
+    spark,
+    pairs_path: str,
+    docs: DataFrame,
+    eval_ids: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy eval-set decontamination SERVED from the maintained pair
+    store: the union of all epochs' candidate pairs (the cumulative-
+    equivalence contract makes it exactly one-shot
+    ``dedup.minhash_lsh_pairs`` over everything ingested) → exact
+    n-gram-Jaccard verification against the corpus → the contamination
+    report (``dedup.fuzzy_contamination``) — so a curation run checks
+    new training data against benchmark near-dups WITHOUT re-banding
+    history.  The recall stage is pre-paid by the stream; per call this
+    is the candidate-bounded verify stage + two broadcast membership
+    joins.  Batch/stream parity is pinned in
+    ``tests/test_lsh_maintenance.py`` (any split of the corpus yields
+    bit-identical reports)."""
+    from ..functions import dedup as DD
+
+    cand = spark.read.parquet(pairs_path).select(
+        "doc_id_a", "doc_id_b", "n_shared_bands"
+    )
+    verified = DD.lsh_verified_pairs(
+        docs, n=n, threshold=threshold, candidates=cand
+    )
+    return DD.fuzzy_contamination(verified, eval_ids)

@@ -211,3 +211,45 @@ def test_init_pairs_table_readable_before_first_pair(spark, tmp_path):
     after = spark.read.parquet(pairs_path)
     assert after.where("batch = 5").count() == 1
     assert after.count() == 1
+
+
+def test_fuzzy_contamination_served_from_store_equals_batch(spark, tmp_path):
+    """Batch/stream parity for the store-served fuzzy decontamination
+    (round 9): stream the corpus through the pair store in two epochs,
+    then ``fuzzy_contamination_from_store`` over the maintained pairs
+    table must equal the one-shot batch report
+    ``fuzzy_contamination(lsh_verified_pairs(docs), eval_ids)`` —
+    bit for bit, jaccard included."""
+    from flink_invoice_processor_spark.streaming.lsh_maintenance import (
+        fuzzy_contamination_from_store,
+        init_pairs_table,
+        lsh_micro_batch,
+    )
+
+    store = str(tmp_path / "store")
+    pairs_path = str(tmp_path / "pairs")
+    meta = LX.build_lsh_store(
+        _docs(spark, [(99, "bootstrap only loner document here")]),
+        store,
+        n_buckets=8,
+    )
+    init_pairs_table(spark, pairs_path)
+    for epoch, batch in enumerate([CORPUS[:3], CORPUS[3:]]):
+        lsh_micro_batch(
+            _docs(spark, batch), epoch, store, pairs_path, meta=meta
+        )
+
+    docs = _docs(spark, CORPUS)
+    # eval slice {3, 6}: flags 1 and 5 (near-dups of 3) and 2 (exact dup
+    # of 6); 3-6 eval-eval and train-train pairs must not appear
+    eval_ids = spark.createDataFrame([(3,), (6,)], "doc_id long")
+    served = fuzzy_contamination_from_store(
+        spark, pairs_path, docs, eval_ids
+    )
+    batch_rep = DD.fuzzy_contamination(
+        DD.lsh_verified_pairs(docs, threshold=0.5), eval_ids
+    )
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, batch_rep.collect()))
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 5}

@@ -95,6 +95,72 @@ def png_bytes(
     )
 
 
+def palette_png_bytes(
+    idx: np.ndarray,
+    plte: np.ndarray,
+    depth: int = 8,
+    filters: list[int] | None = None,
+    include_plte: bool = True,
+) -> bytes:
+    """Spec-conformant PALETTE (color type 3) PNG encoder: indices
+    packed ``depth`` bits per pixel MSB-first, rows byte-aligned,
+    byte-wise forward filtering with the 1-byte pixel step."""
+    import zlib
+
+    h, w = idx.shape
+    rows = []
+    for y in range(h):
+        if depth == 8:
+            rows.append(idx[y].astype(np.uint8))
+        else:
+            bits = (
+                (idx[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            rows.append(np.packbits(bits))
+    stride = len(rows[0])
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = rows[y].astype(np.int32)
+        f = filters[y]
+        out = line.copy()
+        for x in range(stride):
+            a = int(line[x - 1]) if x >= 1 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x >= 1 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                pred = 0
+            out[x] = (line[x] - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if include_plte:
+        parts.append(chunk(b"PLTE", plte.astype(np.uint8).tobytes()))
+    parts += [chunk(b"IDAT", zlib.compress(bytes(raw))), chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
 def wav_bytes(samples: np.ndarray, rate: int = 8000, ch: int = 1) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
@@ -188,10 +254,40 @@ def test_real_png_truncated_and_corrupt_gate_loudly(img):
 
 
 def test_real_png_unsupported_variants_gate_on_pillow(img):
-    # 16-bit, palette, and interlaced stay walled, loudly and by name
-    for kw in ({"depth": 16}, {"ctype": 3}, {"interlace": 1}):
+    # 16-bit, grayscale, and interlaced stay walled, loudly and by name
+    # (palette graduated to the stdlib decoder in round 9)
+    for kw in ({"depth": 16}, {"ctype": 0}, {"interlace": 1}):
         with pytest.raises(NotImplementedError, match="Pillow"):
             MM._decode_rgb(png_bytes(img, **kw))
+
+
+def test_real_palette_png_pixel_exact_all_depths(img):
+    """Palette PNG decodes stdlib-pure (no Pillow in this container) and
+    value-exact at every legal palette depth, across all filter types."""
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for depth, ncolors in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        idx = rng.integers(0, ncolors, size=(5, 4), dtype=np.uint8)
+        for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                        [0, 4, 1, 3, 2]):
+            got = MM._decode_rgb(
+                palette_png_bytes(
+                    idx, plte[:ncolors], depth=depth, filters=list(filters)
+                )
+            )
+            assert np.array_equal(got, plte[:ncolors][idx]), (
+                f"depth={depth} filters={filters}"
+            )
+
+
+def test_real_palette_png_corrupt_gates_loudly():
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    plte = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="PLTE"):
+        MM._decode_rgb(palette_png_bytes(idx, plte, include_plte=False))
+    # index beyond the palette: 1-entry PLTE, indices reach 1
+    with pytest.raises(NotImplementedError, match="PLTE range"):
+        MM._decode_rgb(palette_png_bytes(idx, plte[:1]))
 
 
 def test_real_decode_unsupported_format_gates_on_pillow(spark):

@@ -108,6 +108,12 @@ ALLOWED_SOFT = {
         "the broadcast shortlist side) — a 1-row optimizer artifact that "
         "PRUNES the corpus scan, not a data funnel"
     ),
+    "training_mix_soft_dedup": (
+        "Catalyst-injected runtime bloom filters (bloom_filter_agg over "
+        "the doc_id membership sides of the soft-dedup semi-join and the "
+        "decontamination anti-joins) — 1-row sketch aggregates that PRUNE "
+        "the documents scan, not data funnels"
+    ),
     "hybrid_rrf_docs": (
         "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, "
         "broadcast back"
