@@ -8193,6 +8193,50 @@ QUERIES["lsh_store_verified_pairs"] = lsh_store_verified_pairs
 ORACLES["lsh_store_verified_pairs"] = ORACLES["lsh_verified_pairs_docs"]
 
 
+def kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE sketch invariant as a driver-checkable query
+    (VERDICT r8 "Next #8", second instance): ingest the events table
+    into the version-swapped KMV rollup in TWO micro-batches via the
+    streaming writer itself (``streaming/sketch_rollup.
+    kmv_rollup_writer`` — the exact foreachBatch function the job
+    registers), read the MAINTAINED sketch table back, and emit the
+    distinct-count estimates.  The DuckDB oracle is
+    ``events_kmv_distinct``'s one-shot batch SQL verbatim — the KMV
+    merge law (merge(sketch(A), sketch(B)) == sketch(A ∪ B)),
+    previously pytest-only, pinned by the driver's hash gate.
+
+    The rollup table lives in a per-call temp dir, deleted after the
+    maintained rows are realized; the returned plan is one bounded
+    aggregate over the (checkpointed) ≤ segments·k sketch rows."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketch_rollup import (
+        kmv_rollup_writer,
+        read_sketch_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = tempfile.mkdtemp(prefix="kmv_rollup_q_")
+    try:
+        writer = kmv_rollup_writer(
+            F.col("event_type"),
+            F.floor(F.col("value") * 100).cast("long"),
+            table,
+            k=64,
+        )
+        writer(ev.where(F.col("event_id") % 2 == 0), 0)
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        maintained = read_sketch_table(spark, table).localCheckpoint()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return SK.kmv_estimates(maintained, k=64)
+
+
+QUERIES["kmv_rollup_distinct"] = kmv_rollup_distinct
+ORACLES["kmv_rollup_distinct"] = ORACLES["events_kmv_distinct"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -8234,6 +8278,7 @@ _DRIVER_FIRST = [
     "corpus_curation_fuzzy",
     "training_mix_soft_dedup",
     "lsh_store_verified_pairs",
+    "kmv_rollup_distinct",
     # implementation CHANGED in round 9 (adaptive peel schedule + the
     # cap-exact convergence probe) — needs a driver row on the new path
     "kcore_docs",
@@ -8253,7 +8298,7 @@ _DRIVER_FIRST = [
     "q19_disjunctive_filter",
     "q22_idle_wealthy_customers",
     "vocab_index",
-    # r5 cohort, part 1 (17 of 34; the rest rotate in round 10).
+    # r5 cohort, part 1 (16 of 34; the rest rotate in round 10).
     # training_mix_pipeline and decontaminate_docs sit beside the new
     # composites; pagerank_docs shares the module the kcore change
     # touched; the remainder are the alphabetical head of the cohort.
@@ -8271,7 +8316,6 @@ _DRIVER_FIRST = [
     "events_user_rolling",
     "events_zorder_keys",
     "fuzzy_prefix_pairs",
-    "hybrid_rrf_docs",
     "pagerank_docs",
     "training_mix_pipeline",
 ]

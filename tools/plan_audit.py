@@ -87,6 +87,11 @@ ALLOWED_SOFT = {
         "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
         "+ 1-row stride aggregate"
     ),
+    "kmv_rollup_distinct": (
+        "union-sketch k-smallest aggregate over <= n_segments*k kept "
+        "hashes read from the MAINTAINED sketch table (sketch rows, "
+        "never raw data — same funnel as events_kmv_distinct)"
+    ),
     "events_kmv_distinct": (
         "union-sketch k-smallest aggregate over <= n_segments*k kept "
         "hashes (sketch rows, never raw data)"

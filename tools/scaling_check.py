@@ -104,6 +104,10 @@ REPRESENTATIVE = [
     "kcore_docs",
     "embedding_matryoshka_fidelity",
     "events_rate_spikes",
+    # round-9 families: the composites carrying the soft-dedup and fuzzy
+    # decontamination stages (documents input only)
+    "corpus_curation_fuzzy",
+    "training_mix_soft_dedup",
 ]
 
 
@@ -156,6 +160,9 @@ DECADE_FAMILIES = [
     "embedding_matryoshka_fidelity",
     # round-8 part 2: keyed hourly window over aggregate rows
     "events_rate_spikes",
+    # round-9 composites (documents input only)
+    "corpus_curation_fuzzy",
+    "training_mix_soft_dedup",
 ]
 
 
