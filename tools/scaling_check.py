@@ -230,6 +230,14 @@ def main() -> None:
                     times["xlarge_s_build"] / max(times["large_s_build"], 1e-9),
                     2,
                 )
+                # absolute seconds the decade costs: at sub-2 s large-side
+                # absolutes the RATIO is hypersensitive to how JIT-warm the
+                # baseline happens to be (the same query reads 1.6 s or
+                # 2.7 s at sf0.1 depending on session history), while the
+                # data-driven delta stays stable — report both
+                times["delta_s"] = round(
+                    times["xlarge_s"] - times["large_s"], 3
+                )
                 decade[name] = times
         finally:
             suite_cache.disable()
