@@ -1357,3 +1357,66 @@ def quantile_lookup_from_histogram(
         F.col("val").alias("score6"),
         F.expr(f"cum * {int(pct_scale)} div n").alias("q6"),
     )
+
+
+def compaction_bins(
+    docs: DataFrame,
+    target_tokens: int = 512,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """File-compaction planner: assign each document to an output-file
+    bin of ~``target_tokens`` tokens, per source, in deterministic
+    ``id_col`` order — the small-files compaction step every large
+    ingest needs (a 100 TB corpus written by thousands of streaming
+    micro-batches is millions of kilobyte files; readers want
+    row-group-sized ones).  ``bin_id = exclusive_prefix(n_tokens) div
+    target`` within the source, so bins are contiguous in document
+    order (stable across retries — pure function of the table) and
+    fill at >= target on AVERAGE: the first b bins of a source always
+    hold >= b·target tokens together (an individual bin undershoots
+    only by however much its predecessor's last document overshot the
+    boundary — documents are never split).
+
+    Scale shape: ONE global two-phase prefix sum over
+    (source, doc_id) — :func:`distributed_prefix_sum` range-partitions
+    the total order, so work never concentrates on the SOURCE
+    cardinality the way a ``Window.partitionBy(source)`` would (a
+    handful of giant sequential partitions at corpus scale); the
+    per-source rebase is a |sources|-row broadcast join.
+
+    Output: (``source_col``, ``id_col``, n_tokens, bin_id).
+    """
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    base = docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    cum = distributed_prefix_sum(
+        base,
+        [F.col(source_col), F.col(id_col)],
+        F.col("n_tokens"),
+        out_col="_cum",
+    )
+    # rebase the GLOBAL inclusive prefix to a per-source EXCLUSIVE one:
+    # subtract the row's own weight (inclusive -> exclusive) and the
+    # source's starting offset (min over the source of the exclusive
+    # prefix — a |sources|-row aggregate, broadcast back)
+    ex = cum.withColumn("_ex", F.col("_cum") - F.col("_w"))
+    starts = ex.groupBy(source_col).agg(F.min("_ex").alias("_src0"))
+    return (
+        ex.join(F.broadcast(starts), source_col)
+        .select(
+            source_col,
+            id_col,
+            "n_tokens",
+            F.expr(f"(_ex - _src0) DIV {int(target_tokens)}")
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )

@@ -1865,3 +1865,152 @@ def matryoshka_fidelity(
         )
         .orderBy("k_dims")
     )
+
+
+def jl_sign_matrix(in_dims: int, out_dims: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i)
+    is the low bit of ``md5("jl:{j}:{i}")`` mapped to ±1 — a
+    COMPILE-TIME constant (no RNG seed to ship, no broadcast variable:
+    the matrix folds into the projection expression as literals, and
+    the SQL oracle regenerates the identical literals from the same
+    md5).  Sign matrices satisfy the JL lemma with the same distortion
+    bounds as Gaussians (Achlioptas 2003, database-friendly random
+    projections) and keep the arithmetic INTEGER-exact."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-sign (JL) projection of an embedding column to
+    ``out_dims`` dimensions, in 1e-6 micro-units:
+    ``y_j = Σ_i sign(j,i) · q_i`` — the cheap dimensionality reduction
+    run BEFORE an ANN index at 100 TB (a 4× narrower vector quarters
+    every downstream shuffle/scan byte count while the JL lemma bounds
+    pairwise-distance distortion).
+
+    Scale shape: a PURE MAP — one projection expression per output
+    dimension with the sign matrix folded in as literals (no broadcast
+    join, no shuffle, no UDF); whole-stage codegen sees one fused
+    projection.  Per-element magnitude guard |q| <= 3e9 shared with
+    :func:`vector_stat_partials` (sums then bound by in_dims·3e9,
+    int64-safe to in_dims ~3e9).
+
+    Output: (``id_col``, proj array<bigint>) — micro-unit components.
+    """
+    signs = jl_sign_matrix(in_dims, out_dims)
+    q = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("_q"),
+    )
+    q = q.where(
+        F.assert_true(
+            F.expr(
+                "forall(_q, x -> x BETWEEN -3000000000 AND 3000000000)"
+            ),
+            F.lit(
+                "jl_project: quantized magnitude exceeds the int64 sum"
+                " range (|value| > 3000) — normalize the vectors first"
+                " (standardize)"
+            ),
+        ).isNull()
+    )
+    ys = [
+        ("0" + "".join(
+            f" {'+' if s > 0 else '-'} _q[{i}]" for i, s in enumerate(row)
+        ))
+        for row in signs
+    ]
+    return q.select(
+        id_col,
+        F.expr("array(" + ", ".join(ys) + ")").alias("proj"),
+    )
+
+
+def jl_norm_distortion(
+    emb: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector JL distortion report: how much of each vector's
+    squared norm the ``out_dims``-dim sign projection preserves —
+    ``ratio6 = (1e6 · ‖y‖²) div (out_dims · ‖q‖²)`` in 1e-6 fixed
+    point (the JL estimator E[‖y‖²/out_dims] = ‖q‖², so a healthy
+    report clusters around 1e6; heavy tails mean the target dimension
+    is too small for this corpus).  The QA run before adopting the
+    projection for an ANN index.
+
+    Integer-exact end to end (the matryoshka idiom): micro-unit
+    components, squares in DECIMAL(38,0), one truncating division at
+    the edge — both engines agree bit for bit.  Zero vectors are
+    excluded (no norm to preserve).
+
+    Scale shape: ONE corpus scan, per-row arithmetic only — the
+    projection is a literal-folded map (:func:`jl_project`) and both
+    squared norms reduce within the row; no shuffle at any size.
+
+    Output: (``id_col``, ratio6).
+    """
+    signs = jl_sign_matrix(in_dims, out_dims)
+    q = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("_q"),
+    )
+    q = q.where(
+        F.assert_true(
+            F.expr(
+                "forall(_q, x -> x BETWEEN -3000000000 AND 3000000000)"
+            ),
+            F.lit(
+                "jl_norm_distortion: quantized magnitude exceeds the"
+                " int64 sum range (|value| > 3000) — normalize the"
+                " vectors first (standardize)"
+            ),
+        ).isNull()
+    )
+    ys = [
+        ("0" + "".join(
+            f" {'+' if s > 0 else '-'} _q[{i}]" for i, s in enumerate(row)
+        ))
+        for row in signs
+    ]
+    proj_sq = " + ".join(
+        f"CAST(CAST(_y{j} AS DECIMAL(19,0)) * _y{j} AS DECIMAL(38,0))"
+        for j in range(out_dims)
+    )
+    orig_sq = (
+        "aggregate(_q, CAST(0 AS DECIMAL(38,0)),"
+        " (a, x) -> a + CAST(x AS DECIMAL(19,0)) * x)"
+    )
+    rows = q.select(
+        id_col,
+        *[F.expr(y).alias(f"_y{j}") for j, y in enumerate(ys)],
+        F.expr(orig_sq).alias("_st"),
+    )
+    return rows.where(F.col("_st") > 0).select(
+        id_col,
+        F.expr(
+            f"CAST((1000000 * ({proj_sq})) DIV ({out_dims} * _st)"
+            " AS BIGINT)"
+        ).alias("ratio6"),
+    )

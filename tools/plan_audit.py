@@ -87,6 +87,10 @@ ALLOWED_SOFT = {
         "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
         "+ 1-row stride aggregate"
     ),
+    "compaction_bins_docs": (
+        "<=P-row per-partition offset cumsum (distributed_prefix_sum) "
+        "— the per-source rebase is a |sources|-row broadcast aggregate"
+    ),
     "kmv_rollup_distinct": (
         "union-sketch k-smallest aggregate over <= n_segments*k kept "
         "hashes read from the MAINTAINED sketch table (sketch rows, "
