@@ -63,7 +63,7 @@ def _digest(data: bytes | None) -> str:
 
 
 def _decode_rgb(data: bytes):
-    """Decode PPM-P6 / 24bpp-BMP / 8-bit-RGB(A)-PNG bytes → (H, W, 3)
+    """Decode PPM-P6 / 24bpp-BMP / non-interlaced-PNG bytes → (H, W, 3)
     uint8 ndarray.  Raises ``NotImplementedError`` naming Pillow for any
     other format — the honest gate, per-format instead of per-call."""
     import numpy as np
@@ -113,20 +113,23 @@ def _decode_rgb(data: bytes):
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
         "image format not supported by the stdlib backend (PPM P6, "
-        "uncompressed 24bpp BMP, 8-bit RGB/RGBA PNG, and 1/2/4/8-bit "
-        "palette PNG only); install "
-        "Pillow for the rest"
+        "uncompressed 24bpp BMP, and every non-interlaced spec-legal "
+        "PNG: 8/16-bit RGB(A), 1-16-bit grayscale(+alpha), 1/2/4/8-bit "
+        "palette); install Pillow for the rest"
     )
 
 
 def _decode_png(data: bytes):
-    """Stdlib-pure PNG decode for the container's most common real image
-    formats: 8-bit-per-sample truecolor (color type 2), truecolor+alpha
-    (color type 6), and PALETTE images (color type 3, bit depth
-    1/2/4/8 — zlib inflate + the same per-scanline unfilter with a
-    1-byte pixel step, then a PLTE lookup), non-interlaced.  Alpha is
-    dropped (the feature/resize paths are RGB).  Grayscale, 16-bit, and
-    interlaced PNGs still gate on Pillow, loudly and by name."""
+    """Stdlib-pure PNG decode covering every NON-INTERLACED spec-legal
+    depth/color-type combination: truecolor(+alpha) at 8/16 bits,
+    grayscale(+alpha) at 1/2/4/8/16 bits, palette at 1/2/4/8 bits —
+    zlib inflate + per-scanline unfilter (byte-wise, with the spec's
+    1-byte pixel step for sub-byte depths), then sample regrouping:
+    PLTE lookup for palette, exact linear rescale to 8 bits for sub-byte
+    grayscale (255/(2^d−1) is integral for d∈{1,2,4}), high byte for
+    16-bit (spec §13.12).  Alpha is dropped and grayscale replicated to
+    RGB (the feature/resize paths are RGB).  Only Adam7 interlace still
+    gates on Pillow, loudly and by name."""
     import struct
     import zlib
 
@@ -164,23 +167,30 @@ def _decode_png(data: bytes):
         raise NotImplementedError(f"PNG truncated/corrupt: {e}") from e
     if w is None:
         raise NotImplementedError("PNG missing IHDR; corrupt file")
-    supported = (ctype in (2, 6) and depth == 8) or (
-        ctype == 3 and depth in (1, 2, 4, 8)
+    supported = (
+        (ctype in (2, 6) and depth in (8, 16))
+        or (ctype == 3 and depth in (1, 2, 4, 8))
+        or (ctype == 0 and depth in (1, 2, 4, 8, 16))
+        or (ctype == 4 and depth in (8, 16))
     )
     if not supported or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} interlace={interlace} "
-            "needs Pillow (stdlib backend reads non-interlaced 8-bit "
-            "RGB/RGBA and 1/2/4/8-bit palette only)"
+            "needs Pillow (stdlib backend reads every non-interlaced "
+            "spec-legal depth/color-type: 8/16-bit RGB(A), 1-16-bit "
+            "grayscale(+alpha), 1/2/4/8-bit palette; Adam7 interlace "
+            "gates by name)"
         )
-    if ctype == 3:
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if depth < 8:
         # filtering operates byte-wise with a 1-byte pixel step for
         # sub-8-bit depths (PNG spec §9: bpp rounds up to one byte);
-        # each scanline is byte-aligned
+        # each scanline is byte-aligned.  Only 1-channel types (palette
+        # indices, grayscale) have sub-byte depths in the spec.
         bpp = 1
         stride = (w * depth + 7) // 8
     else:
-        bpp = 3 if ctype == 2 else 4
+        bpp = nch * (2 if depth == 16 else 1)
         stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
@@ -231,19 +241,24 @@ def _decode_png(data: bytes):
             raise NotImplementedError(f"PNG filter type {f}; corrupt file")
         img[y] = cur
         prev = cur
+    b8 = img.astype(np.uint8)
+    if depth < 8:
+        # sub-byte samples: rows are byte-aligned; unpack each row's
+        # bits and regroup ``depth`` bits per sample (MSB first, PNG
+        # spec §7.2)
+        bits = np.unpackbits(b8, axis=1)[:, : w * depth].reshape(
+            h, w, depth
+        )
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (bits * weights).sum(axis=2).reshape(h, w, 1)
+    elif depth == 16:
+        # big-endian 16-bit samples → standard 8-bit reduction is the
+        # high byte (PNG spec §13.12 sample-depth rescale, floor form)
+        samples = b8.reshape(h, w, nch, 2)[:, :, :, 0]
+    else:
+        samples = b8[:, :stride].reshape(h, w, nch)
     if ctype == 3:
-        b8 = img.astype(np.uint8)
-        if depth == 8:
-            idx = b8[:, :w]
-        else:
-            # sub-byte indices: rows are byte-aligned; unpack each
-            # row's bits and regroup ``depth`` bits per pixel (MSB
-            # first, PNG spec §7.2)
-            bits = np.unpackbits(b8, axis=1)[:, : w * depth].reshape(
-                h, w, depth
-            )
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            idx = (bits * weights).sum(axis=2)
+        idx = samples[:, :, 0]
         if plte is None:
             raise NotImplementedError(
                 "PNG palette image missing PLTE chunk; corrupt file"
@@ -253,8 +268,16 @@ def _decode_png(data: bytes):
                 "PNG palette index out of PLTE range; corrupt file"
             )
         return plte[idx].copy()
-    out = img.astype(np.uint8).reshape(h, w, bpp)
-    return out[:, :, :3].copy()
+    if ctype in (0, 4):
+        gray = samples[:, :, 0]
+        if depth < 8:
+            # linear sample rescale to 8 bits: 255/(2^d - 1) is an exact
+            # integer for d in {1, 2, 4}, so this is lossless (spec
+            # §13.12 left-bit-replication gives the identical value)
+            gray = (gray.astype(np.uint16) * (255 // ((1 << depth) - 1))
+                    ).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2).copy()
+    return samples[:, :, :3].copy()
 
 
 def _rgb_features(img, n_features: int) -> list[float]:
@@ -321,8 +344,9 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract image binaries → IMAGE_FEATURES_SCHEMA.
 
-    ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, 8-bit
-    RGB/RGBA PNG, and 1/2/4/8-bit palette PNG with stdlib byte parsing
+    ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, and
+    every non-interlaced spec-legal PNG (8/16-bit RGB(A), 1-16-bit
+    grayscale(+alpha), 1/2/4/8-bit palette) with stdlib byte parsing
     (no dependencies) and
     emits per-channel mean/std features; any other format raises
     ``NotImplementedError``

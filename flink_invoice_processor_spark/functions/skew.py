@@ -89,3 +89,80 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
     )
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Key-distribution skew diagnostics per group — the report read
+    BEFORE choosing a join/aggregate strategy at scale: a top-key share
+    near 1e6 (micro-units) or a Gini near 1 says "salt this key or let
+    AQE split it"; a flat profile says the plain hash shuffle is fine.
+
+    Scale shape is the value-histogram trick from functions/stats.py
+    applied to COUNTS-OF-COUNTS: per-key counts (one map-side-combined
+    shuffle, |keys| rows) collapse into the (group, count, n_keys)
+    histogram (bounded by the count-value domain, NOT the key count),
+    and the Gini index comes from a prefix sum over THOSE rows — keys
+    with equal count occupy a contiguous rank run [s+1, s+m], so their
+    rank-weighted mass is ``c·(m·s + m(m+1)/2)`` in closed form and the
+    classic ``2·Σ rank·c − (K+1)·N`` numerator needs no per-key sort
+    anywhere.  All mass sums are exact BIGINTs (int64-safe while
+    ``keys·rows`` per group < 2^63); the two report ratios divide as
+    DOUBLE at the edge (IEEE-deterministic; a diagnostic needs 15
+    significant digits, not 38).
+
+    Output: (group, n_rows, n_keys, max_count, top1_share6, gini6)."""
+    kc = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("k"))
+        .groupBy("g", "k")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = kc.groupBy("g", "c").agg(F.count("*").alias("m"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn("s", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    prof = ranked.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("m")).alias("n_rows"),
+        F.sum("m").alias("n_keys"),
+        F.max("c").alias("max_count"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("s")
+                + F.expr("m * (m + 1) div 2")
+            )
+        ).alias("t"),
+    )
+    gnum = (
+        F.lit(2) * F.col("t")
+        - (F.col("n_keys") + F.lit(1)) * F.col("n_rows")
+    )
+    return prof.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.round(
+            F.col("max_count").cast("double")
+            * F.lit(1000000.0)
+            / F.col("n_rows").cast("double")
+        )
+        .cast("long")
+        .alias("top1_share6"),
+        F.round(
+            gnum.cast("double")
+            * F.lit(1000000.0)
+            / (
+                F.col("n_keys").cast("double")
+                * F.col("n_rows").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("gini6"),
+    )

@@ -588,3 +588,160 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("wc").alias("n_pair"))
     )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the word distribution, in 1e-6
+    fixed point — the repetitiveness signal quality heuristics like the
+    Gopher rules approximate with hand-picked ratios: template/spam docs
+    (one phrase looped thousands of times) sit near 0 bits no matter how
+    long they are, while natural prose tracks ``log2(n_distinct)``.
+
+    Exactness contract: ``H = log2(n) - (Σ c·log2(c)) / n`` is computed
+    with each per-term ``c·log2(c)`` rounded to integer micro-bits and
+    summed EXACTLY as BIGINT (double partial-aggregation order is
+    nondeterministic across engines; integer sums are not), then one
+    truncating division at the edge.  Scale shape: explode →
+    (doc_id, token) map-side-combined count → per-doc re-aggregate;
+    shuffle bounded by per-doc distinct vocabulary, never corpus
+    positions.  Docs with no tokens are excluded (entropy undefined).
+
+    Output: (doc_id, n_tokens, n_distinct, entropy6)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    per = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c") * F.lit(1000000.0)).cast("long")
+        ).alias("s6"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.round(F.log2("n_tokens") * F.lit(1000000.0)).cast("long")
+            - F.expr("s6 div n_tokens")
+        ).alias("entropy6"),
+    )
+
+
+def zipf_fit(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus Zipf-law fit: OLS slope/intercept of ``log2(count)`` on
+    ``log2(rank)`` over the top-``k`` words — the one-row corpus health
+    report (natural language sits near slope −1; a synthetic or
+    boilerplate-flooded corpus drifts flat or cliff-shaped).
+
+    Determinism/exactness: ranks come from :func:`curation.
+    distributed_row_number` under the (count DESC, word ASC) total order
+    (no single-partition global sort); the regression runs on
+    milli-units (``round(log2·1000)`` BIGINTs) so every sum and the
+    closed-form slope are EXACT integer arithmetic — the only rounding
+    is the fixed-point quantization itself.  Signed rounding divisions
+    are written as positive-operand ``div`` under a sign CASE because
+    floor (DuckDB ``//``) and truncation (Spark ``div``) disagree on
+    negatives.  Scale: token count aggregate (vocab-bounded) + a ≤k-row
+    tail; the regression input is ``k`` rows regardless of corpus size.
+
+    Output one row: (n_terms, slope3, intercept3) in 1e-3 units;
+    slope3/intercept3 NULL when fewer than 2 distinct x values."""
+    from .curation import distributed_row_number
+
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = distributed_row_number(
+        counts, [F.col("cnt").desc(), F.col("tok").asc()], out_col="rnk"
+    ).where(F.col("rnk") <= k)
+    pts = top.select(
+        F.round(F.log2("rnk") * F.lit(1000.0)).cast("long").alias("x3"),
+        F.round(F.log2("cnt") * F.lit(1000.0)).cast("long").alias("y3"),
+    )
+    a = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x3").alias("sx"),
+        F.sum("y3").alias("sy"),
+        F.sum(F.col("x3") * F.col("x3")).alias("sxx"),
+        F.sum(F.col("x3") * F.col("y3")).alias("sxy"),
+    )
+    s = a.select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope3 = F.when(
+        F.col("den") <= 0, F.lit(None).cast("long")
+    ).when(
+        F.col("num") >= 0,
+        F.expr("(2000 * num + den) div (2 * den)"),
+    ).otherwise(
+        -F.expr("(2000 * -num + den) div (2 * den)")
+    )
+    w = s.withColumn("slope3", slope3).withColumn(
+        "ia", F.lit(1000) * F.col("sy") - F.col("slope3") * F.col("sx")
+    )
+    intercept3 = F.when(
+        F.col("slope3").isNull(), F.lit(None).cast("long")
+    ).when(
+        F.col("ia") >= 0,
+        F.expr("(2 * ia + 1000 * n) div (2000 * n)"),
+    ).otherwise(
+        -F.expr("(2 * -ia + 1000 * n) div (2000 * n)")
+    )
+    return w.select(
+        F.col("n").alias("n_terms"), "slope3", intercept3.alias("intercept3")
+    )
+
+
+def language_mismatch(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source rate of documents whose STORED ``lang`` tag disagrees
+    with the stopword language-ID prediction — the metadata-vs-content
+    agreement QA a crawl pipeline runs before trusting upstream language
+    tags for mix weighting (a source whose tags are wrong poisons every
+    lang-stratified stage downstream).  Docs the heuristic can't call
+    (``pred_lang = 'und'``, e.g. languages outside the stopword lists)
+    are counted but excluded from the rate's denominator.
+
+    One corpus scan: the language-ID hit columns compose into the same
+    projection as the group key (no doc_id join-back), then one
+    map-side-combined aggregate over |sources| keys.  The rate division
+    goes through integer half-away-from-zero rounding (positive
+    operands), so output is engine-exact BIGINTs.
+
+    Output: (source, n_docs, n_pred, n_mismatch, mismatch_rate6)."""
+    scan = df.select(
+        F.col(source_col).alias("source"),
+        F.col("lang"),
+        *language_columns(text_col),
+    )
+    agg = scan.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("pred_lang") != "und", 1).otherwise(0)).alias(
+            "n_pred"
+        ),
+        F.sum(
+            F.when(
+                (F.col("pred_lang") != "und")
+                & (F.col("pred_lang") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_pred", "n_mismatch",
+        F.when(F.col("n_pred") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(2000000 * n_mismatch + n_pred) div (2 * n_pred)")
+        )
+        .alias("mismatch_rate6"),
+    )

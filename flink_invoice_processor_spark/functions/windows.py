@@ -128,3 +128,53 @@ def rate_spikes(
     return flagged.select(
         F.col("k").alias(key_col), "hr", "cnt", "prev_sum", "prev_n"
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    half_life_s: int = 86400,
+) -> DataFrame:
+    """Exponentially time-decayed aggregates per key — the feature-store
+    staple ("activity in the recent past, old events fading smoothly")
+    that replaces a fan of fixed lookback windows with ONE scan: each
+    row contributes ``value · 2^(-Δ/half_life)`` where Δ is its age in
+    seconds against the corpus max timestamp.
+
+    Decayed sums are mergeable the same way sketches are (partials
+    decayed to a common reference instant just add), which is why this
+    aggregates map-side like a plain sum.  Exactness contract: the
+    per-row decay weight is one fixed IEEE expression rounded to 1e-6
+    micro-units, and the aggregate SUMS THE BIGINT micro-units exactly —
+    never doubles — so partial-aggregation order can't shift the result.
+    The reference instant comes from a 1-row max-timestamp aggregate
+    broadcast-cross-joined back (no window, no second scan of raw rows
+    beyond the max).
+
+    Output: (key, n_events, wsum6, decayed_value6) — decayed row count
+    and decayed value sum in micro-units."""
+    tmax = df.agg(F.max(ts_col).alias("_tmax"))
+    j = df.crossJoin(F.broadcast(tmax))
+    # exact integer microseconds (timestamps carry sub-second precision;
+    # SECOND-granularity diffs are boundary counts and engine-ambiguous)
+    age = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _tmax)")
+    w = F.pow(
+        F.lit(2.0), -(age.cast("double") / F.lit(float(half_life_s) * 1e6))
+    )
+    return (
+        j.select(
+            F.col(key_col),
+            F.round(w * F.lit(1000000.0)).cast("long").alias("_w6"),
+            F.round(F.col(val_col) * w * F.lit(1000000.0))
+            .cast("long")
+            .alias("_vw6"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_w6").alias("wsum6"),
+            F.sum("_vw6").alias("decayed_value6"),
+        )
+    )

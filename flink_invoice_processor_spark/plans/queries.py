@@ -8329,6 +8329,212 @@ def compaction_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9, part 3: corpus-health QA (entropy, Zipf fit, tag agreement),
+# time-decayed feature aggregates, and the key-skew diagnostic profile.
+# ---------------------------------------------------------------------------
+
+@register(
+    "word_entropy_docs",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ), per AS (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ), a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CAST(round(c * log2(c) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS s6
+        FROM per GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(round(log2(n_tokens) * 1000000, 0) AS BIGINT)
+               - s6 // n_tokens AS entropy6
+    FROM a
+    """,
+)
+def word_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy in micro-bits
+    (functions/text.py:word_entropy): the repetitiveness signal the
+    Gopher-style ratio rules approximate — template/spam docs sit near 0
+    regardless of length.  Per-term c·log2(c) contributions are rounded
+    to BIGINT micro-units and summed EXACTLY (engine-deterministic);
+    shuffle is bounded by per-doc distinct vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.word_entropy(docs)
+
+
+@register(
+    "zipf_fit_docs",
+    f"""
+    WITH tok AS (
+        SELECT unnest(list_transform({_TOKENS_SQL}, t -> lower(t))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ), c AS (
+        SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+    ), r AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk
+        FROM c QUALIFY rnk <= 100
+    ), p AS (
+        SELECT CAST(round(log2(rnk) * 1000, 0) AS BIGINT) AS x3,
+               CAST(round(log2(cnt) * 1000, 0) AS BIGINT) AS y3
+        FROM r
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x3) AS BIGINT) AS sx,
+               CAST(sum(y3) AS BIGINT) AS sy,
+               CAST(sum(x3 * x3) AS BIGINT) AS sxx,
+               CAST(sum(x3 * y3) AS BIGINT) AS sxy
+        FROM p
+    ), s AS (
+        SELECT n, sx, sy, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den
+        FROM a
+    ), sl AS (
+        SELECT n, sx, sy,
+               CASE WHEN den <= 0 THEN NULL
+                    WHEN num >= 0 THEN (2000 * num + den) // (2 * den)
+                    ELSE -((2000 * (-num) + den) // (2 * den)) END AS slope3
+        FROM s
+    ), ic AS (
+        SELECT n, slope3, 1000 * sy - slope3 * sx AS ia FROM sl
+    )
+    SELECT n AS n_terms, CAST(slope3 AS BIGINT) AS slope3,
+           CAST(CASE WHEN slope3 IS NULL THEN NULL
+                WHEN ia >= 0 THEN (2 * ia + 1000 * n) // (2000 * n)
+                ELSE -((2 * (-ia) + 1000 * n) // (2000 * n))
+           END AS BIGINT) AS intercept3
+    FROM ic
+    """,
+)
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law OLS fit over the top-100 words
+    (functions/text.py:zipf_fit): one-row corpus health report (natural
+    text ≈ slope −1 in milli-units).  Ranks via the two-phase
+    distributed_row_number (no single-partition global sort); the whole
+    regression is exact integer arithmetic on log milli-units, with
+    sign-CASEd positive-operand divisions because floor (DuckDB //) and
+    truncation (Spark div) disagree on negatives."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.zipf_fit(docs, k=100)
+
+
+@register(
+    "lang_mismatch_docs",
+    f"""
+    WITH l AS ({ORACLES["language_id_docs"]})
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN l.pred_lang <> 'und' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN l.pred_lang <> 'und'
+                          AND l.pred_lang <> d.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(CASE WHEN sum(CASE WHEN l.pred_lang <> 'und' THEN 1
+                                   ELSE 0 END) = 0 THEN 0
+                ELSE (2000000 * CAST(sum(CASE WHEN l.pred_lang <> 'und'
+                                              AND l.pred_lang <> d.lang
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                      + CAST(sum(CASE WHEN l.pred_lang <> 'und' THEN 1
+                                      ELSE 0 END) AS BIGINT))
+                     // (2 * CAST(sum(CASE WHEN l.pred_lang <> 'und'
+                                           THEN 1 ELSE 0 END) AS BIGINT))
+           END AS BIGINT) AS mismatch_rate6
+    FROM documents d JOIN l USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def lang_mismatch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language agreement per source
+    (functions/text.py:language_mismatch): rate of docs whose stored
+    ``lang`` tag disagrees with the stopword language-ID call —
+    run before trusting upstream tags for mix weighting.  Spark side is
+    ONE scan (the hit columns compose into the group-by projection; the
+    oracle's doc_id join-back is DuckDB-only); all outputs are exact
+    BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.language_mismatch(docs)
+
+
+@register(
+    "events_decayed_counts",
+    """
+    WITH m AS (SELECT max(ts) AS tmax FROM events),
+    w AS (
+        SELECT event_type,
+               CAST(round(pow(2.0, -(CAST(date_diff('microsecond', ts, tmax)
+                        AS DOUBLE) / 86400000000.0)) * 1000000, 0)
+                    AS BIGINT) AS w6,
+               CAST(round(value * pow(2.0,
+                        -(CAST(date_diff('microsecond', ts, tmax)
+                           AS DOUBLE) / 86400000000.0)) * 1000000, 0)
+                    AS BIGINT) AS vw6
+        FROM events, m
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w6) AS BIGINT) AS wsum6,
+           CAST(sum(vw6) AS BIGINT) AS decayed_value6
+    FROM w GROUP BY 1
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-type aggregates, 1-day half-life
+    (functions/windows.py:decayed_counts): the feature-store staple that
+    replaces a fan of fixed lookback windows with ONE scan.  Decay
+    weights are one fixed IEEE expression rounded to micro-units and
+    summed exactly as BIGINT; the reference instant is a 1-row max
+    aggregate broadcast back (allowlisted single-row exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.decayed_counts(
+        ev, key_col="event_type", ts_col="ts", val_col="value",
+        half_life_s=86400,
+    )
+
+
+@register(
+    "events_key_skew_profile",
+    """
+    WITH kc AS (
+        SELECT event_type AS g, user_id AS k, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), h AS (
+        SELECT g, c, count(*) AS m FROM kc GROUP BY 1, 2
+    ), r AS (
+        SELECT g, c, m,
+               COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS s
+        FROM h
+    ), p AS (
+        SELECT g, CAST(sum(c * m) AS BIGINT) AS n_rows,
+               CAST(sum(m) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_count,
+               CAST(sum(c * (m * s + m * (m + 1) // 2)) AS BIGINT) AS t
+        FROM r GROUP BY 1
+    )
+    SELECT g AS event_type, n_rows, n_keys, max_count,
+           CAST(round(CAST(max_count AS DOUBLE) * 1000000.0
+                / CAST(n_rows AS DOUBLE), 0) AS BIGINT) AS top1_share6,
+           CAST(round(CAST(2 * t - (n_keys + 1) * n_rows AS DOUBLE)
+                * 1000000.0
+                / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 0)
+                AS BIGINT) AS gini6
+    FROM p
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew diagnostics per event type
+    (functions/skew.py:key_skew_profile): the report read before
+    choosing salting / AQE-skew-split for the user_id key.  Gini comes
+    from a prefix sum over the COUNTS-OF-COUNTS histogram (bounded by
+    the count-value domain, never a per-key sort); rank runs of equal
+    counts contribute in closed form.  Mass sums exact BIGINT; the two
+    report ratios divide as DOUBLE at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    return SKEW.key_skew_profile(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -8372,6 +8578,13 @@ _DRIVER_FIRST = [
     "kmv_rollup_distinct",
     "embedding_jl_distortion",
     "compaction_bins_docs",
+    # round 9, part 3 (never driver-gated): corpus-health QA, decayed
+    # feature aggregates, and the key-skew diagnostic
+    "word_entropy_docs",
+    "zipf_fit_docs",
+    "lang_mismatch_docs",
+    "events_decayed_counts",
+    "events_key_skew_profile",
     # implementation CHANGED in round 9 (adaptive peel schedule + the
     # cap-exact convergence probe) — needs a driver row on the new path
     "kcore_docs",
@@ -8391,22 +8604,20 @@ _DRIVER_FIRST = [
     "q19_disjunctive_filter",
     "q22_idle_wealthy_customers",
     "vocab_index",
-    # r5 cohort, part 1 (14 of 34; the rest rotate in round 10).
-    # training_mix_pipeline and decontaminate_docs sit beside the new
-    # composites; pagerank_docs shares the module the kcore change
-    # touched; the remainder are the alphabetical head of the cohort.
+    # r5 cohort, part 1 (9 of 34; the rest rotate in round 10 —
+    # cohort_retention_orders, events_approx_topk, events_retention_hourly,
+    # events_user_rolling, fuzzy_prefix_pairs deferred to make room for
+    # the part-3 queries above).  training_mix_pipeline and
+    # decontaminate_docs sit beside the new composites; pagerank_docs
+    # shares the module the kcore change touched; the remainder are the
+    # alphabetical head of the cohort.
     "bigram_familiarity_docs",
     "bigram_lm_counts",
     "boilerplate_strip_docs",
     "bpe_pair_counts_docs",
-    "cohort_retention_orders",
     "decontaminate_docs",
     "domain_mix_weights_docs",
     "dsir_weights_docs",
-    "events_approx_topk",
-    "events_retention_hourly",
-    "events_user_rolling",
-    "fuzzy_prefix_pairs",
     "pagerank_docs",
     "training_mix_pipeline",
 ]

@@ -254,11 +254,162 @@ def test_real_png_truncated_and_corrupt_gate_loudly(img):
 
 
 def test_real_png_unsupported_variants_gate_on_pillow(img):
-    # 16-bit, grayscale, and interlaced stay walled, loudly and by name
-    # (palette graduated to the stdlib decoder in round 9)
-    for kw in ({"depth": 16}, {"ctype": 0}, {"interlace": 1}):
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            MM._decode_rgb(png_bytes(img, **kw))
+    # only Adam7 interlace remains walled, loudly and by name (palette
+    # graduated in round 9 part 1; grayscale and 16-bit in part 3)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM._decode_rgb(png_bytes(img, interlace=1))
+    # spec-illegal combos (e.g. 16-bit palette) also gate by name
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM._decode_rgb(png_bytes(img, ctype=3, depth=16))
+
+
+def _filtered_raw(rows: np.ndarray, bpp: int, filters: list[int]) -> bytes:
+    """Byte-wise PNG forward filtering (spec §9) over pre-packed scanline
+    bytes — shared by the grayscale/16-bit encoders below."""
+    h, stride = rows.shape
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = rows[y].astype(np.int32)
+        f = filters[y]
+        out = line.copy()
+        for x in range(stride):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                pred = 0
+            out[x] = (line[x] - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = line
+    return bytes(raw)
+
+
+def _png_from_rows(
+    rows: np.ndarray, w: int, bpp: int, depth: int, ctype: int,
+    filters: list[int],
+) -> bytes:
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    raw = _filtered_raw(rows, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, rows.shape[0], depth, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def gray_png_bytes(
+    g: np.ndarray, depth: int = 8, alpha: np.ndarray | None = None,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Spec-conformant grayscale (color type 0) / gray+alpha (color type
+    4) PNG encoder at depths 1/2/4/8/16."""
+    h, w = g.shape
+    filters = filters or [0] * h
+    if depth < 8:
+        assert alpha is None
+        rows = []
+        for y in range(h):
+            bits = (
+                (g[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            rows.append(np.packbits(bits))
+        return _png_from_rows(np.stack(rows), w, 1, depth, 0, filters)
+    ctype = 0 if alpha is None else 4
+    chans = [g] if alpha is None else [g, alpha]
+    if depth == 8:
+        rows = np.stack(chans, axis=2).reshape(h, -1).astype(np.uint8)
+        return _png_from_rows(rows, w, len(chans), 8, ctype, filters)
+    # 16-bit big-endian samples
+    s16 = np.stack(chans, axis=2).astype(">u2")
+    rows = s16.reshape(h, -1).view(np.uint8).reshape(h, -1)
+    return _png_from_rows(rows, w, 2 * len(chans), 16, ctype, filters)
+
+
+def rgb16_png_bytes(
+    img16: np.ndarray, filters: list[int] | None = None,
+) -> bytes:
+    """16-bit truecolor(+alpha) PNG encoder (color type 2 or 6)."""
+    h, w, nch = img16.shape
+    filters = filters or [0] * h
+    rows = img16.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+    return _png_from_rows(
+        rows, w, 2 * nch, 16, 2 if nch == 3 else 6, filters
+    )
+
+
+def test_real_gray_png_pixel_exact_all_depths():
+    """Grayscale PNG decodes stdlib-pure and value-exact at every legal
+    depth, across all filter types; sub-byte samples rescale linearly
+    (255/(2^d−1) exactly — identical to spec bit replication)."""
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4, 8):
+        hi = 1 << depth
+        g = rng.integers(0, hi, size=(5, 4), dtype=np.uint8)
+        want8 = (g.astype(np.uint16) * (255 // (hi - 1))).astype(np.uint8)
+        want = np.repeat(want8[:, :, None], 3, axis=2)
+        for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                        [0, 4, 1, 3, 2]):
+            got = MM._decode_rgb(
+                gray_png_bytes(g, depth=depth, filters=list(filters))
+            )
+            assert np.array_equal(got, want), f"depth={depth} f={filters}"
+
+
+def test_real_gray_alpha_png_drops_alpha():
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    a = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    want = np.repeat(g[:, :, None], 3, axis=2)
+    for filters in ([0] * 5, [4] * 5, [0, 4, 1, 3, 2]):
+        got = MM._decode_rgb(
+            gray_png_bytes(g, alpha=a, filters=list(filters))
+        )
+        assert np.array_equal(got, want)
+
+
+def test_real_16bit_png_takes_high_byte(img):
+    """16-bit samples reduce to their high byte (spec §13.12): a 16-bit
+    image built as v*257 round-trips to the 8-bit original, gray and
+    truecolor(+alpha), every filter type."""
+    rng = np.random.default_rng(19)
+    g = rng.integers(0, 256, size=(5, 4), dtype=np.uint16)
+    # non-trivial low bytes: high byte must win, not rounding
+    g16 = g * 256 + rng.integers(0, 256, size=(5, 4), dtype=np.uint16)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5):
+        got = MM._decode_rgb(
+            gray_png_bytes(g16, depth=16, filters=list(filters))
+        )
+        assert np.array_equal(
+            got, np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+        )
+    img16 = img.astype(np.uint16) * 256 + 173
+    for filters in ([0] * 5, [4] * 5, [0, 4, 1, 3, 2]):
+        assert np.array_equal(
+            MM._decode_rgb(rgb16_png_bytes(img16, filters=list(filters))),
+            img,
+        )
+    rgba16 = np.dstack([img16, np.full(img.shape[:2], 9999, np.uint16)])
+    assert np.array_equal(
+        MM._decode_rgb(rgb16_png_bytes(rgba16, filters=[3] * 5)), img
+    )
 
 
 def test_real_palette_png_pixel_exact_all_depths(img):

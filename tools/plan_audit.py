@@ -155,6 +155,16 @@ ALLOWED_SOFT = {
         "stays key-partitioned and joins the <=vocab_size-row vocab by "
         "broadcast"
     ),
+    "events_decayed_counts": (
+        "1-row max-timestamp aggregate (the decay reference instant), "
+        "broadcast-cross-joined back — the decayed sums themselves stay "
+        "key-partitioned with map-side combine"
+    ),
+    "zipf_fit_docs": (
+        "<=P-row per-partition offset cumsum (distributed_row_number "
+        "ranking the top-100 cut) + the 1-row regression aggregate over "
+        "<=100 rank/count points"
+    ),
 }
 
 

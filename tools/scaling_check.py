@@ -108,6 +108,18 @@ REPRESENTATIVE = [
     # decontamination stages (documents input only)
     "corpus_curation_fuzzy",
     "training_mix_soft_dedup",
+    # round-9 part 2: one-scan JL projection QA and the two-phase
+    # prefix-sum compaction planner
+    "embedding_jl_distortion",
+    "compaction_bins_docs",
+    # round-9 part 3: per-doc entropy (explode + two keyed aggs), the
+    # top-100 Zipf regression (vocab-bounded agg + k-row tail), decayed
+    # feature sums (one scan, map-side combine), and the counts-of-counts
+    # skew profile (domain-bounded histogram windows)
+    "word_entropy_docs",
+    "zipf_fit_docs",
+    "events_decayed_counts",
+    "events_key_skew_profile",
 ]
 
 
@@ -163,6 +175,14 @@ DECADE_FAMILIES = [
     # round-9 composites (documents input only)
     "corpus_curation_fuzzy",
     "training_mix_soft_dedup",
+    # round-9 part 2 (embeddings/documents inputs)
+    "embedding_jl_distortion",
+    "compaction_bins_docs",
+    # round-9 part 3 (documents/events inputs)
+    "word_entropy_docs",
+    "zipf_fit_docs",
+    "events_decayed_counts",
+    "events_key_skew_profile",
 ]
 
 
