@@ -113,23 +113,103 @@ def _decode_rgb(data: bytes):
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
         "image format not supported by the stdlib backend (PPM P6, "
-        "uncompressed 24bpp BMP, and every non-interlaced spec-legal "
-        "PNG: 8/16-bit RGB(A), 1-16-bit grayscale(+alpha), 1/2/4/8-bit "
-        "palette); install Pillow for the rest"
+        "uncompressed 24bpp BMP, and every spec-legal PNG: 8/16-bit "
+        "RGB(A), 1-16-bit grayscale(+alpha), 1/2/4/8-bit palette, "
+        "Adam7 interlace included); install Pillow for the rest"
     )
 
 
+#: Adam7 interlace pass grid (PNG spec §8.2): (x_start, y_start, x_step,
+#: y_step) for each of the 7 passes, in stream order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, bpp: int):
+    """Reverse PNG scanline filtering (spec §9) over one image or one
+    interlace pass: ``raw`` is (h, stride+1) uint8 with the filter byte
+    in column 0; returns the (h, stride) recovered bytes."""
+    import numpy as np
+
+    h, stride = raw.shape[0], raw.shape[1] - 1
+    filters = raw[:, 0]
+    img = np.zeros((h, stride), np.uint16)  # u16: filter math needs headroom
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.uint16)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: per-channel prefix sum mod 256 — x_i = Σ raw
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.int64), axis=0
+                ) % 256
+            ).reshape(-1).astype(np.uint16)
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}; corrupt file")
+        img[y] = cur
+        prev = cur
+    return img.astype(np.uint8)
+
+
+def _png_samples(b8, w: int, nch: int, depth: int):
+    """Regroup unfiltered scanline bytes into (h, w, nch) uint8 samples:
+    MSB-first bit unpacking for sub-byte depths (spec §7.2), high byte
+    for 16-bit (spec §13.12 rescale, floor form), identity for 8-bit."""
+    import numpy as np
+
+    h = b8.shape[0]
+    if depth < 8:
+        bits = np.unpackbits(b8, axis=1)[:, : w * depth].reshape(
+            h, w, depth
+        )
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (bits * weights).sum(axis=2).astype(np.uint8).reshape(
+            h, w, 1
+        )
+    if depth == 16:
+        return b8.reshape(h, w, nch, 2)[:, :, :, 0]
+    return b8[:, : w * nch].reshape(h, w, nch)
+
+
 def _decode_png(data: bytes):
-    """Stdlib-pure PNG decode covering every NON-INTERLACED spec-legal
-    depth/color-type combination: truecolor(+alpha) at 8/16 bits,
-    grayscale(+alpha) at 1/2/4/8/16 bits, palette at 1/2/4/8 bits —
-    zlib inflate + per-scanline unfilter (byte-wise, with the spec's
-    1-byte pixel step for sub-byte depths), then sample regrouping:
-    PLTE lookup for palette, exact linear rescale to 8 bits for sub-byte
-    grayscale (255/(2^d−1) is integral for d∈{1,2,4}), high byte for
-    16-bit (spec §13.12).  Alpha is dropped and grayscale replicated to
-    RGB (the feature/resize paths are RGB).  Only Adam7 interlace still
-    gates on Pillow, loudly and by name."""
+    """Stdlib-pure PNG decode covering EVERY spec-legal depth/color-type
+    combination, Adam7 interlace included: truecolor(+alpha) at 8/16
+    bits, grayscale(+alpha) at 1/2/4/8/16 bits, palette at 1/2/4/8 bits
+    — zlib inflate + per-scanline unfilter (byte-wise, with the spec's
+    1-byte pixel step for sub-byte depths; each interlace pass is an
+    independently filtered sub-image scattered back onto its grid),
+    then sample regrouping: PLTE lookup for palette, exact linear
+    rescale to 8 bits for sub-byte grayscale (255/(2^d−1) is integral
+    for d∈{1,2,4}), high byte for 16-bit (spec §13.12).  Alpha is
+    dropped and grayscale replicated to RGB (the feature/resize paths
+    are RGB).  Nothing PNG gates on Pillow anymore; only corrupt files
+    raise, loudly and by name."""
     import struct
     import zlib
 
@@ -173,90 +253,52 @@ def _decode_png(data: bytes):
         or (ctype == 0 and depth in (1, 2, 4, 8, 16))
         or (ctype == 4 and depth in (8, 16))
     )
-    if not supported or interlace != 0:
+    if not supported or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} interlace={interlace} "
-            "needs Pillow (stdlib backend reads every non-interlaced "
-            "spec-legal depth/color-type: 8/16-bit RGB(A), 1-16-bit "
-            "grayscale(+alpha), 1/2/4/8-bit palette; Adam7 interlace "
-            "gates by name)"
+            "needs Pillow (the stdlib backend reads every spec-legal "
+            "depth/color-type, Adam7 interlace included — this "
+            "combination is outside the PNG spec)"
         )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    if depth < 8:
-        # filtering operates byte-wise with a 1-byte pixel step for
-        # sub-8-bit depths (PNG spec §9: bpp rounds up to one byte);
-        # each scanline is byte-aligned.  Only 1-channel types (palette
-        # indices, grayscale) have sub-byte depths in the spec.
-        bpp = 1
-        stride = (w * depth + 7) // 8
-    else:
-        bpp = nch * (2 if depth == 16 else 1)
-        stride = w * bpp
+    # filtering operates byte-wise; for sub-8-bit depths the pixel step
+    # rounds up to one byte (PNG spec §9) and each scanline (of each
+    # interlace pass) is byte-aligned.  Only 1-channel types (palette
+    # indices, grayscale) have sub-byte depths in the spec.
+    bpp = 1 if depth < 8 else nch * (2 if depth == 16 else 1)
+
+    def _stride(width: int) -> int:
+        return (width * depth * nch + 7) // 8  # nch == 1 whenever depth < 8
+
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise NotImplementedError(f"PNG IDAT corrupt: {e}") from e
-    if len(raw) != h * (stride + 1):
+    # interlace=0 is the trivial single pass covering every pixel; Adam7
+    # (spec §8.2) is 7 sub-images, each independently filtered, stored
+    # back to back in the same IDAT stream
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    geom = []
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            geom.append((x0, y0, dx, dy, pw, ph))
+    if len(raw) != sum(ph * (_stride(pw) + 1) for *_, pw, ph in geom):
         raise NotImplementedError(
             "PNG IDAT length mismatch; corrupt file or unsupported layout"
         )
-    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    filters = raw[:, 0]
-    img = np.zeros((h, stride), np.uint16)  # u16: filter math needs headroom
-    prev = np.zeros(stride, np.uint16)
-    for y in range(h):
-        line = raw[y, 1:].astype(np.uint16)
-        f = filters[y]
-        if f == 0:  # None
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f == 1:  # Sub: per-channel prefix sum mod 256 — x_i = Σ raw
-            cur = (
-                np.cumsum(
-                    line.reshape(-1, bpp).astype(np.int64), axis=0
-                ) % 256
-            ).reshape(-1).astype(np.uint16)
-        elif f == 3:  # Average
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line.copy()
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                cur[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"PNG filter type {f}; corrupt file")
-        img[y] = cur
-        prev = cur
-    b8 = img.astype(np.uint8)
-    if depth < 8:
-        # sub-byte samples: rows are byte-aligned; unpack each row's
-        # bits and regroup ``depth`` bits per sample (MSB first, PNG
-        # spec §7.2)
-        bits = np.unpackbits(b8, axis=1)[:, : w * depth].reshape(
-            h, w, depth
-        )
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        samples = (bits * weights).sum(axis=2).reshape(h, w, 1)
-    elif depth == 16:
-        # big-endian 16-bit samples → standard 8-bit reduction is the
-        # high byte (PNG spec §13.12 sample-depth rescale, floor form)
-        samples = b8.reshape(h, w, nch, 2)[:, :, :, 0]
-    else:
-        samples = b8[:, :stride].reshape(h, w, nch)
+    samples = np.zeros((h, w, nch), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in geom:
+        stride = _stride(pw)
+        sub = np.frombuffer(
+            raw, np.uint8, count=ph * (stride + 1), offset=off
+        ).reshape(ph, stride + 1)
+        off += ph * (stride + 1)
+        img = _png_unfilter(sub, bpp)
+        # scatter the pass's pixels onto their interlace grid positions
+        samples[y0::dy, x0::dx] = _png_samples(img, pw, nch, depth)
     if ctype == 3:
         idx = samples[:, :, 0]
         if plte is None:
@@ -345,9 +387,9 @@ def decode_images(
     """Decode + feature-extract image binaries → IMAGE_FEATURES_SCHEMA.
 
     ``backend="real"`` decodes PPM (P6), uncompressed 24bpp BMP, and
-    every non-interlaced spec-legal PNG (8/16-bit RGB(A), 1-16-bit
-    grayscale(+alpha), 1/2/4/8-bit palette) with stdlib byte parsing
-    (no dependencies) and
+    every spec-legal PNG (8/16-bit RGB(A), 1-16-bit grayscale(+alpha),
+    1/2/4/8-bit palette, Adam7 interlace included) with stdlib byte
+    parsing (no dependencies) and
     emits per-channel mean/std features; any other format raises
     ``NotImplementedError``
     naming Pillow — the dependency gate moved from the whole call down

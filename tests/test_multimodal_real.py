@@ -254,13 +254,14 @@ def test_real_png_truncated_and_corrupt_gate_loudly(img):
 
 
 def test_real_png_unsupported_variants_gate_on_pillow(img):
-    # only Adam7 interlace remains walled, loudly and by name (palette
-    # graduated in round 9 part 1; grayscale and 16-bit in part 3)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        MM._decode_rgb(png_bytes(img, interlace=1))
-    # spec-illegal combos (e.g. 16-bit palette) also gate by name
+    # every spec-LEGAL PNG now decodes stdlib-pure; spec-illegal combos
+    # (e.g. 16-bit palette) still gate loudly by name
     with pytest.raises(NotImplementedError, match="Pillow"):
         MM._decode_rgb(png_bytes(img, ctype=3, depth=16))
+    # an interlace FLAG on sequentially-laid-out scanlines is a corrupt
+    # file: the Adam7 pass sizes can't add up
+    with pytest.raises(NotImplementedError, match="mismatch|corrupt"):
+        MM._decode_rgb(png_bytes(img, interlace=1))
 
 
 def _filtered_raw(rows: np.ndarray, bpp: int, filters: list[int]) -> bytes:
@@ -520,3 +521,111 @@ def test_video_stays_gated(spark):
     df = media_df(spark, [(1, b"xx", "video")])
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         MM.sample_frames(df, backend="real")
+
+
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def adam7_png_bytes(
+    arr: np.ndarray, depth: int = 8, ctype: int = 2,
+    plte: np.ndarray | None = None, pass_filters: list[int] | None = None,
+) -> bytes:
+    """Spec-conformant Adam7-interlaced PNG encoder: each pass is an
+    independently filtered sub-image, concatenated in stream order."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    pf = pass_filters or [0, 1, 2, 3, 4, 1, 2]
+    raw = bytearray()
+    for i, (x0, y0, dx, dy) in enumerate(_ADAM7_PASSES):
+        sub = arr[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if depth < 8:
+            rows = []
+            for y in range(ph):
+                bits = (
+                    (sub[y, :, 0][:, None]
+                     >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                rows.append(np.packbits(bits))
+            rows, bpp = np.stack(rows), 1
+        elif depth == 16:
+            rows = sub.astype(">u2").reshape(ph, -1).view(
+                np.uint8
+            ).reshape(ph, -1)
+            bpp = 2 * nch
+        else:
+            rows = sub.reshape(ph, -1).astype(np.uint8)
+            bpp = nch
+        raw += _filtered_raw(rows, bpp, [pf[i % len(pf)]] * ph)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    parts = [
+        b"\x89PNG\r\n\x1a\n",
+        chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)),
+    ]
+    if plte is not None:
+        parts.append(chunk(b"PLTE", plte.astype(np.uint8).tobytes()))
+    parts += [
+        chunk(b"IDAT", zlib.compress(bytes(raw))), chunk(b"IEND", b""),
+    ]
+    return b"".join(parts)
+
+
+def test_real_adam7_rgb_roundtrip():
+    """Adam7-interlaced truecolor decodes pixel-exact — 10x9 exercises
+    all 7 passes with ragged pass dimensions, and every filter type
+    appears on some pass."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(9, 10, 3), dtype=np.uint8)
+    assert np.array_equal(MM._decode_rgb(adam7_png_bytes(img)), img)
+    rgba = np.dstack([img, rng.integers(0, 256, (9, 10), dtype=np.uint8)])
+    assert np.array_equal(
+        MM._decode_rgb(adam7_png_bytes(rgba, ctype=6)), img
+    )
+
+
+def test_real_adam7_small_images_skip_empty_passes():
+    # 1x1 has six empty passes; 3x2 leaves several empty too
+    px = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    assert np.array_equal(MM._decode_rgb(adam7_png_bytes(px)), px)
+    rng = np.random.default_rng(29)
+    small = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    assert np.array_equal(MM._decode_rgb(adam7_png_bytes(small)), small)
+
+
+def test_real_adam7_gray_palette_and_16bit():
+    rng = np.random.default_rng(31)
+    # 4-bit grayscale: exact linear rescale after pass reassembly
+    g4 = rng.integers(0, 16, size=(9, 10), dtype=np.uint8)
+    want = np.repeat((g4 * 17)[:, :, None], 3, axis=2)
+    assert np.array_equal(
+        MM._decode_rgb(adam7_png_bytes(g4, depth=4, ctype=0)), want
+    )
+    # 2-bit palette
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(9, 10), dtype=np.uint8)
+    assert np.array_equal(
+        MM._decode_rgb(adam7_png_bytes(idx, depth=2, ctype=3, plte=plte)),
+        plte[idx],
+    )
+    # 16-bit RGB: high byte wins per pass
+    img = rng.integers(0, 256, size=(9, 10, 3), dtype=np.uint16)
+    img16 = img * 256 + rng.integers(0, 256, size=(9, 10, 3))
+    assert np.array_equal(
+        MM._decode_rgb(adam7_png_bytes(img16, depth=16, ctype=2)),
+        img.astype(np.uint8),
+    )
