@@ -155,11 +155,45 @@ def decayed_counts(
 
     Output: (key, n_events, wsum6, decayed_value6) — decayed row count
     and decayed value sum in micro-units."""
-    tmax = df.agg(F.max(ts_col).alias("_tmax"))
-    j = df.crossJoin(F.broadcast(tmax))
+    tmax = df.agg(F.max(ts_col).alias("_tref"))
+    return _decayed_agg(
+        df.crossJoin(F.broadcast(tmax)), key_col, ts_col, val_col,
+        half_life_s,
+    )
+
+
+def decayed_counts_at(
+    df: DataFrame,
+    ref_instant: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    half_life_s: int = 86400,
+) -> DataFrame:
+    """:func:`decayed_counts` decayed to a FIXED reference instant (an
+    ISO timestamp string) instead of the corpus max — the form whose
+    micro-unit partials are EXACTLY mergeable across any split of the
+    rows (same instant → partials just add; the data-derived max can
+    differ between splits).  ``streaming/decayed_rollup.py`` maintains
+    this table across micro-batches and the batch/stream parity is bit
+    for bit BECAUSE both sides call this one function.  Events after
+    the instant get weights > 1 (2^(+Δ/half-life)) — well-defined and
+    still exact."""
+    j = df.withColumn(
+        "_tref", F.lit(ref_instant).cast("timestamp_ntz")
+    )
+    return _decayed_agg(j, key_col, ts_col, val_col, half_life_s)
+
+
+def _decayed_agg(
+    j: DataFrame, key_col: str, ts_col: str, val_col: str, half_life_s: int
+) -> DataFrame:
+    """Shared decay algebra over a frame carrying ``_tref``: one fixed
+    IEEE weight expression per row, rounded to micro-units, summed
+    exactly as BIGINT."""
     # exact integer microseconds (timestamps carry sub-second precision;
     # SECOND-granularity diffs are boundary counts and engine-ambiguous)
-    age = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _tmax)")
+    age = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _tref)")
     w = F.pow(
         F.lit(2.0), -(age.cast("double") / F.lit(float(half_life_s) * 1e6))
     )

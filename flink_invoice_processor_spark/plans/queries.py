@@ -8534,6 +8534,65 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKEW.key_skew_profile(ev, "event_type", "user_id")
 
 
+_DECAY_REF = "2024-02-01 00:00:00"
+
+
+@register(
+    "decayed_rollup_counts",
+    f"""
+    WITH w AS (
+        SELECT event_type AS key,
+               CAST(round(pow(2.0,
+                   -(CAST(date_diff('microsecond', ts,
+                          TIMESTAMP '{_DECAY_REF}') AS DOUBLE)
+                     / 604800000000.0)) * 1000000, 0) AS BIGINT) AS w6,
+               CAST(round(value * pow(2.0,
+                   -(CAST(date_diff('microsecond', ts,
+                          TIMESTAMP '{_DECAY_REF}') AS DOUBLE)
+                     / 604800000000.0)) * 1000000, 0) AS BIGINT) AS vw6
+        FROM events
+    )
+    SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w6) AS BIGINT) AS wsum6,
+           CAST(sum(vw6) AS BIGINT) AS decayed_value6
+    FROM w GROUP BY 1
+    """,
+)
+def decayed_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD maintained-state invariant under the driver's hash gate
+    (streaming/decayed_rollup.py): events ingested in TWO micro-batches
+    through the exact ``foreachBatch`` function the streaming job
+    registers (fixed decay reference instant, 7-day half-life), the
+    version-swapped table read back — and the DuckDB oracle is the
+    ONE-SHOT batch SQL over all events.  Pins the decayed-partial merge
+    law (partials to a common instant just add, exactly) by
+    rows+schema+hash, not just pytest.
+
+    The rollup table lives in a per-call temp dir, deleted after the
+    maintained rows are realized; the returned plan is one bounded
+    aggregate over the |keys| stored rows."""
+    import shutil
+    import tempfile
+
+    from ..streaming.decayed_rollup import (
+        decayed_rollup_writer,
+        read_decayed_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = tempfile.mkdtemp(prefix="decayed_rollup_q_")
+    try:
+        writer = decayed_rollup_writer(
+            F.col("event_type"), _DECAY_REF, table, half_life_s=604800
+        )
+        writer(ev.where(F.col("event_id") % 2 == 0), 0)
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        maintained = read_decayed_table(spark, table).localCheckpoint()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return maintained
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
@@ -8585,6 +8644,7 @@ _DRIVER_FIRST = [
     "lang_mismatch_docs",
     "events_decayed_counts",
     "events_key_skew_profile",
+    "decayed_rollup_counts",
     # implementation CHANGED in round 9 (adaptive peel schedule + the
     # cap-exact convergence probe) — needs a driver row on the new path
     "kcore_docs",
@@ -8604,14 +8664,13 @@ _DRIVER_FIRST = [
     "q19_disjunctive_filter",
     "q22_idle_wealthy_customers",
     "vocab_index",
-    # r5 cohort, part 1 (9 of 34; the rest rotate in round 10 —
-    # cohort_retention_orders, events_approx_topk, events_retention_hourly,
-    # events_user_rolling, fuzzy_prefix_pairs deferred to make room for
-    # the part-3 queries above).  training_mix_pipeline and
-    # decontaminate_docs sit beside the new composites; pagerank_docs
-    # shares the module the kcore change touched; the remainder are the
-    # alphabetical head of the cohort.
-    "bigram_familiarity_docs",
+    # r5 cohort, part 1 (8 of 34; the rest rotate in round 10 —
+    # bigram_familiarity_docs, cohort_retention_orders, events_approx_topk,
+    # events_retention_hourly, events_user_rolling, fuzzy_prefix_pairs
+    # deferred to make room for the part-3 queries above).
+    # training_mix_pipeline and decontaminate_docs sit beside the new
+    # composites; pagerank_docs shares the module the kcore change
+    # touched; the remainder are the alphabetical head of the cohort.
     "bigram_lm_counts",
     "boilerplate_strip_docs",
     "bpe_pair_counts_docs",
