@@ -745,3 +745,66 @@ def language_mismatch(
         )
         .alias("mismatch_rate6"),
     )
+
+
+def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram SURPRISAL under the corpus's own add-one
+    smoothed bigram LM, in micro-bits — the CCNet/Dolma-style
+    language-model quality stage: boilerplate and template docs score
+    far BELOW the corpus mean (their bigrams are over-represented),
+    gibberish scores far above; both tails are what a curation pipeline
+    cuts.  (CCNet scores against an external LM; self-scoring makes the
+    operator corpus-contained and oracle-checkable — swapping in an
+    external pair table is the same join.)
+
+    p(w2|w1) = (n(w1,w2) + 1) / (n(w1) + V), V = |vocabulary|.  Each
+    bigram's -log2(p) is one fixed IEEE expression rounded to BIGINT
+    micro-bits; the per-doc aggregate sums those EXACTLY and divides
+    once at the edge (truncating) — engine-deterministic end to end.
+
+    Scale shape: the LM is two map-side-combined aggregates (|pairs|,
+    |contexts| rows); V is a 1-row distinct count broadcast back; the
+    doc side joins the pair table on (w1, w2) — output bounded by the
+    doc-bigram count, Zipf skew absorbed by AQE/partial aggregation.
+    Docs with fewer than 2 tokens are excluded (no bigrams).
+
+    Output: (doc_id, n_bigrams, surprisal6)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    big = 1 << 30
+    t = F.col("_toks")
+    grams = F.zip_with(
+        t,
+        F.slice(t, 2, big),
+        lambda a, b: F.when(
+            b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+    )
+    docbg = (
+        df.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(F.filter(grams, lambda g: g.isNotNull())).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    pair = docbg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    ctx = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    vocab = df.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    lm = pair.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+    p = (F.col("n_pair") + F.lit(1)) / (
+        (F.col("n_ctx") + F.col("v")).cast("double")
+    )
+    scored = docbg.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(-F.log2(p) * F.lit(1000000.0)).cast("long").alias("_s6"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("_s6").alias("_sum6"))
+        .select(
+            "doc_id", "n_bigrams",
+            F.expr("_sum6 div n_bigrams").alias("surprisal6"),
+        )
+    )

@@ -212,3 +212,94 @@ def _decayed_agg(
             F.sum("_vw6").alias("decayed_value6"),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Last-touch revenue attribution: every conversion event's value is
+    credited to the user's most recent STRICTLY-preceding
+    non-conversion event type ('direct' when there is none) — the
+    marketing-analytics staple, and the windowed-analytics shape
+    (conditional last-over-preceding-rows) Spark expresses without a
+    self-join.
+
+    One window per user ordered by the (ts, event_id) total order —
+    per-key state is the user's own history, never corpus-wide; revenue
+    sums in exact integer cents (values carry 2 decimals).
+
+    Output: (channel, n_conversions, revenue_cents)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        df.withColumn("_chan", chan)
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.coalesce(F.col("_chan"), F.lit("direct")).alias("channel"),
+            F.round(F.col(val_col) * F.lit(100.0)).cast("long").alias("_c"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("_c").alias("revenue_cents"),
+        )
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    hot_factor: int = 2,
+) -> DataFrame:
+    """Hour-of-WEEK seasonality profile per key: counts on the (day of
+    week, hour of day) calendar grid, each cell's share of the key's
+    total in micro-units, and a ``hot`` flag for cells above
+    ``hot_factor``× the key's mean populated-cell load — the calendar
+    complement of the trailing-window ``rate_spikes`` detector
+    (recurring load shape vs transient anomaly).
+
+    Scale shape: ONE map-side-combined aggregate onto the ≤ |keys|·168
+    cell grid; totals and cell counts re-aggregate those grid rows, and
+    the flag is a pure integer comparison (cnt · n_cells > factor ·
+    total) — no division, no doubles, no window over raw events.
+
+    Output: (key, dow, hour, cnt, share6, hot)."""
+    cells = (
+        df.select(
+            F.col(key_col),
+            F.dayofweek(ts_col).alias("dow"),
+            F.hour(ts_col).alias("hour"),
+        )
+        .groupBy(key_col, "dow", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = cells.groupBy(key_col).agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_cells")
+    )
+    j = cells.join(totals, key_col)
+    return j.select(
+        F.col(key_col),
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "cnt",
+        F.expr("(2000000 * cnt + _total) div (2 * _total)").alias("share6"),
+        (
+            F.col("cnt") * F.col("_n_cells")
+            > F.lit(hot_factor) * F.col("_total")
+        ).alias("hot"),
+    )

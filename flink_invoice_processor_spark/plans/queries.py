@@ -8534,6 +8534,114 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKEW.key_skew_profile(ev, "event_type", "user_id")
 
 
+@register(
+    "doc_lm_surprisal",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i)
+        WHERE len(toks) >= 2
+    ),
+    pair AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx
+            FROM pair GROUP BY w1),
+    voc AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(round(-log2((n_pair + 1)
+                    / CAST(n_ctx + v AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS s6
+        FROM bg
+        JOIN pair USING (w1, w2)
+        JOIN ctx USING (w1), voc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s6) AS BIGINT) // count(*) AS surprisal6
+    FROM scored GROUP BY 1
+    """,
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram surprisal under the corpus's own add-one
+    smoothed bigram LM (functions/text.py:lm_surprisal) — the
+    CCNet/Dolma LM-quality stage: boilerplate scores far below the
+    corpus mean, gibberish far above; both tails get cut.  Per-bigram
+    -log2(p) rounded to micro-bits and summed EXACTLY; the LM is two
+    map-side-combined aggregates + a 1-row vocabulary count broadcast
+    back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lm_surprisal(docs)
+
+
+@register(
+    "events_attribution",
+    """
+    WITH c AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS chan
+        FROM events
+    )
+    SELECT COALESCE(chan, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM c WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution
+    (functions/windows.py:last_touch_attribution): each purchase's value
+    credited to the user's most recent strictly-preceding
+    non-purchase event type ('direct' when none) — the conditional
+    last-over-preceding-rows window shape, one user-keyed exchange,
+    revenue in exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.last_touch_attribution(ev)
+
+
+@register(
+    "events_seasonality",
+    """
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+           CAST(c.hour AS BIGINT) AS hour, CAST(c.cnt AS BIGINT) AS cnt,
+           (2000000 * c.cnt + t.total) // (2 * t.total) AS share6,
+           c.cnt * t.n_cells > 2 * t.total AS hot
+    FROM cells c JOIN t USING (event_type)
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile per event type
+    (functions/windows.py:seasonality_profile): calendar-grid load
+    shares in micro-units + integer-comparison hot-cell flags — the
+    recurring-shape complement of the trailing-window rate_spikes
+    detector.  One aggregate onto the ≤ |keys|·168 grid; everything
+    downstream re-aggregates grid rows.  (Spark dayofweek is 1-7 with
+    Sunday=1; DuckDB's is 0-6, hence the oracle's +1.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.seasonality_profile(ev)
+
+
 _DECAY_REF = "2024-02-01 00:00:00"
 
 
@@ -8645,6 +8753,9 @@ _DRIVER_FIRST = [
     "events_decayed_counts",
     "events_key_skew_profile",
     "decayed_rollup_counts",
+    "doc_lm_surprisal",
+    "events_attribution",
+    "events_seasonality",
     # implementation CHANGED in round 9 (adaptive peel schedule + the
     # cap-exact convergence probe) — needs a driver row on the new path
     "kcore_docs",
@@ -8664,16 +8775,14 @@ _DRIVER_FIRST = [
     "q19_disjunctive_filter",
     "q22_idle_wealthy_customers",
     "vocab_index",
-    # r5 cohort, part 1 (8 of 34; the rest rotate in round 10 —
-    # bigram_familiarity_docs, cohort_retention_orders, events_approx_topk,
+    # r5 cohort, part 1 (5 of 34; the rest rotate in round 10 —
+    # bigram_familiarity_docs, bigram_lm_counts, boilerplate_strip_docs,
+    # bpe_pair_counts_docs, cohort_retention_orders, events_approx_topk,
     # events_retention_hourly, events_user_rolling, fuzzy_prefix_pairs
-    # deferred to make room for the part-3 queries above).
-    # training_mix_pipeline and decontaminate_docs sit beside the new
-    # composites; pagerank_docs shares the module the kcore change
-    # touched; the remainder are the alphabetical head of the cohort.
-    "bigram_lm_counts",
-    "boilerplate_strip_docs",
-    "bpe_pair_counts_docs",
+    # deferred to make room for the nine round-9 part-3/part-4 queries
+    # above; round 10 owes 29 r5 rows).  training_mix_pipeline and
+    # decontaminate_docs sit beside the new composites; pagerank_docs
+    # shares the module the kcore change touched.
     "decontaminate_docs",
     "domain_mix_weights_docs",
     "dsir_weights_docs",

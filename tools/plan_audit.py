@@ -165,6 +165,11 @@ ALLOWED_SOFT = {
         "ranking the top-100 cut) + the 1-row regression aggregate over "
         "<=100 rank/count points"
     ),
+    "doc_lm_surprisal": (
+        "1-row vocabulary-size distinct-count aggregate (the add-one "
+        "smoothing denominator), broadcast back — the LM pair/context "
+        "aggregates and the doc-bigram join stay key-partitioned"
+    ),
 }
 
 

@@ -120,6 +120,12 @@ REPRESENTATIVE = [
     "zipf_fit_docs",
     "events_decayed_counts",
     "events_key_skew_profile",
+    # round-9 part 4: the self-scored bigram-LM quality stage (two
+    # vocab-bounded aggregates + a doc-bigram equi-join), last-touch
+    # attribution (one user-keyed window), and the hour-of-week grid
+    "doc_lm_surprisal",
+    "events_attribution",
+    "events_seasonality",
 ]
 
 
@@ -183,6 +189,10 @@ DECADE_FAMILIES = [
     "zipf_fit_docs",
     "events_decayed_counts",
     "events_key_skew_profile",
+    # round-9 part 4 (documents/events inputs)
+    "doc_lm_surprisal",
+    "events_attribution",
+    "events_seasonality",
 ]
 
 
