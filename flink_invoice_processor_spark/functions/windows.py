@@ -277,6 +277,9 @@ def seasonality_profile(
     cell grid; totals and cell counts re-aggregate those grid rows, and
     the flag is a pure integer comparison (cnt · n_cells > factor ·
     total) — no division, no doubles, no window over raw events.
+    Decade measurements sit at ~0.2-0.3 s absolute deltas for 10× events
+    (the grid is size-capped, so only the scan grows); ratios there are
+    fixed-overhead-dominated, not shape signals.
 
     Output: (key, dow, hour, cnt, share6, hot)."""
     cells = (
