@@ -63,9 +63,10 @@ def _digest(data: bytes | None) -> str:
 
 
 def _decode_rgb(data: bytes):
-    """Decode PPM-P6 / 24bpp-BMP / non-interlaced-PNG bytes → (H, W, 3)
-    uint8 ndarray.  Raises ``NotImplementedError`` naming Pillow for any
-    other format — the honest gate, per-format instead of per-call."""
+    """Decode PPM-P6 / 24bpp-BMP / any spec-legal PNG (Adam7 interlace
+    included) bytes → (H, W, 3) uint8 ndarray.  Raises
+    ``NotImplementedError`` naming Pillow for any remaining format —
+    the honest gate, per-format instead of per-call."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -85,7 +86,22 @@ def _decode_rgb(data: bytes):
         pos += 1  # single whitespace byte after maxval
         w, h, maxval = vals
         if maxval > 255:
-            raise NotImplementedError("16-bit PPM needs Pillow")
+            # 2-byte big-endian samples (PPM spec: MSB first).  For the
+            # full-range maxval 65535 take the high byte — the same
+            # reduction the 16-bit PNG path ships (spec §13.12, floor
+            # form); for the rare in-between maxvals, exact integer
+            # round-half-up rescale to 0..255.  Stdlib+numpy only —
+            # nothing PPM gates on Pillow anymore.
+            px16 = np.frombuffer(
+                data, ">u2", count=w * h * 3, offset=pos
+            ).astype(np.uint32)
+            if maxval == 65535:
+                px = (px16 >> 8).astype(np.uint8)
+            else:
+                px = ((px16 * 255 + maxval // 2) // maxval).astype(
+                    np.uint8
+                )
+            return px.reshape(h, w, 3).copy()
         px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
         return px.reshape(h, w, 3).copy()
     if data[:8] == b"\x89PNG\r\n\x1a\n":

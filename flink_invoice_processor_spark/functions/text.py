@@ -764,20 +764,17 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: the LM is two map-side-combined aggregates (|pairs|,
     |contexts| rows); V is a 1-row distinct count broadcast back; the
-    doc side joins the pair table on (w1, w2) — output bounded by the
-    doc-bigram count, Zipf skew absorbed by AQE/partial aggregation.
-    Docs with fewer than 2 tokens are excluded (no bigrams).
-
-    Decade evidence (sf0.1 → 10×-sf0.1, fresh-session medians-of-3):
-    bigram explode+count 0.34→0.25 s, pair aggregate 0.38→0.46 s,
-    vocabulary count 0.03→0.02 s — every feeder stage flat.  The full
-    query reads 1.01→3.70 s: the cost is the bigram⋈LM join plus the
-    per-doc aggregate, whose row count IS the bigram count (265,704 →
-    2,657,040, exactly 10×; joined rows = bigrams since every doc
-    bigram matches one LM row) — 10× rows for 3.7× time, sub-linear,
-    no blowup term.  The synthetic decade set inflates |pairs| 28×
-    (931 → 25,706) via its hash-derived pseudo-words; the LM stays
-    aggregate-bounded regardless.
+    doc side is pre-aggregated to DISTINCT (doc_id, w1, w2) with an
+    occurrence count BEFORE the LM join, so the join input is bounded
+    by the distinct doc-bigram count, not the bigram token count — on
+    boilerplate/template corpora (exactly what the operator exists to
+    catch) within-doc bigram repetition makes that strictly smaller.
+    Each distinct doc-bigram is scored once; the per-doc aggregate is
+    sum(c·s6) with n_bigrams = sum(c), which is arithmetically
+    IDENTICAL to summing per-occurrence (same per-bigram rounding, then
+    integer multiplication instead of repeated integer addition) — the
+    oracle hash is unchanged.  Zipf skew absorbed by AQE/partial
+    aggregation.  Docs with fewer than 2 tokens are excluded.
 
     Output: (doc_id, n_bigrams, surprisal6)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -798,7 +795,10 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     )
-    pair = docbg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    docbgc = docbg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("_c")
+    )
+    pair = docbgc.groupBy("w1", "w2").agg(F.sum("_c").alias("n_pair"))
     ctx = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
     vocab = df.select(F.explode(toks).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
@@ -807,13 +807,17 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     p = (F.col("n_pair") + F.lit(1)) / (
         (F.col("n_ctx") + F.col("v")).cast("double")
     )
-    scored = docbg.join(lm, ["w1", "w2"]).select(
+    scored = docbgc.join(lm, ["w1", "w2"]).select(
         "doc_id",
-        F.round(-F.log2(p) * F.lit(1000000.0)).cast("long").alias("_s6"),
+        F.col("_c"),
+        (
+            F.col("_c")
+            * F.round(-F.log2(p) * F.lit(1000000.0)).cast("long")
+        ).alias("_s6"),
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("_s6").alias("_sum6"))
+        .agg(F.sum("_c").alias("n_bigrams"), F.sum("_s6").alias("_sum6"))
         .select(
             "doc_id", "n_bigrams",
             F.expr("_sum6 div n_bigrams").alias("surprisal6"),

@@ -177,8 +177,14 @@ def decayed_counts_at(
     differ between splits).  ``streaming/decayed_rollup.py`` maintains
     this table across micro-batches and the batch/stream parity is bit
     for bit BECAUSE both sides call this one function.  Events after
-    the instant get weights > 1 (2^(+Δ/half-life)) — well-defined and
-    still exact."""
+    the instant get weights > 1 (2^(+Δ/half-life)) — well-defined, and
+    exact ONLY while the micro-unit weight stays inside the integer-
+    exact double range: 2^(Δ/half-life)·1e6 < 2^53, i.e. events no more
+    than ~33.07 half-lives past the instant (and past ~63 half-lives
+    the non-ANSI double→long cast saturates outright).  Choose
+    ``ref_instant`` at-or-after the data's max timestamp — the intended
+    use — and the bound is never approached; far-future timestamps
+    beyond it break the exact-mergeable-partials contract."""
     j = df.withColumn(
         "_tref", F.lit(ref_instant).cast("timestamp_ntz")
     )

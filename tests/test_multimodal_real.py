@@ -629,3 +629,52 @@ def test_real_adam7_gray_palette_and_16bit():
         MM._decode_rgb(adam7_png_bytes(img16, depth=16, ctype=2)),
         img.astype(np.uint8),
     )
+
+
+def ppm16_bytes(img16: np.ndarray, maxval: int = 65535) -> bytes:
+    """P6 with maxval > 255: 2-byte big-endian samples (PPM spec)."""
+    h, w = img16.shape[:2]
+    return b"P6\n# wide\n%d %d\n%d\n" % (w, h, maxval) + img16.astype(
+        ">u2"
+    ).tobytes()
+
+
+def test_real_decode_ppm_16bit_stdlib():
+    """16-bit PPM decodes value-exactly with Pillow ABSENT: high byte
+    for the full-range maxval (same §13.12 floor-form reduction as the
+    16-bit PNG path), exact integer round-half-up rescale otherwise."""
+    rng = np.random.default_rng(37)
+    hi = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint16)
+    img16 = hi * 256 + rng.integers(0, 256, size=(5, 4, 3))
+    assert np.array_equal(
+        MM._decode_rgb(ppm16_bytes(img16)), hi.astype(np.uint8)
+    )
+    # extremes survive: 0 -> 0, 65535 -> 255
+    edge = np.array([[[0, 65535, 257]]], dtype=np.uint16)
+    assert np.array_equal(
+        MM._decode_rgb(ppm16_bytes(edge)),
+        np.array([[[0, 255, 1]]], dtype=np.uint8),
+    )
+    # non-full-range maxval: exact (v*255 + maxval//2) // maxval
+    mv = 1023
+    img = rng.integers(0, mv + 1, size=(3, 7, 3), dtype=np.uint16)
+    want = (
+        (img.astype(np.uint32) * 255 + mv // 2) // mv
+    ).astype(np.uint8)
+    assert np.array_equal(MM._decode_rgb(ppm16_bytes(img, mv)), want)
+
+
+def test_real_decode_ppm_16bit_through_dataframe(spark):
+    """The 16-bit path runs through the Arrow mapInPandas plumbing, not
+    just the unit decoder: features match the reduced-depth pixels."""
+    rng = np.random.default_rng(41)
+    hi = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint16)
+    img16 = hi * 256 + rng.integers(0, 256, size=(5, 4, 3))
+    df = media_df(spark, [(1, ppm16_bytes(img16), "image")])
+    r = MM.decode_images(df, backend="real").collect()[0]
+    assert (r.width, r.height, r.n_channels) == (4, 5, 3)
+    img8 = hi.astype(np.uint8)
+    expect = [float(img8[:, :, c].mean()) / 255.0 for c in range(3)] + [
+        float(img8[:, :, c].std()) / 255.0 for c in range(3)
+    ]
+    assert np.allclose(r.features[:6], expect, atol=1e-6)
