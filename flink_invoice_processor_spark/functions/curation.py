@@ -1420,3 +1420,40 @@ def compaction_bins(
             .alias("bin_id"),
         )
     )
+
+
+def file_skipping_report(
+    df: DataFrame,
+    file_expr,
+    stat_cols: list[str],
+    predicates: dict[str, tuple[str, int, int]],
+) -> DataFrame:
+    """Data-skipping planner over per-file min/max column statistics —
+    the manifest-pruning decision Iceberg/Delta make before a scan ever
+    touches parquet, surfaced as a queryable report: for each file
+    (``file_expr`` assigns rows to their file), the exact min/max of
+    each ``stat_cols`` entry plus, for every named predicate
+    ``{name: (col, lo, hi)}``, whether the file can be SKIPPED for the
+    range query ``lo <= col <= hi`` (skip ⇔ max < lo OR min > hi —
+    stats disjoint from the range; the file cannot contain a match).
+
+    Use it to audit a layout: a sorted/Z-ordered/Hilbert-ordered table
+    shows most files skippable for selective ranges, a shuffled one
+    shows none — the measurable difference between the
+    :mod:`..tables` layout writers.  One map-side-combined aggregate,
+    output bounded by the file count; nothing rescans rows.
+
+    Output: (file_id, n_rows, <c>_min/<c>_max per stat col,
+    skip_<name> per predicate)."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    stats = df.withColumn("file_id", file_expr.cast("long")).groupBy(
+        "file_id"
+    ).agg(*aggs)
+    for name, (c, lo, hi) in predicates.items():
+        stats = stats.withColumn(
+            f"skip_{name}",
+            (F.col(f"{c}_max") < F.lit(lo)) | (F.col(f"{c}_min") > F.lit(hi)),
+        )
+    return stats

@@ -653,3 +653,82 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         mt.alias("media_type"),
         F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
     )
+
+
+def attach_synth_gray_ppm(
+    df: DataFrame, id_col: str = "doc_id", w: int = 9, h: int = 7
+) -> DataFrame:
+    """Synthesize a REAL, decodable grayscale PPM (P6, channels equal)
+    per row, pixel-deterministic from the id: pixel (x, y) of image
+    ``i`` is ``int(md5(f"px:{i}:{x}:{y}")[:2], 16)`` — the same byte a
+    SQL oracle derives with ``('0x' || substr(md5(...), 1, 2))::INT``,
+    so everything computed from the DECODED pixels downstream
+    (:func:`image_dhash`) is oracle-checkable while still round-tripping
+    the real encoder/decoder.  Arrow-batched ``mapInPandas``; one
+    hashlib digest per pixel, w·h per row."""
+    import hashlib as _hl
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n%d %d\n255\n" % (w, h)
+        for pdf in batches:
+            out = []
+            for i in pdf["media_id"].tolist():
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = _hl.md5(
+                            f"px:{i}:{x}:{y}".encode()
+                        ).hexdigest()[:2]
+                        px += bytes([int(v, 16)]) * 3
+                out.append(header + bytes(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media": out,
+                    "media_type": ["image"] * len(out),
+                    "meta": [{"src": "synth_gray_ppm"}] * len(out),
+                }
+            )
+
+    ids = df.select(F.col(id_col).alias("media_id"))
+    return ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def image_dhash(df: DataFrame, grid_w: int = 9, grid_h: int = 7) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint over DECODED
+    pixels — the image-dedup counterpart of SimHash: REAL stdlib decode
+    (:func:`_decode_rgb`: PPM/BMP/PNG), nearest-neighbor downsample to
+    ``grid_w × grid_h`` gray, then one bit per horizontal neighbor pair
+    ``bit(r,c) = gray[r,c+1] > gray[r,c]`` packed little-endian into
+    ``(grid_w - 1) * grid_h`` bits (56 with the defaults — stays inside
+    a positive BIGINT).  Near-duplicate images differ in a few bits;
+    pair them with band-blocking + Hamming exactly like SimHash text
+    dedup.  Gray = integer channel mean ((r+g+b) div 3).  Arrow-batched
+    ``mapInPandas``; unsupported formats raise inside the decoder,
+    loudly and by name."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf["media"].tolist():
+                img = _decode_rgb(b or b"")
+                ih, iw = img.shape[:2]
+                ys = np.arange(grid_h) * ih // grid_h
+                xs = np.arange(grid_w) * iw // grid_w
+                g = img[ys][:, xs].astype(np.int64).sum(axis=2) // 3
+                bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+                val = 0
+                for j, bit in enumerate(bits):
+                    if bit:
+                        val |= 1 << j
+                hashes.append(val)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "dhash": hashes}
+            )
+
+    return df.mapInPandas(process, schema=DHASH_SCHEMA)

@@ -558,3 +558,67 @@ def rrf_fuse(
         .where(F.col("fused_rank") <= k)
         .select("term", "fused_rank", "doc_id", "rank_a", "rank_b", "rrf_score")
     )
+
+
+def ndcg_report(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    rel_cap: int = 3,
+) -> DataFrame:
+    """Retrieval-quality report: nDCG@k of the :func:`bm25_topk` ranking
+    per query term — the eval loop a retrieval/RAG data pipeline runs
+    after every index or scoring change, with graded relevance
+    ``rel = least(tf, rel_cap)`` (term frequency capped — the standard
+    self-supervised proxy when no human qrels exist; swapping in a real
+    qrels table replaces one join).
+
+    Exactness: per-rank gain ``(2^rel - 1) / log2(rank + 1)`` is one
+    IEEE expression rounded to BIGINT micro-units, DCG/IDCG sum those
+    exactly, and the final ratio is one positive-operand rounding
+    division — engine-deterministic end to end.  The IDEAL ranking
+    sorts ALL matching docs by (rel DESC, doc_id ASC) — a keyed window
+    over the per-term posting rows, never a global sort.
+
+    Output: (term, n_matching, dcg6, idcg6, ndcg6)."""
+    ranked = bm25_topk(df, terms, k=k, text_col=text_col)
+    rel_of = lambda c: F.least(c, F.lit(rel_cap)).cast("long")
+    gain6 = lambda rel, rank: F.round(
+        (F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0))
+        / F.log2(rank.cast("double") + F.lit(1.0))
+        * F.lit(1000000.0)
+    ).cast("long")
+    dcg = ranked.groupBy("term").agg(
+        F.sum(gain6(rel_of(F.col("tf")), F.col("rank"))).alias("dcg6")
+    )
+    # ideal ranking over ALL docs containing the term
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    tf_all = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    wi = Window.partitionBy("tok").orderBy(
+        rel_of(F.col("tf")).desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        tf_all.withColumn("irank", F.row_number().over(wi))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("tok")))
+        .where(F.col("irank") <= k)
+        .groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.max("_n").alias("n_matching"),
+            F.sum(gain6(rel_of(F.col("tf")), F.col("irank"))).alias(
+                "idcg6"
+            ),
+        )
+    )
+    return dcg.join(ideal, "term").select(
+        "term",
+        "n_matching",
+        "dcg6",
+        "idcg6",
+        F.expr("(2000000 * dcg6 + idcg6) div (2 * idcg6)").alias("ndcg6"),
+    )

@@ -823,3 +823,133 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("_sum6 div n_bigrams").alias("surprisal6"),
         )
     )
+
+
+def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram surprisal under a LEAVE-ONE-SOURCE-OUT
+    stupid-backoff LM (Brants et al. 2007), in micro-bits — the
+    cross-domain novelty signal :func:`lm_surprisal` cannot give:
+    self-scoring always finds its own bigrams, so backoff never fires;
+    scoring each document against the corpus MINUS its own source makes
+    a bigram unique to that source genuinely unseen, and the operator
+    separates "novel domain" (high backoff rate, high surprisal) from
+    "boilerplate shared across domains" (low both).
+
+    Stupid backoff, micro-bit per distinct doc-bigram (w1, w2) against
+    the LOO counts (global minus this source's):
+    - loo_pair > 0:  s = -log2(loo_pair / loo_ctx)
+    - loo_pair = 0, loo_w2 > 0:  s = -log2(0.4 * loo_w2 / loo_N)
+    - both zero (word itself unique to the source):
+      s = -log2(0.4 / (loo_N + 1))
+    Each branch is one fixed IEEE expression rounded to BIGINT
+    micro-bits; per-doc aggregation is sum(c*s6) / sum(c) in exact
+    integers (the distinct-bigram pre-aggregation discipline).
+
+    Scale shape: LOO tables are NOT materialized per source — that
+    would be |sources| copies of the LM.  Instead the global count
+    tables (|pairs|, |contexts|, |vocab| rows) and the per-source ones
+    (at most one row per source-pair that OCCURS) join onto the
+    distinct doc-bigrams; loo_* = global - this-source is computed per
+    joined row.  Every join is an equi-join on (w1[,w2]) or (source,
+    w1[,w2]); all right sides are aggregate-bounded.  A doc's own
+    bigram is by construction present in its own source's tables, so
+    the source-side joins are inner, not outer.
+
+    Output: (doc_id, n_bigrams, n_backoff, surprisal6)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    big = 1 << 30
+    t = F.col("_toks")
+    grams = F.zip_with(
+        t,
+        F.slice(t, 2, big),
+        lambda a, b: F.when(
+            b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+    )
+    docbg = (
+        df.select("doc_id", "source", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.filter(grams, lambda g: g.isNotNull())).alias("g"),
+        )
+        .select(
+            "doc_id", "source",
+            F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
+        )
+    )
+    docbgc = docbg.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count("*").alias("_c")
+    )
+    # global tables (aggregate-bounded)
+    src_pair = docbgc.groupBy("source", "w1", "w2").agg(
+        F.sum("_c").alias("ns_pair")
+    )
+    pair = src_pair.groupBy("w1", "w2").agg(
+        F.sum("ns_pair").alias("n_pair")
+    )
+    src_ctx = src_pair.groupBy("source", "w1").agg(
+        F.sum("ns_pair").alias("ns_ctx")
+    )
+    ctx = src_ctx.groupBy("w1").agg(F.sum("ns_ctx").alias("n_ctx"))
+    toksrc = df.select(
+        "source", F.explode(toks).alias("tok")
+    )
+    src_uni = toksrc.groupBy("source", "tok").agg(
+        F.count("*").alias("ns_uni")
+    )
+    uni = src_uni.groupBy("tok").agg(F.sum("ns_uni").alias("n_uni"))
+    src_n = src_uni.groupBy("source").agg(F.sum("ns_uni").alias("ns_tok"))
+    n_tot = uni.agg(F.sum("n_uni").alias("n_tok_total"))
+
+    j = (
+        docbgc.join(pair, ["w1", "w2"])
+        .join(src_pair, ["source", "w1", "w2"])
+        .join(ctx, "w1")
+        .join(src_ctx, ["source", "w1"])
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(src_uni.withColumnRenamed("tok", "w2"), ["source", "w2"])
+        .join(F.broadcast(src_n), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    loo_pair = F.col("n_pair") - F.col("ns_pair")
+    loo_ctx = F.col("n_ctx") - F.col("ns_ctx")
+    loo_w2 = F.col("n_uni") - F.col("ns_uni")
+    loo_n = F.col("n_tok_total") - F.col("ns_tok")
+    s = (
+        F.when(
+            loo_pair > 0,
+            -F.log2(loo_pair.cast("double") / loo_ctx.cast("double")),
+        )
+        .when(
+            loo_w2 > 0,
+            -F.log2(
+                F.lit(0.4) * loo_w2.cast("double") / loo_n.cast("double")
+            ),
+        )
+        .otherwise(
+            -F.log2(F.lit(0.4) / (loo_n + F.lit(1)).cast("double"))
+        )
+    )
+    scored = j.select(
+        "doc_id",
+        F.col("_c"),
+        F.when(loo_pair == 0, F.col("_c"))
+        .otherwise(F.lit(0))
+        .alias("_bk"),
+        (
+            F.col("_c") * F.round(s * F.lit(1000000.0)).cast("long")
+        ).alias("_s6"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.sum("_bk").alias("n_backoff"),
+            F.sum("_s6").alias("_sum6"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_backoff",
+            F.expr("_sum6 div n_bigrams").alias("surprisal6"),
+        )
+    )

@@ -312,3 +312,180 @@ def seasonality_profile(
             > F.lit(hot_factor) * F.col("_total")
         ).alias("hot"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    h_mult: int = 3,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection over event-time buckets —
+    the streaming-monitoring staple (Page 1954): a sustained shift in a
+    key's arrival rate accumulates in the CUSUM statistic long before
+    any single bucket clears a spike threshold (``rate_spikes`` catches
+    spikes; this catches drifts).
+
+    The textbook recurrence s_t = max(0, s_{t-1} + (x_t - mu)) is a
+    loop-carried max — but it has a closed window form:
+    ``s_t = P_t - min_{j<=t} P_j`` where P is the prefix sum of
+    (x_t - mu).  Both the prefix sum and the prefix min are plain
+    ordered-window aggregates, so the whole operator is two window
+    passes over the per-key BUCKET rows (bounded by the time domain,
+    never the raw events).  The negative side uses the mirror
+    ``max prefix - P``.
+
+    Exactness: mu = total/n_buckets is rational, so everything is
+    scaled by n_buckets and stays BIGINT — d_t = n*x_t - total,
+    P/s are exact integers, and the change flag compares against
+    ``h_mult * total`` (= h_mult * mean * n, i.e. the drift must
+    accumulate h_mult mean-bucket-counts of excess) with no division
+    anywhere.
+
+    Output: (key, window_start, n_events, cusum_pos_num, cusum_neg_num,
+    is_changepoint) — *_num are the n-scaled CUSUM values.
+    """
+    from pyspark.sql import Window
+
+    b = (
+        df.select(
+            F.col(key_col),
+            F.window(ts_col, bucket).alias("_w"),
+        )
+        .groupBy(key_col, F.col("_w.start").alias("window_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = b.groupBy(key_col).agg(
+        F.sum("n_events").alias("_total"), F.count("*").alias("_nb")
+    )
+    j = b.join(F.broadcast(tot), key_col).withColumn(
+        "_d", F.col("_nb") * F.col("n_events") - F.col("_total")
+    )
+    w = Window.partitionBy(key_col).orderBy("window_start")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j = j.withColumn("_p", F.sum("_d").over(run))
+    j = j.withColumn("_pmin", F.min("_p").over(run)).withColumn(
+        "_pmax", F.max("_p").over(run)
+    )
+    return j.select(
+        F.col(key_col),
+        "window_start",
+        "n_events",
+        (F.col("_p") - F.col("_pmin")).alias("cusum_pos_num"),
+        (F.col("_pmax") - F.col("_p")).alias("cusum_neg_num"),
+        (
+            (F.col("_p") - F.col("_pmin") > F.lit(h_mult) * F.col("_total"))
+            | (F.col("_pmax") - F.col("_p") > F.lit(h_mult) * F.col("_total"))
+        ).alias("is_changepoint"),
+    )
+
+
+def session_sequences(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> DataFrame:
+    """Training-sequence export from sessionized events: each (user,
+    session) becomes one ordered action string — the behavioral-LM /
+    next-action-model input format (user histories cut at ``gap``
+    inactivity, actions joined in event-time order).
+
+    One user_id window finds the session breaks (lag + cumulative sum —
+    the same shape ``session_counts`` gates against session_window),
+    then one hash aggregate per session collects the (ts, event_id,
+    type) structs and sorts WITHIN the session — per-group state is one
+    session's own events, never corpus-wide, and the (ts, event_id)
+    total order makes the sequence deterministic under ties.
+
+    Output: (user_id, session_start, n_events, event_seq).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    brk = (
+        F.when(
+            F.col(ts_col)
+            <= F.lag(ts_col).over(w) + gap_expr,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+    )
+    s = df.withColumn("_brk", brk).withColumn(
+        "_sess",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        s.groupBy(key_col, "_sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("ts"),
+                                F.col("event_id").alias("event_id"),
+                                F.col(type_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                sep,
+            ).alias("event_seq"),
+        )
+        .drop("_sess")
+    )
+
+
+def watermark_drop_report(
+    df: DataFrame,
+    delay: str = "10 minutes",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Batch-equivalent audit of event-time WATERMARK semantics (the
+    Flink/Structured-Streaming late-data contract the reference's
+    DataStream jobs run under): replaying the keyed stream in arrival
+    order (``arrival_col`` — ids are assigned on arrival), an element
+    is DROPPED if its event time is already more than ``delay`` behind
+    the maximum event time among its strict predecessors on the same
+    key — exactly the bounded-out-of-orderness watermark rule, per
+    keyed stream.
+
+    Use it to SIZE the delay before deploying the streaming job: run at
+    a few candidate delays, read the drop counts and the worst observed
+    lateness.  One per-key ordered window (running max over preceding
+    rows, self excluded — an element can never drop itself), one
+    aggregate; lateness in exact integer microseconds.
+
+    Output: (key, n_events, n_dropped, n_kept, max_late_us).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = F.max(ts_col).over(w) - F.expr(f"INTERVAL {delay}")
+    j = df.withColumn("_wm", wm).withColumn(
+        "_late_us",
+        F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _wm)"),
+    )
+    dropped = F.col("_wm").isNotNull() & (F.col("_late_us") > 0)
+    return j.groupBy(key_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        F.sum((~dropped).cast("long")).alias("n_kept"),
+        F.max(F.when(dropped, F.col("_late_us"))).alias("max_late_us"),
+    )

@@ -39,8 +39,10 @@ from ..functions import text as TX
 from ..functions import windows as WIN
 from ..functions.multimodal import (
     attach_fake_media,
+    attach_synth_gray_ppm,
     decode_images,
     extract_audio_features,
+    image_dhash,
     sample_frames,
 )
 from ..operators.request import parse_request_packets, transform_retry_records
@@ -52,7 +54,7 @@ from ..operators.response import (
     process_response_batch,
     topic_for_api_type,
 )
-from ..tables import load_table
+from ..tables import hilbert_value, load_table, write_bucketed
 
 CFG = EngineConfig()
 
@@ -8716,6 +8718,256 @@ def decayed_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(table, ignore_errors=True)
     return maintained
+
+
+# ---------------------------------------------------------------------------
+# Round 10, part 1: CUSUM change points, watermark-sizing audit,
+# session-sequence export, Hilbert layout keys, min/max file skipping.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_cusum_changepoints",
+    """
+    WITH b AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total,
+                 COUNT(*) AS nb
+          FROM b GROUP BY 1),
+    d AS (SELECT b.event_type, window_start, n_events,
+                 nb * n_events - total AS dd, total
+          FROM b JOIN t USING (event_type)),
+    p AS (SELECT event_type, window_start, n_events, total,
+                 CAST(SUM(dd) OVER (PARTITION BY event_type
+                     ORDER BY window_start ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS pp
+          FROM d),
+    m AS (SELECT *,
+                 CAST(MIN(pp) OVER (PARTITION BY event_type
+                     ORDER BY window_start ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS pmin,
+                 CAST(MAX(pp) OVER (PARTITION BY event_type
+                     ORDER BY window_start ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS pmax
+          FROM p)
+    SELECT event_type, window_start, n_events,
+           CAST(pp - pmin AS BIGINT) AS cusum_pos_num,
+           CAST(pmax - pp AS BIGINT) AS cusum_neg_num,
+           (pp - pmin > 3 * total) OR (pmax - pp > 3 * total)
+               AS is_changepoint
+    FROM m
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CUSUM change-point detection over hourly buckets
+    (functions/windows.py:cusum_changepoints): sustained rate DRIFTS
+    accumulate in the CUSUM statistic long before any single bucket
+    clears ``rate_spikes``' spike test.  The loop-carried
+    ``max(0, s + x - mu)`` recurrence is expressed in closed window
+    form (prefix sum minus running prefix min), everything scaled by
+    the per-key bucket count so the whole statistic stays exact
+    BIGINT — two ordered windows over per-key HOURLY rows, never a
+    window over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.cusum_changepoints(ev, bucket="1 hour", h_mult=3)
+
+
+@register(
+    "events_watermark_drops",
+    """
+    WITH a AS (
+        SELECT event_type, ts, event_id,
+               (epoch_ms(ts) + 1000 * (('0x' || substr(md5('arr:' ||
+                    CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1200))
+                   * 100000 + event_id % 100000 AS arr
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type ORDER BY arr
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+                   - INTERVAL '10 minutes' AS wm
+        FROM a
+    ),
+    d AS (SELECT event_type,
+                 wm IS NOT NULL
+                     AND date_diff('microsecond', ts, wm) > 0 AS dropped,
+                 date_diff('microsecond', ts, wm) AS late_us
+          FROM w)
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept,
+           MAX(CASE WHEN dropped THEN late_us END) AS max_late_us
+    FROM d GROUP BY 1
+    """,
+)
+def events_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time WATERMARK sizing audit
+    (functions/windows.py:watermark_drop_report): replay the keyed
+    stream in arrival order and count what a 10-minute
+    bounded-out-of-orderness watermark would DROP — the number a team
+    reads before picking the delay for the streaming job (the
+    reference runs ``noWatermarks()``; this is the measurement that
+    justifies or refutes that).  The driver's events table is
+    ts-ordered by event_id, so arrival order is synthesized
+    deterministically as part of the query (md5-jittered 0-20-minute
+    delivery delay, the packet-synthesis discipline): late data is
+    then real, and the per-key running-max window does the rest."""
+    ev = load_table(spark, sf_dir, "events")
+    delay_s = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1200
+    )
+    epoch_ms = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ) / F.lit(1000)
+    arr = (
+        (epoch_ms.cast("long") + F.lit(1000) * delay_s) * F.lit(100000)
+        + F.col("event_id") % 100000
+    )
+    return WIN.watermark_drop_report(
+        ev.withColumn("_arr", arr), delay="10 minutes", arrival_col="_arr"
+    )
+
+
+@register(
+    "events_session_sequences",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts <= lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                         + INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence export from sessionized events
+    (functions/windows.py:session_sequences): each (user, 30-minute
+    session) becomes one ordered action string — the behavioral-LM /
+    next-action-model input format.  One user-keyed window for the
+    session ids, one hash aggregate whose per-group state is a single
+    session's own events; the (ts, event_id) total order makes the
+    string deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return WIN.session_sequences(ev, gap="30 minutes")
+
+
+@register(
+    "events_hilbert_keys",
+    """
+    WITH RECURSIVE hc AS (
+        SELECT event_id,
+               CAST(user_id % 65536 AS BIGINT) AS x,
+               CAST(floor(epoch(ts)) AS BIGINT) % 65536 AS y,
+               CAST(0 AS BIGINT) AS d,
+               CAST(32768 AS BIGINT) AS s
+        FROM events
+      UNION ALL
+        -- distinct inner aliases: DuckDB lateral column aliases would
+        -- otherwise shadow the input x/y inside the d expression
+        SELECT event_id, nx AS x, ny AS y, nd AS d, ns AS s FROM (
+            SELECT event_id,
+                   CASE WHEN (y // s) % 2 = 0
+                        THEN CASE WHEN (x // s) % 2 = 1
+                                  THEN 65535 - y ELSE y END
+                        ELSE x END AS nx,
+                   CASE WHEN (y // s) % 2 = 0
+                        THEN CASE WHEN (x // s) % 2 = 1
+                                  THEN 65535 - x ELSE x END
+                        ELSE y END AS ny,
+                   d + s * s * (CASE WHEN (x // s) % 2 = 0
+                                          AND (y // s) % 2 = 0 THEN 0
+                                     WHEN (x // s) % 2 = 0 THEN 1
+                                     WHEN (y // s) % 2 = 0 THEN 3
+                                     ELSE 2 END) AS nd,
+                   s // 2 AS ns
+            FROM hc WHERE s >= 1
+        )
+    )
+    SELECT event_id, d AS hkey FROM hc WHERE s = 0
+    """,
+)
+def events_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over (user_id, time) — the
+    stronger companion to ``events_zorder_keys``: every unit step on
+    the curve is a unit grid step, so key-contiguous row groups cover
+    compact squares (no Z-jumps) and range predicates on either
+    dimension skip more files.  The loop-carried xy→d walk runs as ONE
+    Catalyst higher-order ``aggregate`` with a struct accumulator
+    (tables.py:hilbert_value — linear expression size, codegen'd, no
+    UDF, no shuffle); the oracle replays the identical walk as a
+    16-level recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        hilbert_value(
+            F.col("user_id") % 65536, _epoch_sec("ts") % 65536, bits=16
+        ).alias("hkey"),
+    )
+
+
+@register(
+    "events_minmax_pruning",
+    """
+    WITH b AS (
+        SELECT event_id // 500 AS file_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        FROM events
+    )
+    SELECT file_id, COUNT(*) AS n_rows,
+           MIN(user_id) AS user_id_min, MAX(user_id) AS user_id_max,
+           MIN(ts_sec) AS ts_sec_min, MAX(ts_sec) AS ts_sec_max,
+           (MAX(user_id) < 40 OR MIN(user_id) > 59) AS skip_user_range,
+           (MAX(ts_sec) < 1704844800 OR MIN(ts_sec) > 1705017599)
+               AS skip_time_range
+    FROM b GROUP BY 1
+    """,
+)
+def events_minmax_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping planner (functions/curation.py:
+    file_skipping_report): per-file min/max column stats plus the
+    exact Iceberg/Delta manifest-pruning decision for two range
+    predicates — the audit that PROVES a layout: the ts-ordered file
+    grouping (event_id div 500 — ingest order) shows nearly every
+    file skippable for a 2-day time range while the un-clustered
+    user_id dimension skips nothing; after a Hilbert/Z-order rewrite
+    both columns would prune.  One map-side-combined aggregate bounded
+    by the file count."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", _epoch_sec("ts").alias("ts_sec")
+    )
+    return CUR.file_skipping_report(
+        base,
+        F.expr("event_id div 500"),
+        ["user_id", "ts_sec"],
+        {
+            "user_range": ("user_id", 40, 59),
+            "time_range": ("ts_sec", 1704844800, 1705017599),
+        },
+    )
 
 
 # ---------------------------------------------------------------------------
