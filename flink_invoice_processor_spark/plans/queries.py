@@ -8971,6 +8971,250 @@ def events_minmax_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 10, part 2: leave-one-source-out backoff LM, retrieval nDCG,
+# perceptual-hash image near-dup over the REAL decoder.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_lm_backoff",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i)
+        WHERE len(toks) >= 2
+    ),
+    dbc AS (SELECT doc_id, source, w1, w2, COUNT(*) AS c
+            FROM bg GROUP BY 1, 2, 3, 4),
+    sp AS (SELECT source, w1, w2, CAST(SUM(c) AS BIGINT) AS ns_pair
+           FROM dbc GROUP BY 1, 2, 3),
+    p AS (SELECT w1, w2, CAST(SUM(ns_pair) AS BIGINT) AS n_pair
+          FROM sp GROUP BY 1, 2),
+    sc AS (SELECT source, w1, CAST(SUM(ns_pair) AS BIGINT) AS ns_ctx
+           FROM sp GROUP BY 1, 2),
+    cx AS (SELECT w1, CAST(SUM(ns_ctx) AS BIGINT) AS n_ctx
+           FROM sc GROUP BY 1),
+    tk AS (SELECT source, unnest(toks) AS tok FROM t),
+    su AS (SELECT source, tok, COUNT(*) AS ns_uni FROM tk GROUP BY 1, 2),
+    u AS (SELECT tok, CAST(SUM(ns_uni) AS BIGINT) AS n_uni
+          FROM su GROUP BY 1),
+    sn AS (SELECT source, CAST(SUM(ns_uni) AS BIGINT) AS ns_tok
+           FROM su GROUP BY 1),
+    nt AS (SELECT CAST(SUM(n_uni) AS BIGINT) AS n_tok_total FROM u),
+    j AS (
+        SELECT dbc.doc_id, dbc.c,
+               p.n_pair - sp.ns_pair AS loo_pair,
+               cx.n_ctx - sc.ns_ctx AS loo_ctx,
+               u.n_uni - su.ns_uni AS loo_w2,
+               nt.n_tok_total - sn.ns_tok AS loo_n
+        FROM dbc
+        JOIN p USING (w1, w2)
+        JOIN sp ON sp.source = dbc.source AND sp.w1 = dbc.w1
+               AND sp.w2 = dbc.w2
+        JOIN cx USING (w1)
+        JOIN sc ON sc.source = dbc.source AND sc.w1 = dbc.w1
+        JOIN u ON u.tok = dbc.w2
+        JOIN su ON su.source = dbc.source AND su.tok = dbc.w2
+        JOIN sn ON sn.source = dbc.source
+        CROSS JOIN nt
+    ),
+    s AS (
+        SELECT doc_id, c,
+               CASE WHEN loo_pair = 0 THEN c ELSE 0 END AS bk,
+               c * CAST(round(
+                   CASE WHEN loo_pair > 0
+                        THEN -log2(CAST(loo_pair AS DOUBLE)
+                                   / CAST(loo_ctx AS DOUBLE))
+                        WHEN loo_w2 > 0
+                        THEN -log2(0.4 * CAST(loo_w2 AS DOUBLE)
+                                   / CAST(loo_n AS DOUBLE))
+                        ELSE -log2(0.4 / CAST(loo_n + 1 AS DOUBLE)) END
+                   * 1000000.0) AS BIGINT) AS s6
+        FROM j
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bk) AS BIGINT) AS n_backoff,
+           CAST(SUM(s6) AS BIGINT) // CAST(SUM(c) AS BIGINT) AS surprisal6
+    FROM s GROUP BY 1
+    """,
+)
+def doc_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram surprisal under a LEAVE-ONE-SOURCE-OUT
+    stupid-backoff LM (functions/text.py:loo_backoff_surprisal) — the
+    cross-domain novelty signal self-scoring cannot give: a bigram
+    unique to the doc's own source is genuinely unseen by the LOO
+    counts, so the backoff path actually fires and the report
+    separates novel domains (high backoff rate) from cross-domain
+    boilerplate (low).  LOO tables are never materialized per source —
+    loo_* = global minus this-source, computed per joined row over
+    aggregate-bounded count tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.loo_backoff_surprisal(docs)
+
+
+@register(
+    "bm25_ndcg_report",
+    f"""
+    WITH ranked AS ({{bm25}}),
+    dcg AS (
+        SELECT term,
+               CAST(SUM(CAST(round((pow(2.0, CAST(least(tf, 3) AS DOUBLE))
+                    - 1.0) / log2(CAST(rank AS DOUBLE) + 1.0)
+                    * 1000000.0) AS BIGINT)) AS BIGINT) AS dcg6
+        FROM ranked GROUP BY 1
+    ),
+    tfall AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(list_transform({_TOKENS_SQL}, t -> lower(t)))
+                       AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE tok IN ('table', 'hash', 'window') GROUP BY 1, 2
+    ),
+    ir AS (
+        SELECT tok, doc_id, tf,
+               row_number() OVER (PARTITION BY tok
+                   ORDER BY least(tf, 3) DESC, doc_id ASC) AS irank,
+               COUNT(*) OVER (PARTITION BY tok) AS nm
+        FROM tfall
+    ),
+    ideal AS (
+        SELECT tok AS term, CAST(MAX(nm) AS BIGINT) AS n_matching,
+               CAST(SUM(CAST(round((pow(2.0, CAST(least(tf, 3) AS DOUBLE))
+                    - 1.0) / log2(CAST(irank AS DOUBLE) + 1.0)
+                    * 1000000.0) AS BIGINT)) AS BIGINT) AS idcg6
+        FROM ir WHERE irank <= 10 GROUP BY 1
+    )
+    SELECT d.term, n_matching, dcg6, idcg6,
+           (2000000 * dcg6 + idcg6) // (2 * idcg6) AS ndcg6
+    FROM dcg d JOIN ideal USING (term)
+    """,
+)
+def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (functions/retrieval.py:ndcg_report):
+    nDCG@10 of the BM25 ranking per query term with graded relevance
+    least(tf, 3) — the metric loop a retrieval/RAG pipeline runs after
+    every index or scoring change; a real qrels table replaces one
+    join.  Per-rank gains in micro-units summed exactly; the ideal
+    ranking is a keyed window over per-term posting rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return RET.ndcg_report(docs, terms=["table", "hash", "window"], k=10)
+
+
+def _dhash_sql(grid_w: int = 9, grid_h: int = 7) -> str:
+    """SQL expression for the dHash of document ``doc_id``'s synthetic
+    gray image, derived from the PIXEL FORMULA (md5 per pixel) — the
+    oracle recomputes what the Spark side obtains by ENCODING the same
+    pixels as a real PPM, decoding through the stdlib decoder, and
+    differencing neighbors: the hash gate therefore round-trips the
+    real codec."""
+    def px(x: int, y: int) -> str:
+        return (
+            "('0x' || substr(md5('px:' || CAST(doc_id AS VARCHAR) || "
+            f"':{x}:{y}'), 1, 2))::INT"
+        )
+
+    terms = []
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            j = r * (grid_w - 1) + c
+            terms.append(
+                f"CASE WHEN {px(c + 1, r)} > {px(c, r)} "
+                f"THEN {1 << j}::BIGINT ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "image_dhash_neardup",
+    f"""
+    WITH h AS (
+        SELECT doc_id AS media_id, ({_dhash_sql()}) AS dhash
+        FROM documents
+    ),
+    banded AS (
+        SELECT media_id, dhash, b AS band_id,
+               (dhash >> (14 * b)) & 16383 AS band_val
+        FROM h, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.media_id < b.media_id
+    )
+    SELECT media_id_a, media_id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 24
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs over the REAL stdlib
+    decoder: synthesize one deterministic gray PPM per document
+    (functions/multimodal.py:attach_synth_gray_ppm — pixels are md5 of
+    (doc_id, x, y), so the oracle can derive them by formula), decode
+    through the Arrow ``mapInPandas`` path, dHash the decoded pixels
+    (56 horizontal-difference bits — the image-dedup counterpart of
+    SimHash), then band-block (4 × 14 bits) + exact Hamming ≤ 24 —
+    never all-pairs.  The hash gate round-trips encoder + decoder +
+    differencing byte-exactly; the permissive Hamming cut keeps the
+    banding exercised on a corpus with no true image near-dups (the
+    ``simhash_pairs_docs`` discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_synth_gray_ppm(docs))
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("dhash"), 14 * b)
+                        .bitwiseAND(F.lit(16383))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_id", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "media_id_a",
+        "media_id_b",
+        hamming.cast("int").alias("hamming"),
+    ).where(hamming <= 24)
+
+
+ORACLES["bm25_ndcg_report"] = ORACLES["bm25_ndcg_report"].replace(
+    "{bm25}", ORACLES["bm25_topk_docs"]
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
