@@ -74,6 +74,16 @@ def main() -> None:
     spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(col("id"))).count()
 
+    # host-drift calibration probe (VERDICT r9 item 3): fixed synthetic
+    # work timed at run start so cross-session suite ratios can be
+    # mechanically normalized by the probe ratio instead of by prose
+    from flink_invoice_processor_spark.session import calibration_probe
+
+    probe = calibration_probe(spark)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from gitinfo import git_head
+
     from flink_invoice_processor_spark.functions import suite_cache
 
     def timed_query(name: str) -> tuple[float, dict[str, float]]:
@@ -159,6 +169,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "git_head": git_head(),
+        "calibration": probe,
         "load_at_start": load_at_start,
         "load_before_query": loads,
     }
@@ -237,6 +249,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "sf": sf,
+        "calibration": probe,
     }
     if load_warning:
         out["load_warning"] = detail["load_warning"]

@@ -59,6 +59,68 @@ def get_spark(
     return spark
 
 
+def calibration_probe(spark: SparkSession, reps: int = 5) -> dict:
+    """Fixed-work host-speed probe for drift-normalizing cross-session
+    timings (VERDICT r9 item 3: byte-identical code measured 178 s in one
+    session and 235-239 s in another, so every cross-session ratio needed
+    a paragraph of prose — this gives the mechanical denominator).
+
+    Two synthetic aggregations, no I/O, fully deterministic:
+
+    - ``probe_parallel_s``: sum of xxhash64 over ``range(2B)`` in 32
+      partitions — one whole-stage-codegen'd map+agg per core; measures
+      the parallel throughput the suite's scan/agg plans ride on.
+    - ``probe_serial_s``: the same work over ``range(64M)`` in ONE
+      partition — single-thread speed, which is what single-task tails
+      (sorts' final merge, 1-row reductions) pay.
+
+    Each is warmed once (JIT), then timed ``reps`` times and the MEDIAN
+    reported, so one GC pause cannot own the number.  To compare run A to
+    run B, divide their probe numbers: a suite ratio within the probe
+    ratio is host drift, not a regression.  The probe is versioned by its
+    work definition — changing the constants breaks comparability, so
+    don't."""
+    import statistics
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def _timed(build) -> float:
+        # Two traps found while building this probe, both of which zeroed
+        # the measured work: (a) count() over the 1-row aggregate lets
+        # Catalyst eliminate the hash entirely (128M rows timed the same
+        # as 32M) — collect() ships one row and forces the aggregation;
+        # (b) re-collecting the SAME DataFrame skips the shuffle map
+        # stage (its shuffle files persist per RDD lineage), so the
+        # multi-partition probe re-ran only the final 32-row agg — a
+        # FRESH DataFrame per repetition gets fresh RDDs and no skip.
+        samples = []
+        build().collect()  # warm: codegen + JIT
+        for _ in range(reps):
+            df = build()
+            t0 = _time.perf_counter()
+            df.collect()
+            samples.append(_time.perf_counter() - t0)
+        return round(statistics.median(samples), 4)
+
+    def par():
+        return spark.range(0, 2_000_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1_000_000).alias("h")
+        )
+
+    def ser():
+        return spark.range(0, 64_000_000, 1, 1).select(
+            F.sum(F.xxhash64("id") % 1_000_000).alias("h")
+        )
+
+    return {
+        "probe_parallel_s": _timed(par),
+        "probe_serial_s": _timed(ser),
+        "probe_reps": reps,
+        "probe_work": "sum(xxhash64%1e6) range2Bx32p / range64Mx1p",
+    }
+
+
 def drain_block_store(spark: SparkSession, timeout_s: float = 30.0) -> int:
     """Deterministically release dead cached/localCheckpoint RDD blocks.
 

@@ -126,6 +126,21 @@ REPRESENTATIVE = [
     "doc_lm_surprisal",
     "events_attribution",
     "events_seasonality",
+    # round-10 families: CUSUM closed-form changepoints (two keyed
+    # windows over hourly buckets), watermark-drop audit (one keyed
+    # arrival window), sessionization to action strings, Hilbert keys
+    # (pure map), min/max file skipping (file-keyed aggregate),
+    # leave-one-source-out backoff LM (multi-aggregate join), nDCG eval
+    # (posting-list windows), dHash near-dup over the real stdlib codec
+    # (mapInPandas encode+decode, banded Hamming join)
+    "events_cusum_changepoints",
+    "events_watermark_drops",
+    "events_session_sequences",
+    "events_hilbert_keys",
+    "events_minmax_pruning",
+    "doc_lm_backoff",
+    "bm25_ndcg_report",
+    "image_dhash_neardup",
 ]
 
 
@@ -193,6 +208,15 @@ DECADE_FAMILIES = [
     "doc_lm_surprisal",
     "events_attribution",
     "events_seasonality",
+    # round-10 (documents/events inputs only)
+    "events_cusum_changepoints",
+    "events_watermark_drops",
+    "events_session_sequences",
+    "events_hilbert_keys",
+    "events_minmax_pruning",
+    "doc_lm_backoff",
+    "bm25_ndcg_report",
+    "image_dhash_neardup",
 ]
 
 
@@ -217,6 +241,15 @@ def main() -> None:
     from flink_invoice_processor_spark.session import get_spark
 
     spark = get_spark("scaling_check")
+
+    # host-drift calibration probe (VERDICT r9 item 3): the part-4 r9
+    # scaling pair's run-to-run disagreement was dominated by host drift
+    # (6/47 families within ±20% across byte-identical code); the probe
+    # gives the mechanical denominator for cross-session comparisons
+    from flink_invoice_processor_spark.session import calibration_probe
+
+    probe = calibration_probe(spark)
+
     out: dict[str, dict[str, float]] = {}
     for name in REPRESENTATIVE:
         fn = QUERIES[name]
@@ -283,6 +316,7 @@ def main() -> None:
 
     result = {
         "git_head": git_head(),
+        "calibration": probe,
         "reps": reps,
         "sf_ratio": ratio,
         "queries": out,
