@@ -1457,3 +1457,91 @@ def file_skipping_report(
             (F.col(f"{c}_max") < F.lit(lo)) | (F.col(f"{c}_min") > F.lit(hi)),
         )
     return stats
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the normalization every web-crawl
+    corpus runs before URL-level dedup and frontier scheduling
+    (CommonCrawl / Nutch discipline).  Rules, in order:
+
+    - scheme and host lowercased; a leading ``www.`` stripped from the
+      host;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+      non-default ports kept;
+    - the fragment (``#...``) dropped — it never reaches the server;
+    - tracking query parameters dropped (``utm_*``, ``fbclid``,
+      ``gclid``, ``ref``);
+    - surviving query parameters sorted bytewise by their full
+      ``name=value`` text (parameter order is almost never significant;
+      sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` collide);
+    - trailing slashes stripped from the path (the root path
+      canonicalizes to no path at all).
+
+    Entirely regexp/array expressions — a PURE MAP with no shuffle, so
+    canonicalization runs at scan speed at any corpus size, and the
+    DuckDB oracle replays every rule with the same regexps.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"#.*$",
+        "",
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    path_q = F.substring(rest, F.length(hostport) + 1, 1 << 30)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(F.regexp_extract(path_q, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    sorted_q = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup_report(
+    df: DataFrame, url_col: str = "url", min_docs: int = 2
+) -> DataFrame:
+    """URL-level dedup report over :func:`canonical_url`: group the
+    corpus by canonical URL and report every canonical address that
+    multiple documents claim — the crawl-dedup pass that runs BEFORE
+    any content hashing (a fetch you can skip is cheaper than a fetch
+    you deduplicate).
+
+    Scale shape: the canonicalization is a pure map; the report is ONE
+    hash aggregate on the canonical string with map-side combine.
+    Output: (canonical_url, n_urls, n_docs, canonical_doc_id) where
+    ``n_urls`` counts distinct RAW spellings."""
+    return (
+        df.select("doc_id", F.col(url_col).alias("_u"))
+        .select("doc_id", "_u", canonical_url(F.col("_u")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("_u").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("canonical_url", "n_urls", "n_docs", "canonical_doc_id")
+    )

@@ -1180,3 +1180,234 @@ def cluster_weighted_sample(
     return clusters.where(gate < F.lit(int(rate_scale))).select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/Gear CDC discipline of
+    storage dedup, at token granularity): cut AFTER token ``i`` whenever
+    ``hash(token_i) % window == 0``, so chunk boundaries are decided by
+    CONTENT, not position.  This is the property fixed-size chunking
+    (:func:`~..curation.chunk_documents`) and fixed-length spans
+    (:func:`duplicate_spans`) both lack: inserting one token near the
+    top of a document shifts every downstream fixed window, but CDC
+    boundaries re-synchronize at the next content cut, so shared
+    passages keep producing identical chunks.  Expected chunk length is
+    ``window`` tokens (geometric).
+
+    The hash is md5-derived (first 8 hex digits as an integer) so the
+    DuckDB oracle reproduces every boundary bit-exactly; a pure-Spark
+    deployment would swap in ``xxhash64``.
+
+    Scale shape: a PURE MAP — boundary positions, chunk bounds, and
+    chunk slices are all higher-order array expressions on the token
+    array (each token is hashed once and copied into exactly one chunk,
+    so per-doc work is O(tokens)), followed by one ``posexplode``.  No
+    shuffle at all: at 100 TB chunking runs at parquet-scan speed and
+    the downstream consumer controls partitioning.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk) — ``chunk_id`` is the
+    0-based position of the chunk in the document.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = df.select("doc_id", toks.alias("_toks")).where(F.size("_toks") > 0)
+    cuts = F.expr(
+        "filter(sequence(1, size(_toks)), i -> "
+        " cast(conv(substring(md5(element_at(_toks, i)), 1, 8), 16, 10)"
+        f"      as bigint) % {int(window)} = 0)"
+    )
+    # bounds k = (cuts[k-1], cuts[k]) with sentinels 0 and n; only the
+    # LAST bound can be empty (when the final token is itself a cut), so
+    # filtering before the posexplode cannot shift earlier chunk ids
+    bounds = F.expr(
+        "filter(zip_with(concat(array(0), _cuts),"
+        "                concat(_cuts, array(size(_toks))),"
+        "                (s, e) -> named_struct('s', s, 'e', e)),"
+        "       x -> x.e > x.s)"
+    )
+    ex = base.select("doc_id", "_toks", cuts.alias("_cuts")).select(
+        "doc_id", "_toks", F.posexplode(bounds).alias("chunk_id", "_b")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("_b.e") - F.col("_b.s")).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.expr("slice(_toks, _b.s + 1, _b.e - _b.s)")
+        ).alias("chunk"),
+    )
+
+
+def cdc_chunk_duplicates(
+    df: DataFrame,
+    window: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    key_on_digest: bool = False,
+) -> DataFrame:
+    """Cross-document duplicate CHUNKS under content-defined chunking —
+    the storage-dedup view of corpus redundancy: which variable-length,
+    boundary-stable passages appear in ≥ ``min_docs`` distinct
+    documents?  Complements :func:`duplicate_spans` (every fixed
+    8-token window) with insertion-robust chunks: an edited copy of a
+    document still shares every chunk outside the edited one.
+
+    Scale shape: the pure-map chunk explode of
+    :func:`content_defined_chunks` plus ONE hash aggregate with
+    map-side combine.  ``key_on_digest=True`` is the 100 TB mode
+    (mirrors :func:`duplicate_spans`): group on ``md5(chunk)`` and
+    carry ``min(chunk)`` alongside — fixed 32-byte shuffle keys instead
+    of whole chunk strings, identical rows either way (collisions
+    aside).
+
+    Output: (chunk, n_tokens, n_docs, n_occurrences), duplicated chunks
+    only."""
+    chunks = content_defined_chunks(df, window, text_col)
+    if key_on_digest:
+        agg = (
+            chunks.select(
+                "doc_id", "n_tokens", "chunk", F.md5("chunk").alias("_h")
+            )
+            .groupBy("_h")
+            .agg(
+                F.min("chunk").alias("chunk"),
+                F.min("n_tokens").alias("n_tokens"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_occurrences"),
+            )
+        )
+    else:
+        agg = chunks.groupBy("chunk").agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+    return agg.where(F.col("n_docs") >= min_docs).select(
+        "chunk", "n_tokens", "n_docs", "n_occurrences"
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    w: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    key_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) near-duplicate detection — the
+    classic record-linkage blocking discipline (Hernández & Stolfo
+    1995) as the third candidate generator beside MinHash-LSH banding
+    and SimHash Hamming blocks: sort the corpus on a normalized sort
+    key (first ``key_len`` characters of the lowercased, whitespace-
+    collapsed text), slide a window of ``w`` neighbors, and emit every
+    in-window pair as a candidate.  Candidates are verified on exact
+    n-gram Jaccard before anything is called a duplicate (the
+    :func:`lsh_verified_pairs` precision discipline).
+
+    Near-identical documents sort adjacently on their shared prefix, so
+    SNM finds prefix-stable near-dups in O(n·w) candidates with ZERO
+    tuning of hash families — the trade-off is blindness to documents
+    whose difference is in the first ``key_len`` characters (LSH's
+    complementary strength; production pipelines run both and union).
+
+    Scale shape: the global sort is the TWO-PHASE
+    :func:`~.curation.distributed_row_number` (range-partitioned local
+    ranks + broadcast offsets — never a single-task window).  In-window
+    pairing is an equi-join on ``floor(rank/w)`` buckets with each row
+    probing its own and its predecessor bucket (every pair at rank
+    distance ≤ ``w`` shares one of the two keys exactly once), so the
+    candidate join is bounded by w·n rows, never n².  Verification is
+    the candidate-keyed shingle intersection of
+    :func:`lsh_verified_pairs` — work is Σ|shingles| over candidate
+    members only.
+
+    Output: (doc_id_a < doc_id_b, rank_distance, jaccard ≥ threshold).
+    """
+    from .curation import distributed_row_number
+
+    key = F.substring(
+        F.concat_ws(" ", F.transform(tokens(F.col(text_col)), F.lower)),
+        1,
+        int(key_len),
+    )
+    keyed = df.select("doc_id", key.alias("_key")).where(F.col("_key") != "")
+    ranked = distributed_row_number(
+        keyed, [F.col("_key"), F.col("doc_id")], out_col="rn"
+    ).select("doc_id", "rn")
+    # each row carries its own bucket; the probe side ALSO probes the
+    # previous bucket, so a pair at rank distance <= w (which must lie in
+    # the same or adjacent buckets of width w) is generated exactly once
+    lhs = ranked.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("rn").alias("rn_a"),
+        F.floor((F.col("rn") - 1) / w).alias("_bkt"),
+    )
+    rhs = ranked.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("rn").alias("rn_b"),
+        F.explode(
+            F.array(
+                F.floor((F.col("rn") - 1) / w),
+                F.floor((F.col("rn") - 1) / w) - 1,
+            )
+        ).alias("_bkt"),
+    )
+    cand = (
+        lhs.join(rhs, "_bkt")
+        .where(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") <= w)
+        )
+        .select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            (F.col("rn_b") - F.col("rn_a")).alias("rank_distance"),
+        )
+    )
+    members = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b")))
+        .distinct()
+    )
+    sh = (
+        shingles(df, n, text_col)
+        .join(members, "doc_id", "left_semi")
+        .select("doc_id", _md5_int63(F.col("shingle")).alias("shingle_h"))
+    )
+    if MATERIALIZE_PAIRS:
+        sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle_h").alias("_h")),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle_h").alias("_h")),
+            ["doc_id_b", "_h"],
+        )
+        .groupBy("doc_id_a", "doc_id_b", "rank_distance")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "rank_distance",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return _finish_pairs(out, sh)

@@ -9215,6 +9215,286 @@ ORACLES["bm25_ndcg_report"] = ORACLES["bm25_ndcg_report"].replace(
 
 
 # ---------------------------------------------------------------------------
+# Round 10, part 3: content-defined chunk dedup, sorted-neighborhood
+# near-dup pairs, URL canonicalization dedup, and the maintained CMS
+# heavy-hitters invariant under the hash gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_chunk_dedup_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKENS_SQL}, x -> lower(x)) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks) + 1),
+                   i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16
+                        = 0) AS cuts
+        FROM t
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               unnest(list_prepend(0, cuts)) AS s,
+               unnest(list_append(cuts, len(toks))) AS e
+        FROM c
+    ),
+    ch AS (
+        SELECT doc_id, e - s AS n_tokens,
+               array_to_string(toks[s + 1:e], ' ') AS chunk
+        FROM b WHERE e > s
+    )
+    SELECT chunk, CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (functions/dedup.py:
+    cdc_chunk_duplicates): cut chunks where ``md5-hash(token) % 16 ==
+    0`` — boundaries decided by CONTENT, so an insertion near the top
+    of a copied document re-synchronizes at the next cut and the shared
+    passages still collide (the insertion-robustness fixed windows
+    lack).  Pure-map chunk explode + one hash aggregate; duplicated
+    chunks (≥ 2 distinct docs) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.cdc_chunk_duplicates(docs, window=16, min_docs=2)
+
+
+@register(
+    "snm_verified_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform({_TOKENS_SQL}, x -> lower(x)), ' ')
+                   AS norm
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    k AS (
+        SELECT doc_id, substr(norm, 1, 24) AS key
+        FROM t WHERE norm <> ''
+    ),
+    r AS (
+        SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn
+        FROM k
+    ),
+    cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+               greatest(a.doc_id, b.doc_id) AS doc_id_b,
+               b.rn - a.rn AS rank_distance
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 8
+    ),
+    sh0 AS ({_SHINGLES_SQL}),
+    members AS (
+        SELECT doc_id_a AS doc_id FROM cand
+        UNION SELECT doc_id_b FROM cand
+    ),
+    sh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                   AS shingle_h
+        FROM sh0 WHERE doc_id IN (SELECT doc_id FROM members)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, c.rank_distance,
+               COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_id_a
+        JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle_h = a.shingle_h
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id_a, doc_id_b, rank_distance,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4)
+               AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
+               JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def snm_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood near-dup pairs (functions/dedup.py:
+    sorted_neighborhood_pairs): the third candidate generator beside
+    LSH banding and SimHash blocks — global sort on a 24-char
+    normalized prefix key (two-phase distributed row_number, never a
+    single-task window), rank-window w=8 candidates via a
+    bucket-adjacency equi-join (O(n·w), never n²), exact 3-gram
+    Jaccard ≥ 0.5 verification restricted to candidate members."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.sorted_neighborhood_pairs(
+        docs, w=8, n=3, threshold=0.5, key_len=24
+    )
+
+
+_SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Docs.Example.COM'
+    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+    || '/Articles/' || CAST(doc_id // 4 AS VARCHAR)
+    || (CASE doc_id % 4
+            WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+            WHEN 1 THEN '?a=1&b=2&utm_campaign=x'
+            WHEN 2 THEN '?b=2&a=1#section'
+            ELSE '/?a=1&b=2' END)
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH u AS (
+        SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    p AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        FROM u
+    ),
+    hp AS (
+        SELECT doc_id, url, scheme,
+               regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+               substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1))
+                      + 1) AS path_q
+        FROM p
+    ),
+    parts AS (
+        SELECT doc_id, url, scheme,
+               regexp_replace(lower(regexp_extract(hostport,
+                   '^([^:]*)', 1)), '^www\\.', '') AS host,
+               regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+               regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
+                   '/+$', '') AS path,
+               regexp_extract(path_q, '\\?(.*)$', 1) AS query
+        FROM hp
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://' || host
+               || (CASE WHEN port <> '' AND NOT (scheme = 'http'
+                             AND port = '80')
+                        AND NOT (scheme = 'https' AND port = '443')
+                        THEN ':' || port ELSE '' END)
+               || path
+               || (CASE WHEN array_to_string(list_sort(list_filter(
+                            string_split(query, '&'),
+                            q -> q <> '' AND NOT regexp_matches(q,
+                                '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+                            <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(
+                            string_split(query, '&'),
+                            q -> q <> '' AND NOT regexp_matches(q,
+                                '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+                        ELSE '' END) AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM canon GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL dedup (functions/curation.py:canonical_url +
+    url_dedup_report): one deterministic messy URL is synthesized per
+    document (mixed-case scheme/host, ``www.``, default ports,
+    fragments, ``utm_*`` tracking params, unsorted query params,
+    trailing slashes — each quad of doc_ids collapses to one http and
+    one https pair after normalization, and the scheme correctly keeps
+    those two apart), canonicalized by the pure-map rule chain, and
+    grouped into a duplicate report.  The oracle replays every rule
+    with the same regexps, so the hash gate pins the normalization
+    semantics — the pass a web corpus runs BEFORE any content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Docs.Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+            F.lit(":443")
+        ),
+        F.lit("/Articles/"),
+        F.floor(F.col("doc_id") / 4).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1#section"))
+        .otherwise(F.lit("/?a=1&b=2")),
+    )
+    return CUR.url_dedup_report(
+        docs.select("doc_id", url.alias("url")), min_docs=2
+    )
+
+
+def cms_rollup_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE sketch invariant #4 under the driver hash gate
+    (after the LSH pair store, KMV rollup, and decayed rollup of r9):
+    ingest the events table into the version-swapped Count-Min counter
+    table in TWO micro-batches via the streaming writer itself
+    (``streaming/sketch_rollup.cms_rollup_writer``), REPLAY the second
+    batch to prove the at-least-once batch-id fence (SUM-merge is not
+    idempotent — an unfenced replay would double-count), then serve
+    exact heavy hitters from the MAINTAINED counters: CMS estimates
+    (upper bounds) pre-filter the candidate keys, one exact rescan
+    confirms.  The DuckDB oracle is ``events_heavy_hitters``'s one-shot
+    batch SQL verbatim — counters maintained across fenced micro-batches
+    ≡ counters over the union (the CMS merge law), so the candidate set
+    is a superset of the true heavy hitters and the exact rescan makes
+    the final rows identical.
+
+    The counter table lives in a per-call temp dir, deleted after the
+    maintained rows are realized; per-batch work is one bounded
+    counter aggregate + a ≤ depth·width-row merge."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketch_rollup import (
+        cms_estimate,
+        cms_rollup_writer,
+        read_cms_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    )
+    table = tempfile.mkdtemp(prefix="cms_rollup_q_")
+    try:
+        writer = cms_rollup_writer(key, table, depth=3, width=1024)
+        writer(ev.where(F.col("event_id") % 2 == 0), 0)
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        # at-least-once replay of an already-merged epoch: MUST be a
+        # fenced no-op or every batch-1 key double-counts
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        counters = read_cms_table(spark, table).localCheckpoint()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    keyed = ev.select(key.alias("hh_key"))
+    est = cms_estimate(
+        counters, keyed.distinct(), F.col("hh_key"), depth=3, width=1024
+    )
+    candidates = est.where(F.col("est_count") >= 20).select("hh_key")
+    return (
+        keyed.join(F.broadcast(candidates), "hh_key", "left_semi")
+        .groupBy("hh_key")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") >= 20)
+    )
+
+
+QUERIES["cms_rollup_heavy_hitters"] = cms_rollup_heavy_hitters
+ORACLES["cms_rollup_heavy_hitters"] = ORACLES["events_heavy_hitters"]
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -9291,6 +9571,13 @@ _DRIVER_FIRST = [
     "doc_lm_backoff",
     "bm25_ndcg_report",
     "image_dhash_neardup",
+    # round 10 part 3 (never driver-gated): CDC chunk dedup, SNM
+    # near-dup pairs, URL canonicalization, and the 4th maintained-state
+    # invariant (fenced CMS rollup serving exact heavy hitters)
+    "cdc_chunk_dedup_docs",
+    "snm_verified_pairs",
+    "url_canonical_dedup",
+    "cms_rollup_heavy_hitters",
 ]
 
 

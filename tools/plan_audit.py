@@ -35,7 +35,10 @@ ALLOWED_SOFT = {
     "events_value_histogram": "1-row global min/max bounds aggregate",
     "pack_sequences_docs": "<=P-row per-partition offset cumsum (P = shuffle partitions)",
     "vocab_index": "<=P-row per-partition offset cumsum (distributed_row_number)",
+    "bm25_ndcg_report": "1-row corpus-stats aggregate (N, sum_dl) inside the BM25 leg, broadcast back — the per-term DCG/iDCG aggregates stay keyed on the |terms| domain",
     "corpus_shuffle_positions": "<=P-row per-partition offset cumsum (distributed_row_number)",
+    "doc_lm_backoff": "1-row corpus-token-total aggregate (the backoff denominator n_tok_total), broadcast back — the LOO pair/context/unigram tables stay key-partitioned",
+    "snm_verified_pairs": "<=P-row per-partition offset cumsum (distributed_row_number for the global sort-key rank) — candidate generation and shingle verification stay key-partitioned",
     "q6_revenue_filter": "single-row global aggregate (final partial merge)",
     "q14_promo_revenue": "single-row global aggregate (final partial merge)",
     "q11_important_stock": "1-row regional stock-value total (broadcast threshold)",
