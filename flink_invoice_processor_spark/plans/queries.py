@@ -9470,15 +9470,19 @@ def cms_rollup_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest the events table into the version-swapped Count-Min counter
     table in TWO micro-batches via the streaming writer itself
     (``streaming/sketch_rollup.cms_rollup_writer``), REPLAY the second
-    batch to prove the at-least-once batch-id fence (SUM-merge is not
-    idempotent — an unfenced replay would double-count), then serve
-    exact heavy hitters from the MAINTAINED counters: CMS estimates
-    (upper bounds) pre-filter the candidate keys, one exact rescan
-    confirms.  The DuckDB oracle is ``events_heavy_hitters``'s one-shot
-    batch SQL verbatim — counters maintained across fenced micro-batches
-    ≡ counters over the union (the CMS merge law), so the candidate set
-    is a superset of the true heavy hitters and the exact rescan makes
-    the final rows identical.
+    batch so the at-least-once batch-id fence is EXERCISED in the gated
+    path (SUM-merge is not idempotent; note the final rows alone cannot
+    detect a broken fence — doubled counters would only inflate the
+    candidate SUPERSET and the exact rescan would still emit identical
+    rows, so the bit-exact no-op guarantee is pinned by
+    ``tests/test_round12_operators.py::TestCmsRolloverFence``), then
+    serve exact heavy hitters from the MAINTAINED counters: CMS
+    estimates (upper bounds) pre-filter the candidate keys, one exact
+    rescan confirms.  The DuckDB oracle is ``events_heavy_hitters``'s
+    one-shot batch SQL verbatim — counters maintained across fenced
+    micro-batches ≡ counters over the union (the CMS merge law), so the
+    candidate set is a superset of the true heavy hitters and the exact
+    rescan makes the final rows identical.
 
     The counter table lives in a per-call temp dir, deleted after the
     maintained rows are realized; per-batch work is one bounded
