@@ -1444,7 +1444,13 @@ def file_skipping_report(
     output bounded by the file count; nothing rescans rows.
 
     Output: (file_id, n_rows, <c>_min/<c>_max per stat col,
-    skip_<name> per predicate)."""
+    skip_<name> per predicate).
+
+    Decade-scale evidence (SCALING_r10): steady 0.17 → 0.43 s (2.46×)
+    at a 0.25 s delta — one file-keyed min/max aggregate whose output
+    is |files| rows; at these absolutes the reading is fixed per-query
+    overhead plus a scan that grew 10×, and the aggregate state stays
+    file-count-bounded at any corpus size."""
     aggs = [F.count("*").alias("n_rows")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]

@@ -786,7 +786,9 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     corpus; the pre-aggregation stays because on real boilerplate/
     template corpora (the operator's target) the repetition ratio is
     the whole point, and the exchange it adds is bounded by the same
-    distinct count the join already pays.
+    distinct count the join already pays.  Decade reading under the new
+    code (SCALING_r10): steady 3.7× (r9 read 4.48–4.72×) for a MEASURED
+    10.24× join-input growth — sub-linear in join rows, at the floor.
 
     Output: (doc_id, n_bigrams, surprisal6)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -866,6 +868,15 @@ def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     w1[,w2]); all right sides are aggregate-bounded.  A doc's own
     bigram is by construction present in its own source's tables, so
     the source-side joins are inner, not outer.
+
+    Decade-scale evidence (SCALING_r10): steady 1.34 → 5.14 s (3.84×),
+    build 3.61×.  The scoring-join input — distinct doc-bigrams — is
+    MEASURED to grow 10.24× at the decade corpus (256,477 → 2,626,697;
+    the synthetic corpus has ~no within-doc repetition, see
+    :func:`lm_surprisal`), so 3.8× time for 10.24× join rows is
+    sub-linear in join input; the ratio sits above the suite's scan
+    families only because the join input grows at the full data rate
+    while scan families amortize fixed overhead.
 
     Output: (doc_id, n_bigrams, n_backoff, surprisal6)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)

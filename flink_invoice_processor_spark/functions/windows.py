@@ -345,6 +345,12 @@ def cusum_changepoints(
 
     Output: (key, window_start, n_events, cusum_pos_num, cusum_neg_num,
     is_changepoint) — *_num are the n-scaled CUSUM values.
+
+    Decade-scale evidence (SCALING_r10): steady 0.28 → 0.60 s (2.12×)
+    at a 0.32 s delta — the window input is the (key, bucket) grid,
+    whose size is time-domain-bounded and grows far slower than the
+    raw events, so the reading is the fixed per-query overhead plus a
+    grid that barely moved (the seasonality-profile precedent).
     """
     from pyspark.sql import Window
 
