@@ -8203,7 +8203,16 @@ def lsh_store_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     what is proven: the store is still built twice through the real
     maintenance path, and the epochs split the slice by ``doc_id % 4``
     (the within-slice parity), so every pair still crosses or lands in
-    an update epoch exactly once."""
+    an update epoch exactly once.
+
+    Where the remaining seconds live (r10 session-cold stage profile at
+    sf0.1: seed fetch 1.9, bootstrap 5.0, epoch0 3.7, epoch1 2.1,
+    verify 1.8 — suite-warm bench reads ~6.9 cold / 5.8 warm total):
+    the cost is 6–8 real Spark jobs with parquet I/O through the real
+    maintenance path — store write, per-epoch band/probe/
+    dynamic-overwrite, candidate-bounded verify.  That IS the contract
+    being proven; slicing further would thin the verified-pair oracle
+    (6 rows at sf0.01) below usefulness, so the remaining cost stays."""
     import shutil
     import tempfile
 
