@@ -1,0 +1,292 @@
+"""Streaming chunk-level dedup-against-history: a persisted
+content-defined chunk-digest store maintained per micro-batch, with a
+Bloom membership rollup as the probe fast path.
+
+The batch operator family (``dedup.content_defined_chunks`` /
+``cdc_chunk_duplicates``) answers "which variable-length passages are
+duplicated?" for a corpus it can re-scan; this job answers it
+CONTINUOUSLY — each arriving micro-batch of documents is chunked (a
+pure map), its chunk digests are checked against everything ever
+ingested, and a per-epoch duplicate report lands in a queryable
+parquet table — without ever re-chunking history.  This is the
+storage-dedup incremental path at training-corpus scale: a copied or
+lightly-edited document arriving months after the original still hits
+the original's chunks (CDC boundaries re-synchronize around edits).
+
+Per-epoch work, in order:
+
+1. chunk the batch and aggregate per digest (batch-bounded);
+2. probe the maintained BLOOM rollup (broadcast word lookups — the
+   ``sketch_rollup.bloom_rollup_writer`` table): bloom-miss digests are
+   DEFINITELY new (no false negatives) and skip the store entirely;
+3. only bloom-HIT digests join the digest store for exact history
+   membership — the join reads only the store buckets those digests
+   hash to (driver-side bucket list → partition pruning, the
+   ``lsh_index`` discipline), and the exact join removes Bloom false
+   positives;
+4. the epoch's duplicate report (digests already seen in any PRIOR
+   epoch) lands under ``batch=epoch`` of the report table;
+5. ALL the batch's digest rows land under their ``(bucket,
+   batch=epoch)`` store partitions (dynamic overwrite — a replayed
+   epoch rewrites identical content), and the digests OR into the
+   Bloom rollup (bit-OR is idempotent, so the replay needs no fence).
+
+Cumulative-equivalence contract (pytest-pinned in
+``tests/test_chunk_maintenance.py``): after streaming a corpus in ANY
+split, aggregating the store's per-epoch rows by digest equals the
+one-shot ``cdc_chunk_duplicates`` over the whole corpus, bit for bit
+(counts sum because each document arrives in exactly ONE epoch — the
+same one-lineage contract every maintenance job here carries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.dedup import content_defined_chunks
+from ..functions.sketches import bloom_probe
+from .sketch_rollup import bloom_rollup_writer, read_bloom_table
+
+META_DIR = "/_chunk_store_meta"
+BLOOM_DIR = "/_bloom"  # underscore prefix: hidden from parquet listings
+
+_STORE_SCHEMA = (
+    "digest STRING, chunk STRING, n_tokens LONG, n_docs LONG,"
+    " n_occurrences LONG, first_doc_id LONG, bucket LONG, batch INT"
+)
+
+
+def _write_meta(spark: SparkSession, store_path: str, meta: dict) -> None:
+    spark.createDataFrame(
+        [(json.dumps(meta, sort_keys=True),)], "j string"
+    ).coalesce(1).write.mode("overwrite").text(store_path + META_DIR)
+
+
+def read_chunk_meta(spark: SparkSession, store_path: str) -> dict:
+    return json.loads(
+        spark.read.text(store_path + META_DIR).collect()[0][0]
+    )
+
+
+def _batch_digest_rows(
+    df: DataFrame, window: int, n_buckets: int, text_col: str
+) -> DataFrame:
+    """Per-digest batch aggregate: (digest, chunk, n_tokens, n_docs,
+    n_occurrences, first_doc_id, bucket).  Batch-bounded: the chunk
+    explode is a pure map and the aggregate has map-side combine."""
+    chunks = content_defined_chunks(df, window, text_col)
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .select(
+            F.md5("chunk").alias("digest"),
+            "chunk",
+            "n_tokens",
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+        )
+        .withColumn("bucket", F.crc32(F.col("digest")) % n_buckets)
+    )
+
+
+def init_chunk_store(
+    spark: SparkSession,
+    store_path: str,
+    window: int = 16,
+    n_buckets: int = 16,
+    m_bits: int = 61440,
+    k: int = 3,
+    text_col: str = "text",
+) -> dict:
+    """Create an EMPTY but fully readable store: the meta file (layout
+    parameters pinned so the stream can never drift from them) and a
+    zero-row schema-bearing sentinel partition (``batch=-2``, the
+    ``init_pairs_table`` discipline — without it, readers die on
+    path-not-found until the first epoch lands)."""
+    meta = {
+        "window": int(window),
+        "n_buckets": int(n_buckets),
+        "m_bits": int(m_bits),
+        "k": int(k),
+        "text_col": text_col,
+    }
+    os.makedirs(store_path, exist_ok=True)
+    _write_meta(spark, store_path, meta)
+    empty = spark.createDataFrame([], _STORE_SCHEMA).drop("bucket", "batch")
+    (
+        empty.repartition(1)
+        .write.mode("ignore")
+        .parquet(store_path + "/bucket=-2/batch=-2")
+    )
+    return meta
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    return spark.read.option("basePath", store_path).parquet(store_path)
+
+
+def update_chunk_store(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    meta: dict | None = None,
+) -> DataFrame:
+    """One ingest increment.  Returns the epoch's duplicate report —
+    (digest, chunk, n_tokens, n_docs, n_occurrences, first_doc_id,
+    first_doc_id_history) for batch digests already present in a PRIOR
+    epoch — realized (localCheckpoint) BEFORE any write, so the
+    report can never observe the epoch's own rows."""
+    spark = batch_df.sparkSession
+    if meta is None:
+        meta = read_chunk_meta(spark, store_path)
+    rows = _batch_digest_rows(
+        batch_df, meta["window"], meta["n_buckets"], meta["text_col"]
+    ).localCheckpoint()
+
+    # fast path: bloom-miss digests are definitely new (one-sided
+    # guarantee), so only bloom hits ever touch the store
+    bloom = read_bloom_table(spark, store_path + BLOOM_DIR)
+    probed = bloom_probe(
+        rows, F.col("digest"), bloom, m_bits=meta["m_bits"], k=meta["k"]
+    )
+    cand = rows.join(
+        probed.where(F.col("bloom_hit")).select(
+            F.col("value").alias("digest")
+        ),
+        "digest",
+        "left_semi",
+    )
+
+    # exact membership against PRIOR epochs only, bucket-pruned: the
+    # scan reads only the store buckets the candidate digests hash to
+    buckets = [
+        r["bucket"] for r in cand.select("bucket").distinct().collect()
+    ]
+    if buckets:
+        history = (
+            _read_store(spark, store_path)
+            .where(F.col("batch") != int(batch_id))
+            .where(F.col("bucket").isin(buckets))
+            .groupBy("digest")
+            .agg(F.min("first_doc_id").alias("first_doc_id_history"))
+        )
+        report = cand.join(history, "digest").select(
+            "digest", "chunk", "n_tokens", "n_docs", "n_occurrences",
+            "first_doc_id", "first_doc_id_history",
+        )
+    else:
+        report = spark.createDataFrame(
+            [],
+            "digest STRING, chunk STRING, n_tokens LONG, n_docs LONG,"
+            " n_occurrences LONG, first_doc_id LONG,"
+            " first_doc_id_history LONG",
+        )
+    report = report.localCheckpoint()
+
+    # bloom FIRST, store second: a crash between the two writes must
+    # leave the bloom an OVER-approximation of the store (false
+    # positives — removed by the exact join) and never an under-
+    # approximation (false negatives would silently miss duplicates
+    # forever).  Bit-OR is idempotent, so a replayed epoch re-ORs to
+    # no effect and needs no fence.
+    bloom_rollup_writer(
+        F.col("digest"),
+        store_path + BLOOM_DIR,
+        m_bits=meta["m_bits"],
+        k=meta["k"],
+    )(rows, batch_id)
+    # land the epoch: ALL batch digests under (bucket, batch=epoch) —
+    # dynamic overwrite makes a replayed epoch rewrite identical rows
+    (
+        rows.withColumn("batch", F.lit(int(batch_id)))
+        .repartition(meta["n_buckets"], "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "batch")
+        .parquet(store_path)
+    )
+    return report
+
+
+def chunk_duplicates_from_store(
+    spark: SparkSession, store_path: str, min_docs: int = 2
+) -> DataFrame:
+    """The batch ``cdc_chunk_duplicates`` report SERVED from the
+    maintained store: aggregate the per-epoch digest rows (counts SUM
+    because every document arrived in exactly one epoch; chunk/
+    n_tokens agree across epochs so ``min`` is the one value) — equals
+    the one-shot operator over everything ingested, bit for bit
+    (pytest-pinned)."""
+    store = _read_store(spark, store_path)
+    return (
+        store.groupBy("digest")
+        .agg(
+            F.min("chunk").alias("chunk"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("chunk", "n_tokens", "n_docs", "n_occurrences")
+    )
+
+
+def init_report_table(spark: SparkSession, report_path: str) -> None:
+    """Zero-row sentinel partition so the report table is readable
+    from epoch zero (the ``init_pairs_table`` discipline)."""
+    empty = spark.createDataFrame(
+        [],
+        "digest STRING, chunk STRING, n_tokens LONG, n_docs LONG,"
+        " n_occurrences LONG, first_doc_id LONG, first_doc_id_history LONG",
+    ).repartition(1)
+    empty.write.mode("ignore").parquet(report_path.rstrip("/") + "/batch=-2")
+
+
+def run_chunk_dedup_job(
+    docs: DataFrame,
+    store_path: str,
+    report_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """Start the chunk-dedup-against-history job over a streaming
+    documents DataFrame (doc_id LONG, text STRING).  The store must
+    exist (``init_chunk_store`` — its meta pins window/buckets/bloom so
+    the stream can never drift); the meta is read once here.  Each
+    epoch's duplicate report lands under ``batch=epoch`` of the report
+    table (replay rewrites it — same idempotence as the store)."""
+    spark = docs.sparkSession
+    meta = read_chunk_meta(spark, store_path)
+    init_report_table(spark, report_path)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = update_chunk_store(
+            batch_df, store_path, epoch_id, meta=meta
+        )
+        (
+            report.withColumn("batch", F.lit(int(epoch_id)))
+            .coalesce(1)  # report increments are tiny
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(report_path)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

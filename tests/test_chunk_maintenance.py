@@ -1,0 +1,188 @@
+"""Streaming chunk-level dedup-against-history
+(`streaming/chunk_maintenance.py`): cumulative equivalence with the
+batch operator, replay idempotence, cross-history duplicate reports,
+the bloom-before-store crash-window ordering, and the checkpointed
+streaming path end to end."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import Row, functions as F
+
+from flink_invoice_processor_spark.functions import dedup as DD
+from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+    chunk_duplicates_from_store,
+    init_chunk_store,
+    read_chunk_meta,
+    run_chunk_dedup_job,
+    update_chunk_store,
+)
+
+# shared passages so chunk duplicates cross every batch split below;
+# window=4 keeps chunks short enough that small docs produce several
+_SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+CORPUS = [
+    (1, _SHARED + "unique tail one"),
+    (2, "totally different words about query engines and planners"),
+    (3, _SHARED + "unique tail two"),
+    (4, "sparks fly when catalysts optimize logical plans nightly"),
+    (5, "totally different words about query engines and planners"),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def _batch_report(spark, window=4):
+    return {
+        tuple(r)
+        for r in DD.cdc_chunk_duplicates(
+            _docs(spark, CORPUS), window=window
+        ).collect()
+    }
+
+
+def _served(spark, store):
+    return {
+        tuple(r) for r in chunk_duplicates_from_store(spark, store).collect()
+    }
+
+
+def test_cumulative_store_equals_batch_operator(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    # three different splits all converge to the same one-shot report
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    assert _served(spark, store) == _batch_report(spark)
+
+
+def test_single_epoch_equals_batch_operator(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS), store, 0)
+    assert _served(spark, store) == _batch_report(spark)
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:3]), store, 0)
+    r1 = update_chunk_store(_docs(spark, CORPUS[3:]), store, 1)
+    first = _served(spark, store)
+    rep1 = {tuple(r) for r in r1.collect()}
+    # at-least-once replay of epoch 1: store content AND the report
+    # must be identical
+    r2 = update_chunk_store(_docs(spark, CORPUS[3:]), store, 1)
+    assert _served(spark, store) == first
+    assert {tuple(r) for r in r2.collect()} == rep1
+
+
+def test_report_flags_only_cross_history_digests(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    rep0 = update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    # epoch 0 ingests into an empty store: nothing can be in history
+    assert rep0.count() == 0
+    # doc 3 shares every _SHARED chunk with doc 1 (epoch 0); doc 4 is new
+    rep1 = update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    rows = rep1.collect()
+    assert len(rows) > 0
+    assert all(r.first_doc_id_history == 1 for r in rows)
+    assert all(r.first_doc_id == 3 for r in rows)
+    # doc 5 duplicates doc 2 exactly: its chunks hit history too
+    rep2 = update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    assert all(r.first_doc_id_history == 2 for r in rep2.collect())
+    assert rep2.count() > 0
+
+
+def test_bloom_written_before_store(spark, tmp_path):
+    # the crash-window contract: after any completed bloom write, every
+    # store digest must bloom-hit (the bloom over-approximates the
+    # store, never under-approximates)
+    from flink_invoice_processor_spark.functions.sketches import bloom_probe
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        BLOOM_DIR,
+        _read_store,
+    )
+    from flink_invoice_processor_spark.streaming.sketch_rollup import (
+        read_bloom_table,
+    )
+
+    store = str(tmp_path / "store")
+    meta = init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:3]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[3:]), store, 1)
+    digests = _read_store(spark, store).select("digest").distinct()
+    words = read_bloom_table(spark, store + BLOOM_DIR)
+    probed = bloom_probe(
+        digests, F.col("digest"), words, m_bits=meta["m_bits"], k=meta["k"]
+    )
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+
+
+def test_meta_pins_layout(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=8, n_buckets=2, m_bits=1020, k=2)
+    meta = read_chunk_meta(spark, store)
+    assert meta == {
+        "window": 8, "n_buckets": 2, "m_bits": 1020, "k": 2,
+        "text_col": "text",
+    }
+
+
+def test_store_readable_before_first_epoch(spark, tmp_path):
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    assert chunk_duplicates_from_store(spark, store).count() == 0
+
+
+def test_streaming_job_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    report_path = str(tmp_path / "report")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    for fname, rows in [("a.jsonl", CORPUS[:3]), ("b.jsonl", CORPUS[3:])]:
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in rows
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_chunk_dedup_job(
+        stream, store, report_path, str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                n = (
+                    spark.read.parquet(store)
+                    .where(F.col("batch") >= 0)
+                    .select("batch").distinct().count()
+                )
+                if n >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # cumulative equivalence through the real checkpointed stream
+    assert _served(spark, store) == _batch_report(spark)
+    # and the report table carries the cross-history hits
+    rep = spark.read.parquet(report_path)
+    assert rep.where(F.col("first_doc_id_history").isNotNull()).count() > 0
