@@ -174,7 +174,7 @@ def update_chunk_store(
     ]
     if buckets:
         history = (
-            _read_store(spark, store_path)
+            _current_rows(spark, store_path)
             .where(F.col("batch") != int(batch_id))
             .where(F.col("bucket").isin(buckets))
             .groupBy("digest")
@@ -226,8 +226,10 @@ def chunk_duplicates_from_store(
     because every document arrived in exactly one epoch; chunk/
     n_tokens agree across epochs so ``min`` is the one value) — equals
     the one-shot operator over everything ingested, bit for bit
-    (pytest-pinned)."""
-    store = _read_store(spark, store_path)
+    (pytest-pinned).  Reads the LIVE rows only (current base
+    generation + unfolded epochs), so a compaction — or its crash
+    window's orphaned generation — never double-counts."""
+    store = _current_rows(spark, store_path)
     return (
         store.groupBy("digest")
         .agg(
@@ -258,13 +260,19 @@ def run_chunk_dedup_job(
     report_path: str,
     checkpoint: str,
     trigger_seconds: int = 2,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the chunk-dedup-against-history job over a streaming
     documents DataFrame (doc_id LONG, text STRING).  The store must
     exist (``init_chunk_store`` — its meta pins window/buckets/bloom so
     the stream can never drift); the meta is read once here.  Each
     epoch's duplicate report lands under ``batch=epoch`` of the report
-    table (replay rewrites it — same idempotence as the store)."""
+    table (replay rewrites it — same idempotence as the store).
+
+    ``compact_every=N`` folds committed epochs (``<= epoch-1``) into
+    the base generation every N epochs; the current epoch is never
+    folded, so crash-replay stays idempotent (the lsh-maintenance
+    discipline)."""
     spark = docs.sparkSession
     meta = read_chunk_meta(spark, store_path)
     init_report_table(spark, report_path)
@@ -275,6 +283,8 @@ def run_chunk_dedup_job(
         report = update_chunk_store(
             batch_df, store_path, epoch_id, meta=meta
         )
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_chunk_store(spark, store_path, epoch_id - 1, meta=meta)
         (
             report.withColumn("batch", F.lit(int(epoch_id)))
             .coalesce(1)  # report increments are tiny
@@ -290,3 +300,121 @@ def run_chunk_dedup_job(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+# -- compaction ------------------------------------------------------------
+#
+# Without compaction the store grows one (bucket, batch) partition set per
+# epoch forever.  Folding count-bearing rows is harder than the LSH
+# store's fold: lsh tolerates a crash mid-sweep because its probe
+# DISTINCTs duplicate rows away, but SUMmed counts would double.  The
+# commit protocol here makes the fold atomic instead:
+#
+# 1. the merged base is written under a NEW generation partition
+#    (batch = -10, -11, ... — never the live base's partition);
+# 2. the marker file ``_compaction`` ("base_batch folded_upto") is
+#    committed with os.replace — the single atomic commit point (the
+#    sketch_rollup version-swap discipline; local-FS semantics, like
+#    every marker in this package);
+# 3. superseded partitions (old base, folded epochs, orphaned
+#    generations from earlier crashes) are deleted through the Hadoop FS
+#    API — pure cleanup; readers already ignore them.
+#
+# Readers resolve the marker and keep ``batch == base_batch OR batch >
+# folded_upto``: a crash before step 2 leaves the new generation
+# invisible (retry rewrites it); a crash after step 2 leaves orphans the
+# next sweep removes.  Single-writer per store — the standing
+# one-lineage contract.
+
+_COMPACTION = "/_compaction"
+
+
+def _compaction_state(store_path: str) -> tuple[int | None, int]:
+    """(base_batch, folded_upto) from the marker; (None, -1) before the
+    first compaction (no base generation, every epoch live)."""
+    marker = store_path + _COMPACTION
+    if not os.path.exists(marker):
+        return None, -1
+    with open(marker) as fh:
+        parts = fh.read().split()
+    return int(parts[0]), int(parts[1])
+
+
+def _current_rows(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's LIVE rows: the current base generation (if any) plus
+    every epoch newer than the folded watermark."""
+    base_batch, folded = _compaction_state(store_path)
+    store = _read_store(spark, store_path)
+    cond = F.col("batch") > folded
+    if base_batch is not None:
+        cond = cond | (F.col("batch") == base_batch)
+    return store.where(cond)
+
+
+def compact_chunk_store(
+    spark: SparkSession,
+    store_path: str,
+    upto_batch: int,
+    meta: dict | None = None,
+) -> int:
+    """Fold the live epochs ``<= upto_batch`` (plus the previous base)
+    into one new base generation.  Returns the number of epoch
+    partitionsets folded (0 when there is nothing to fold).  The served
+    report is unchanged by construction: the fold aggregates exactly the
+    rows the reader would have summed."""
+    if meta is None:
+        meta = read_chunk_meta(spark, store_path)
+    base_batch, folded = _compaction_state(store_path)
+    live = _current_rows(spark, store_path)
+    epochs = [
+        r["batch"]
+        for r in live.select("batch").distinct().collect()
+        if r["batch"] >= 0 and r["batch"] <= upto_batch
+    ]
+    if not epochs:
+        return 0
+    fold_cond = (F.col("batch") >= 0) & (F.col("batch") <= int(upto_batch))
+    if base_batch is not None:
+        fold_cond = fold_cond | (F.col("batch") == base_batch)
+    new_base = (base_batch - 1) if base_batch is not None else -10
+    merged = (
+        live.where(fold_cond)
+        .groupBy("digest")
+        .agg(
+            F.min("chunk").alias("chunk"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min("first_doc_id").alias("first_doc_id"),
+        )
+        .withColumn("bucket", F.crc32(F.col("digest")) % meta["n_buckets"])
+        .withColumn("batch", F.lit(int(new_base)))
+        .repartition(meta["n_buckets"], "bucket")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "batch")
+        .parquet(store_path)
+    )
+    # THE commit point: readers atomically switch to the new generation
+    tmp = store_path + _COMPACTION + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{new_base} {int(upto_batch)}")
+    os.replace(tmp, store_path + _COMPACTION)
+    # cleanup (pure): retire everything that is neither the new base nor
+    # newer than the watermark — folded epochs, the old base, and any
+    # orphaned generations an earlier crash left behind
+    from ..functions.fsops import delete_matching_dirs
+
+    store = _read_store(spark, store_path)
+    stale = [
+        r["batch"]
+        for r in store.select("batch").distinct().collect()
+        if r["batch"] != new_base          # keep the new base
+        and r["batch"] <= int(upto_batch)  # keep unfolded epochs
+        and r["batch"] != -2               # keep the init sentinel
+    ]
+    for b in stale:
+        delete_matching_dirs(spark, store_path + f"/bucket=*/batch={b}")
+    return len(epochs)

@@ -186,3 +186,91 @@ def test_streaming_job_end_to_end(spark, tmp_path):
     # and the report table carries the cross-history hits
     rep = spark.read.parquet(report_path)
     assert rep.where(F.col("first_doc_id_history").isNotNull()).count() > 0
+
+
+def test_compaction_preserves_served_report_and_future_probes(
+    spark, tmp_path
+):
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        _read_store,
+        compact_chunk_store,
+    )
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    before = _served(spark, store)
+    folded = compact_chunk_store(spark, store, 1)
+    assert folded == 2
+    assert _served(spark, store) == before
+    # folded epoch partitions are gone; one base generation remains
+    batches = {
+        r["batch"]
+        for r in _read_store(spark, store).select("batch").distinct().collect()
+    }
+    assert 0 not in batches and 1 not in batches
+    assert -10 in batches
+    # a post-compaction epoch still dedups against the folded history
+    rep = update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    assert rep.count() > 0
+    assert all(r.first_doc_id_history == 2 for r in rep.collect())
+    assert _served(spark, store) == _batch_report(spark)
+
+
+def test_second_compaction_rolls_the_generation(spark, tmp_path):
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        _compaction_state,
+        compact_chunk_store,
+    )
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    compact_chunk_store(spark, store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    compact_chunk_store(spark, store, 2)
+    assert _compaction_state(store) == (-11, 2)
+    assert _served(spark, store) == _batch_report(spark)
+    # nothing left to fold: a re-run is a no-op
+    assert compact_chunk_store(spark, store, 2) == 0
+
+
+def test_orphaned_generation_is_invisible_and_swept(spark, tmp_path):
+    # simulate a compaction crash AFTER the new-generation write but
+    # BEFORE the marker commit: readers must ignore the orphan, and the
+    # next successful compaction must sweep it
+    import shutil
+
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        _read_store,
+        compact_chunk_store,
+    )
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    before = _served(spark, store)
+    # fake the orphan: copy epoch 0's rows under the would-be generation
+    # partition (content does not matter — only that rows exist there)
+    for bucket_dir in (tmp_path / "store").glob("bucket=*"):
+        src = bucket_dir / "batch=0"
+        if src.exists():
+            shutil.copytree(src, bucket_dir / "batch=-10")
+    # the orphan is invisible to serving (no marker points at it)
+    assert _served(spark, store) == before
+    # ...and to epoch probes (history min unaffected by duplicates)
+    rep = update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    assert all(r.first_doc_id_history == 2 for r in rep.collect())
+    # the next compaction folds 0..2 into -10 (overwriting the orphan)
+    # and the served report is exactly the batch operator's
+    folded = compact_chunk_store(spark, store, 2)
+    assert folded == 3
+    assert _served(spark, store) == _batch_report(spark)
+    batches = {
+        r["batch"]
+        for r in _read_store(spark, store).select("batch").distinct().collect()
+    }
+    assert batches <= {-10, -2}
