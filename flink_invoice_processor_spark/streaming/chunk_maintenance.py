@@ -42,6 +42,7 @@ same one-lineage contract every maintenance job here carries).
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -51,8 +52,21 @@ from ..functions.dedup import content_defined_chunks
 from ..functions.sketches import bloom_probe
 from .sketch_rollup import bloom_rollup_writer, read_bloom_table
 
+logger = logging.getLogger(__name__)
+
 META_DIR = "/_chunk_store_meta"
 BLOOM_DIR = "/_bloom"  # underscore prefix: hidden from parquet listings
+
+
+def _bloom_dir(meta: dict) -> str:
+    """The store-relative Bloom table dir for the CURRENT bloom
+    generation.  Rebuilds (``compact_chunk_store(...,
+    rebuild_bloom_m_bits=...)``) land in a NEW generation dir and then
+    commit by meta update, so a probe always reads words whose layout
+    matches the m_bits it probes with — a crash between the two steps
+    leaves the old (consistent) pair live."""
+    gen = meta.get("bloom_gen", 0)
+    return BLOOM_DIR if gen == 0 else f"{BLOOM_DIR}_g{gen}"
 
 _STORE_SCHEMA = (
     "digest STRING, chunk STRING, n_tokens LONG, n_docs LONG,"
@@ -112,7 +126,24 @@ def init_chunk_store(
     parameters pinned so the stream can never drift from them) and a
     zero-row schema-bearing sentinel partition (``batch=-2``, the
     ``init_pairs_table`` discipline — without it, readers die on
-    path-not-found until the first epoch lands)."""
+    path-not-found until the first epoch lands).
+
+    Re-init is guarded: on an already-initialized store the pinned meta
+    is returned unchanged when the requested parameters match, and a
+    ``ValueError`` is raised when they differ — silently rewriting the
+    meta would invalidate bucket assignment and chunk boundaries
+    against the rows already landed.
+
+    Bloom capacity: ``m_bits`` bounds the DISTINCT digests the fast
+    path stays useful for — at k=3 the false-positive rate passes ~50%
+    near ``n ≈ m_bits/4`` (~15K digests at the 61440 default) and keeps
+    climbing as the store grows, at which point most batch digests probe
+    the store exactly (correctness unaffected — the exact join removes
+    false positives — but the skip-the-store benefit is gone).  Size
+    m_bits for the store's LIFETIME distinct-digest count, or recarve
+    it at fold points with ``compact_chunk_store(...,
+    rebuild_bloom_m_bits=...)``; saturation is observable per epoch via
+    the ``bloom-hit fraction`` INFO log in ``update_chunk_store``."""
     meta = {
         "window": int(window),
         "n_buckets": int(n_buckets),
@@ -121,7 +152,17 @@ def init_chunk_store(
         "text_col": text_col,
     }
     os.makedirs(store_path, exist_ok=True)
-    _write_meta(spark, store_path, meta)
+    if os.path.exists(store_path + META_DIR):
+        existing = read_chunk_meta(spark, store_path)
+        if existing != meta:
+            raise ValueError(
+                "chunk store already initialized with different layout "
+                f"parameters: pinned {existing}, requested {meta}"
+            )
+    else:
+        _write_meta(spark, store_path, meta)
+    # idempotent either way (mode ignore) — also repairs a crash between
+    # the meta write and the sentinel write
     empty = spark.createDataFrame([], _STORE_SCHEMA).drop("bucket", "batch")
     (
         empty.repartition(1)
@@ -155,10 +196,10 @@ def update_chunk_store(
 
     # fast path: bloom-miss digests are definitely new (one-sided
     # guarantee), so only bloom hits ever touch the store
-    bloom = read_bloom_table(spark, store_path + BLOOM_DIR)
+    bloom = read_bloom_table(spark, store_path + _bloom_dir(meta))
     probed = bloom_probe(
         rows, F.col("digest"), bloom, m_bits=meta["m_bits"], k=meta["k"]
-    )
+    ).localCheckpoint()
     cand = rows.join(
         probed.where(F.col("bloom_hit")).select(
             F.col("value").alias("digest")
@@ -166,16 +207,36 @@ def update_chunk_store(
         "digest",
         "left_semi",
     )
+    # saturation observability (fixed-capacity filter, unbounded digest
+    # store — see init_chunk_store): a hit fraction near 1.0 on a batch
+    # of mostly-new content means the filter is saturated and the fast
+    # path has degraded to probing the store for nearly every digest
+    stats = probed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("hits"),
+    ).collect()[0]
+    if stats["n"]:
+        logger.info(
+            "chunk store %s epoch %s: bloom-hit fraction %.3f (%d/%d "
+            "distinct digests probe the store)",
+            store_path, batch_id, stats["hits"] / stats["n"],
+            stats["hits"], stats["n"],
+        )
 
     # exact membership against PRIOR epochs only, bucket-pruned: the
-    # scan reads only the store buckets the candidate digests hash to
+    # scan reads only the store buckets the candidate digests hash to.
+    # ``batch < batch_id`` (not ``!=``): base generations are negative
+    # so folded history stays included, and a direct-API replay of an
+    # OLDER epoch still sees only what preceded it — the replay-
+    # idempotence of the report is pinned structurally, not by the
+    # one-replay-at-a-time streaming assumption.
     buckets = [
         r["bucket"] for r in cand.select("bucket").distinct().collect()
     ]
     if buckets:
         history = (
             _current_rows(spark, store_path)
-            .where(F.col("batch") != int(batch_id))
+            .where(F.col("batch") < int(batch_id))
             .where(F.col("bucket").isin(buckets))
             .groupBy("digest")
             .agg(F.min("first_doc_id").alias("first_doc_id_history"))
@@ -201,7 +262,7 @@ def update_chunk_store(
     # no effect and needs no fence.
     bloom_rollup_writer(
         F.col("digest"),
-        store_path + BLOOM_DIR,
+        store_path + _bloom_dir(meta),
         m_bits=meta["m_bits"],
         k=meta["k"],
     )(rows, batch_id)
@@ -356,12 +417,23 @@ def compact_chunk_store(
     store_path: str,
     upto_batch: int,
     meta: dict | None = None,
+    rebuild_bloom_m_bits: int | None = None,
 ) -> int:
     """Fold the live epochs ``<= upto_batch`` (plus the previous base)
     into one new base generation.  Returns the number of epoch
     partitionsets folded (0 when there is nothing to fold).  The served
     report is unchanged by construction: the fold aggregates exactly the
-    rows the reader would have summed."""
+    rows the reader would have summed.
+
+    ``rebuild_bloom_m_bits`` recarves the Bloom fast path at a new
+    capacity while the fold has every digest in hand anyway (the fixed
+    filter saturates as the store grows — see init_chunk_store).  The
+    rebuilt filter is exact over all live digests (zero accumulated
+    false-positive debt) and commits via a NEW generation dir + meta
+    update, so probes never see an m_bits/word-layout mismatch; it is a
+    DIRECT-API maintenance operation — a running ``run_chunk_dedup_job``
+    pinned the old meta at start, so rebuild between jobs, not under
+    one."""
     if meta is None:
         meta = read_chunk_meta(spark, store_path)
     base_batch, folded = _compaction_state(store_path)
@@ -372,6 +444,8 @@ def compact_chunk_store(
         if r["batch"] >= 0 and r["batch"] <= upto_batch
     ]
     if not epochs:
+        if rebuild_bloom_m_bits is not None:
+            _rebuild_bloom(spark, store_path, meta, rebuild_bloom_m_bits)
         return 0
     fold_cond = (F.col("batch") >= 0) & (F.col("batch") <= int(upto_batch))
     if base_batch is not None:
@@ -417,4 +491,41 @@ def compact_chunk_store(
     ]
     for b in stale:
         delete_matching_dirs(spark, store_path + f"/bucket=*/batch={b}")
+    if rebuild_bloom_m_bits is not None:
+        _rebuild_bloom(spark, store_path, meta, rebuild_bloom_m_bits)
     return len(epochs)
+
+
+def _rebuild_bloom(
+    spark: SparkSession, store_path: str, meta: dict, m_bits: int
+) -> None:
+    """Recarve the Bloom fast path at ``m_bits`` from ALL live digests.
+
+    Commit protocol (the meta is the switch): (1) build the new filter
+    under a NEW generation dir — the live probe path never reads it;
+    (2) rewrite the meta with the new ``m_bits``/``bloom_gen`` — the
+    single commit point, after which every probe reads the matching
+    (layout, words) pair; (3) delete the superseded generation dir
+    (pure cleanup).  A crash before (2) orphans the new dir (the next
+    rebuild's _swap_in picks an unused version suffix, and cleanup here
+    removes it when its generation is superseded); a crash during the
+    meta rewrite fails readers LOUDLY (missing meta), never silently
+    probes a mismatched layout."""
+    from ..functions.fsops import delete_matching_dirs
+    from ..functions.sketches import bloom_words
+    from .sketch_rollup import _swap_in
+
+    old_dir = _bloom_dir(meta)
+    new_meta = dict(meta)
+    new_meta["m_bits"] = int(m_bits)
+    new_meta["bloom_gen"] = meta.get("bloom_gen", 0) + 1
+    digests = _current_rows(spark, store_path).select("digest")
+    words = bloom_words(
+        digests, F.col("digest"), m_bits=int(m_bits), k=meta["k"]
+    ).localCheckpoint()
+    _swap_in(words, store_path + _bloom_dir(new_meta), 0)
+    _write_meta(spark, store_path, new_meta)
+    meta.clear()
+    meta.update(new_meta)  # caller-held meta stays usable
+    if old_dir != _bloom_dir(new_meta):
+        delete_matching_dirs(spark, store_path + old_dir)

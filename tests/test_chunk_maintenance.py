@@ -237,6 +237,94 @@ def test_second_compaction_rolls_the_generation(spark, tmp_path):
     assert compact_chunk_store(spark, store, 2) == 0
 
 
+def test_reinit_guard(spark, tmp_path):
+    # same params: a no-op returning the pinned meta; different params:
+    # refused — a silent meta rewrite would invalidate bucket assignment
+    # and chunk boundaries against rows already landed
+    import pytest
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS), store, 0)
+    before = _served(spark, store)
+    meta = init_chunk_store(spark, store, window=4, n_buckets=4)
+    assert meta["window"] == 4 and meta["n_buckets"] == 4
+    assert _served(spark, store) == before
+    with pytest.raises(ValueError, match="different layout"):
+        init_chunk_store(spark, store, window=8, n_buckets=4)
+    with pytest.raises(ValueError, match="different layout"):
+        init_chunk_store(spark, store, window=4, n_buckets=2)
+    assert read_chunk_meta(spark, store)["window"] == 4
+
+
+def test_out_of_order_replay_sees_only_prior_epochs(spark, tmp_path):
+    # direct-API replay of an OLDER epoch after later epochs landed:
+    # its report must still cover only history BEFORE it (batch <
+    # batch_id, not batch != batch_id) — epoch 0 replayed after epoch 1
+    # reports nothing, exactly like its first run against the empty
+    # store
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    rep0 = update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    assert rep0.count() == 0
+    rep1 = update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    assert rep1.count() > 0  # doc 3 duplicates doc 1's chunks
+    replay0 = update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    assert replay0.count() == 0
+    # only docs 1-4 were ingested; the store still equals the one-shot
+    # operator over exactly that corpus after the out-of-order replay
+    assert _served(spark, store) == {
+        tuple(r)
+        for r in DD.cdc_chunk_duplicates(
+            _docs(spark, CORPUS[:4]), window=4
+        ).collect()
+    }
+
+
+def test_bloom_rebuild_at_compaction(spark, tmp_path):
+    from flink_invoice_processor_spark.functions.sketches import bloom_probe
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        _bloom_dir,
+        _read_store,
+        compact_chunk_store,
+    )
+    from flink_invoice_processor_spark.streaming.sketch_rollup import (
+        read_bloom_table,
+    )
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    before = _served(spark, store)
+    meta = read_chunk_meta(spark, store)
+    old_dir = _bloom_dir(meta)
+    compact_chunk_store(
+        spark, store, 1, meta=meta, rebuild_bloom_m_bits=122880
+    )
+    # the caller-held meta AND the persisted meta both carry the new
+    # capacity + generation (the commit point)
+    assert meta["m_bits"] == 122880 and meta["bloom_gen"] == 1
+    assert read_chunk_meta(spark, store) == meta
+    # the rebuilt filter is exact over all live digests: no false
+    # negatives at the new layout
+    digests = _read_store(spark, store).select("digest").distinct()
+    words = read_bloom_table(spark, store + _bloom_dir(meta))
+    probed = bloom_probe(
+        digests, F.col("digest"), words, m_bits=meta["m_bits"], k=meta["k"]
+    )
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+    # the superseded generation dir is swept
+    import os
+
+    assert not os.path.exists(store + old_dir)
+    # serving and future-epoch dedup are unaffected
+    assert _served(spark, store) == before
+    rep = update_chunk_store(_docs(spark, CORPUS[4:]), store, 2)
+    assert rep.count() > 0
+    assert _served(spark, store) == _batch_report(spark)
+
+
 def test_orphaned_generation_is_invisible_and_swept(spark, tmp_path):
     # simulate a compaction crash AFTER the new-generation write but
     # BEFORE the marker commit: readers must ignore the orphan, and the

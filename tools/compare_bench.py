@@ -3,18 +3,27 @@
 Usage: python tools/compare_bench.py OLD.json NEW.json [--top=N]
 
 Prints one JSON line:
-  {"common": n, "cold_ratio": raw, "warm_ratio": raw,
+  {"cold_common": n, "warm_common": n, "cold_ratio": raw,
+   "warm_ratio": raw,
    "probe_ratio": {"parallel": p, "serial": s} | null,
-   "cold_ratio_norm": cold/parallel_probe, ...,
+   "cold_ratio_norm": cold/closest_probe_leg, "cold_norm_leg": "...",
+   "warm_ratio_norm": warm/closest_probe_leg, "warm_norm_leg": "...",
+   "cold_verdict": "drift" | "code", "warm_verdict": "drift" | "code",
    "verdict": "drift" | "code" | "mixed",
-   "movers": [[name, cold_delta_s], ...]}
+   "movers_cold": [[name, cold_delta_s], ...]}
 
 The verdict is mechanical (VERDICT r9 item 3): if both files carry a
-calibration probe and the suite ratio lies INSIDE the band spanned by
-the two probe ratios (parallel..serial, widened by ±5%), the movement
-is host drift by construction; a suite ratio outside the band is code
-(or data) movement.  Files without a probe (pre-r10) compare raw, with
-verdict "unknown-no-probe".
+calibration probe and a suite ratio lies INSIDE the band spanned by
+the two probe ratios (parallel..serial, widened by ±5%), that
+movement is host drift by construction; a ratio outside the band is
+code (or data) movement.  BOTH legs are judged — cold and warm each
+get their own verdict, and the combined verdict is "mixed" when they
+disagree (a warm-only code regression on a drifting host must not be
+labeled "drift").  Each suite ratio is normalized by whichever probe
+leg sits closest to it (parallel-bound suites track the parallel
+probe, single-task tails the serial one); the leg used is emitted.
+Files without a probe (pre-r10) compare raw, with verdict
+"unknown-no-probe".
 
 Movers are reported RAW and should be read against the probe ratio —
 a mover whose own ratio matches the probe is drifting with the host.
@@ -55,16 +64,22 @@ def main() -> None:
         out["probe_ratio"] = pr
         lo = min(pr.values()) * 0.95
         hi = max(pr.values()) * 1.05
+        verdicts = []
         for label in ("cold", "warm"):
             r = out.get(f"{label}_ratio")
-            if r is not None:
-                out[f"{label}_ratio_norm"] = round(r / pr["parallel"], 3)
-        r = out.get("cold_ratio")
-        out["verdict"] = (
-            "drift" if r is not None and lo <= r <= hi
-            else "code" if r is not None
-            else "unknown"
-        )
+            if r is None:
+                continue
+            leg = min(pr, key=lambda leg: abs(pr[leg] - r))
+            out[f"{label}_ratio_norm"] = round(r / pr[leg], 3)
+            out[f"{label}_norm_leg"] = leg
+            out[f"{label}_verdict"] = "drift" if lo <= r <= hi else "code"
+            verdicts.append(out[f"{label}_verdict"])
+        if not verdicts:
+            out["verdict"] = "unknown"
+        elif len(set(verdicts)) == 1:
+            out["verdict"] = verdicts[0]
+        else:
+            out["verdict"] = "mixed"
     else:
         out["probe_ratio"] = None
         out["verdict"] = "unknown-no-probe"
