@@ -9538,6 +9538,73 @@ ORACLES["cms_rollup_heavy_hitters"] = ORACLES["events_heavy_hitters"]
 
 
 # ---------------------------------------------------------------------------
+# Round 11: the chunk-digest store under the driver hash gate.
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #5 under the driver hash gate (after
+    the LSH pair store, KMV rollup, decayed rollup, and CMS rollup):
+    ingest the documents table into the persisted content-defined
+    chunk-digest store (``streaming/chunk_maintenance.py``) in TWO
+    epochs through the real maintenance path — batch chunking, Bloom
+    fast-path probe, bucket-pruned history join, per-epoch partition
+    landing — then COMPACT epoch 0 into a base generation (marker-file
+    commit; the served read mixes the folded base with the still-live
+    epoch 1), then REPLAY epoch 1 so at-least-once delivery is
+    exercised in the gated path AFTER a fold (idempotent by dynamic
+    partition overwrite + Bloom bit-OR — the fence-free member of the
+    rollup family, unlike CMS's SUM), and finally serve the duplicate
+    report from the MAINTAINED store.  The DuckDB oracle is
+    ``cdc_chunk_dedup_docs``'s one-shot batch SQL verbatim: per-epoch
+    digest rows aggregated across the store ≡ the one-shot operator
+    over the union corpus, bit for bit (each document arrives in
+    exactly one epoch, so counts sum — the cumulative-equivalence
+    contract every maintenance job here carries).
+
+    The store lives in a per-call temp dir, deleted after the served
+    rows are realized; per-epoch work is a pure-map chunk explode, one
+    map-side-combined digest aggregate, broadcast Bloom word lookups,
+    and a history join that reads only the buckets the batch's digests
+    hash to."""
+    import shutil
+    import tempfile
+
+    from ..streaming.chunk_maintenance import (
+        chunk_duplicates_from_store,
+        compact_chunk_store,
+        init_chunk_store,
+        update_chunk_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="chunk_store_q_")
+    try:
+        meta = init_chunk_store(spark, store, window=16, n_buckets=8)
+        e0 = docs.where(F.col("doc_id") % 2 == 0)
+        e1 = docs.where(F.col("doc_id") % 2 == 1)
+        update_chunk_store(e0, store, 0, meta=meta)
+        update_chunk_store(e1, store, 1, meta=meta)
+        # fold epoch 0 into a base generation: the served read now
+        # resolves the compaction marker (base ∪ batch > folded)
+        compact_chunk_store(spark, store, 0, meta=meta)
+        # at-least-once replay of epoch 1, after the fold: must be a
+        # bit-exact no-op on store AND report (pytest-pinned in
+        # tests/test_chunk_maintenance.py; here it runs in the gated
+        # path so a regression breaks the driver hash)
+        update_chunk_store(e1, store, 1, meta=meta)
+        served = chunk_duplicates_from_store(
+            spark, store, min_docs=2
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return served
+
+
+QUERIES["cdc_chunk_store_served"] = cdc_chunk_store_served
+ORACLES["cdc_chunk_store_served"] = ORACLES["cdc_chunk_dedup_docs"]
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -9562,65 +9629,38 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # ALL 29 rows whose last driver-green is r5 (VERDICT r9 item 1 —
-    # judge recount == builder accounting == 29; after this round no
-    # registered query's last driver-green is older than r6)
-    "bigram_familiarity_docs",
-    "bigram_lm_counts",
-    "boilerplate_strip_docs",
-    "bpe_pair_counts_docs",
-    "cohort_retention_orders",
-    "events_approx_topk",
-    "events_funnel",
-    "events_retention_hourly",
-    "events_user_rolling",
-    "events_zorder_keys",
-    "fuzzy_prefix_pairs",
-    "hybrid_rrf_docs",
-    "ivf_pq_sampled_topk_embeddings",
-    "ivf_pq_topk_embeddings",
-    "large_quantity_orders",
-    "length_bucket_batches_docs",
-    "order_count_distribution",
-    "pack_sequences_docs",
-    "pmi_bigrams_docs",
-    "pps_sample_docs",
-    "pq_adq_topk_embeddings",
-    "pq_codes_embeddings",
-    "q10_returned_items",
-    "q6_revenue_filter",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "revenue_grouping_sets",
-    "rfm_segments_customers",
-    # implementation CHANGED in round 10 — needs a driver row on the new
-    # path: doc_lm_surprisal's scoring join now feeds distinct
-    # (doc_id, w1, w2, c) rows (VERDICT r9 item 2);
-    # lsh_store_verified_pairs runs on the doc_id %% 2 = 0 slice
-    # (VERDICT r9 item 8)
-    "doc_lm_surprisal",
-    "lsh_store_verified_pairs",
-    # new in round 10 (never driver-gated; the no-never-gated invariant,
-    # VERDICT r9 item 10): CUSUM changepoints, watermark-drop audit,
-    # session sequences, Hilbert keys, min/max file skipping,
-    # leave-one-source-out backoff LM, BM25 nDCG eval, dHash image
-    # near-dup over the real stdlib codec
-    "events_cusum_changepoints",
-    "events_watermark_drops",
-    "events_session_sequences",
-    "events_hilbert_keys",
-    "events_minmax_pruning",
-    "doc_lm_backoff",
-    "bm25_ndcg_report",
-    "image_dhash_neardup",
-    # round 10 part 3 (never driver-gated): CDC chunk dedup, SNM
-    # near-dup pairs, URL canonicalization, and the 4th maintained-state
-    # invariant (fenced CMS rollup serving exact heavy hitters)
-    "cdc_chunk_dedup_docs",
-    "snm_verified_pairs",
-    "url_canonical_dedup",
-    "cms_rollup_heavy_hitters",
+    # ALL 24 rows whose last driver-green is r6 (VERDICT r10 item 1 —
+    # judge-recomputed oldest cohort; after this round no registered
+    # query's last driver-green is older than r7)
+    "customer_order_gaps",
+    "events_asof_join",
+    "customers_without_orders",
+    "doc_quality",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "ann_lsh_topk",
+    "corpus_curation",
+    "q12_ship_speed_priority",
+    "q16_supplier_variety",
+    "mix_sample_docs",
+    "events_equidepth_histogram",
+    "events_hll_mergeability",
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "quality_classifier_docs",
+    "pmi_bigrams_wide_docs",
+    "semantic_dedup_embeddings",
+    "triangle_counts_docs",
+    "dq_checks_lineitem",
+    "events_value_percentiles",
+    # new in round 11 (never driver-gated; the no-never-gated
+    # invariant): the chunk-digest store as maintained-state invariant
+    # #5 — two epochs + compaction + post-fold replay through the real
+    # maintenance path, served report vs the one-shot oracle
+    "cdc_chunk_store_served",
 ]
 
 
