@@ -34,12 +34,19 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _headline() -> list[str]:
-    """EVERY registered query, in registry order (the driver-gate ordering).
+    """EVERY registered query, in FIXED canonical order (sorted by name).
     Derived instead of hand-listed so a newly registered query can never be
-    silently missing from the perf surface."""
+    silently missing from the perf surface.  Sorted instead of registry
+    order (VERDICT r10 item 9): registry order follows the driver-gate
+    window, which rotates every round — benching in that order moved
+    rotated rows to the suite head where they pay the shared JVM/JIT
+    warmup, so cross-round cold comparisons aliased the window rotation
+    (r10's bigram_familiarity_docs/hybrid_rrf_docs cold "regressions"
+    were pure suite position).  A name-sorted suite keeps warmup costs
+    attached to the same queries round over round."""
     from flink_invoice_processor_spark.plans.queries import QUERIES
 
-    return list(QUERIES)
+    return sorted(QUERIES)
 
 
 def main() -> None:
