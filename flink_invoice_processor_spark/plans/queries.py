@@ -9574,7 +9574,19 @@ def cdc_chunk_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are realized; per-epoch work is a pure-map chunk explode, one
     map-side-combined digest aggregate, broadcast Bloom word lookups,
     and a history join that reads only the buckets the batch's digests
-    hash to."""
+    hash to.  Runs on the ``doc_id % 2 == 0`` slice (the lsh_store
+    discipline — the invariant exercises every maintenance path and
+    the one-shot ``cdc_chunk_dedup_docs`` row keeps the full corpus
+    covered; the slice bounds the suite's per-round cost).
+
+    Suite cost is contract cost (the lsh_store argument): ~7.5 s warm
+    at sf0.1 = three real ingest increments (each: chunk explode +
+    digest aggregate + Bloom probe + bucket-pruned history join +
+    bloom OR-write + bucketed store write) + one compaction + the
+    served aggregate — ~18 orchestrated Spark jobs, each individually
+    sub-second; standalone cold adds one-time codegen for the chunk/
+    bloom plan shapes that the suite's ``cdc_chunk_dedup_docs`` (which
+    sorts earlier in the canonical bench order) already pays."""
     import shutil
     import tempfile
 
@@ -9585,12 +9597,14 @@ def cdc_chunk_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_chunk_store,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
     store = tempfile.mkdtemp(prefix="chunk_store_q_")
     try:
         meta = init_chunk_store(spark, store, window=16, n_buckets=8)
-        e0 = docs.where(F.col("doc_id") % 2 == 0)
-        e1 = docs.where(F.col("doc_id") % 2 == 1)
+        e0 = docs.where(F.col("doc_id") % 4 == 0)
+        e1 = docs.where(F.col("doc_id") % 4 == 2)
         update_chunk_store(e0, store, 0, meta=meta)
         update_chunk_store(e1, store, 1, meta=meta)
         # fold epoch 0 into a base generation: the served read now
@@ -9610,7 +9624,204 @@ def cdc_chunk_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["cdc_chunk_store_served"] = cdc_chunk_store_served
-ORACLES["cdc_chunk_store_served"] = ORACLES["cdc_chunk_dedup_docs"]
+# the one-shot CDC SQL verbatim, restricted to the gate slice (the
+# check_oracles hash fails loudly if this substitution ever stops
+# matching the one-shot oracle's FROM clause)
+ORACLES["cdc_chunk_store_served"] = ORACLES["cdc_chunk_dedup_docs"].replace(
+    "FROM documents WHERE length(trim(text)) > 0",
+    "FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0",
+)
+
+
+def matview_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #6: the incrementally-maintained
+    hourly materialized view (``streaming/matview.py``) under the
+    driver hash gate.  The events table arrives in TWO epochs through
+    the real maintenance path (``upsert_hourly_counts``: raw batch →
+    (hour, epoch) base partitions via dynamic overwrite, recompute of
+    ONLY the touched hours, view partition overwrite), epoch 1 is
+    REPLAYED so at-least-once delivery is exercised in the gated path
+    (idempotent because the base is (hour, epoch)-partitioned and the
+    replay rewrites its own partitions with identical content — a
+    plain append would double-count the view forever), and the SERVED
+    view is returned.  The DuckDB oracle is the one-shot hourly
+    aggregate over the raw events — view maintained across epochs ≡
+    one-shot group-by, the materialized-view contract.
+
+    Epochs are split BY TIME (day 1, then day 2) — the shape the
+    pattern is built for: each micro-batch touches only its own recent
+    hours, the recompute partition-prunes to exactly those, and
+    untouched history is never rewritten.  The gate runs on the first
+    two days of events (48 hour-partitions; the lsh_store slice
+    discipline — an hour-partitioned view over the full month is 720
+    directories per table per epoch, pure small-file tax with no
+    additional code path exercised).
+
+    The base/view live in a per-call temp dir, deleted after the
+    served rows are realized; per-epoch work is one batch write + a
+    touched-hours-pruned recompute + a touched-partition view
+    overwrite."""
+    import shutil
+    import tempfile
+
+    from ..streaming.matview import upsert_hourly_counts
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="matview_q_")
+    base, view = root + "/base", root + "/view"
+    try:
+        cut = F.lit("2024-01-02").cast("timestamp")
+        e0 = ev.where(F.col("ts") < cut)
+        e1 = ev.where(F.col("ts") >= cut)
+        upsert_hourly_counts(spark, e0, base, view, 0)
+        upsert_hourly_counts(spark, e1, base, view, 1)
+        # at-least-once replay of epoch 1: rewrites only its own
+        # (hour, epoch=1) partitions with identical content; the
+        # recompute then reads the same base rows, so the view is
+        # bit-identical — and day 1's partitions are never touched
+        upsert_hourly_counts(spark, e1, base, view, 1)
+        served = (
+            spark.read.parquet(view)
+            .select(
+                F.col("hour").cast("string").alias("hour"),
+                "event_type",
+                "n_events",
+                "sum_value_1e4",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return served
+
+
+QUERIES["matview_hourly_served"] = matview_hourly_served
+ORACLES["matview_hourly_served"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_1e4
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2
+"""
+
+
+def histogram_rollup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #7: the per-key value-histogram
+    rollup (``streaming/sketch_rollup.histogram_rollup_writer`` — the
+    EXACT-statistics rollup, state bounded by the value domain) under
+    the driver hash gate.  Events stream into the version-swapped
+    (k, val, cnt) table in TWO micro-batches, the second epoch is
+    REPLAYED so the batch-id fence on the non-idempotent SUM-merge is
+    exercised in the gated path — and unlike the CMS invariant, a
+    broken fence is DETECTED by the final rows here: doubling every
+    count preserves the quantiles but doubles the served ``n``, which
+    is an output column, so the hash catches it — then exact
+    p50/p90/p99 are computed from the MAINTAINED table
+    (``functions/stats.quantiles_from_histogram``).  The DuckDB oracle
+    is ``events_value_percentiles``'s one-shot SQL verbatim:
+    histograms merge by count summation, so quantiles from the
+    maintained table equal quantiles over every raw row ever streamed
+    (the merge law ``functions/stats.value_histogram`` documents).
+
+    The table lives in a per-call temp dir, deleted after the served
+    rows are realized; per-batch work is one map-side-combined
+    histogram aggregate + a value-domain-bounded merge."""
+    import shutil
+    import tempfile
+
+    from ..functions.stats import quantiles_from_histogram
+    from ..streaming.sketch_rollup import (
+        histogram_rollup_writer,
+        read_histogram_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    table = tempfile.mkdtemp(prefix="hist_rollup_q_")
+    try:
+        writer = histogram_rollup_writer(F.col("event_type"), cents, table)
+        writer(ev.where(F.col("event_id") % 2 == 0), 0)
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        # at-least-once replay of an already-merged epoch: MUST be a
+        # fenced no-op or the served n doubles and the hash breaks
+        writer(ev.where(F.col("event_id") % 2 == 1), 1)
+        hist = read_histogram_table(spark, table).localCheckpoint()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return quantiles_from_histogram(hist, "k", pcts=(50, 90, 99)).select(
+        F.col("k").alias("event_type"), "n", "p50", "p90", "p99"
+    )
+
+
+QUERIES["histogram_rollup_served"] = histogram_rollup_served
+ORACLES["histogram_rollup_served"] = ORACLES["events_value_percentiles"]
+
+
+def trigram_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #8: the persisted trigram
+    substring-search index (``functions/retrieval.build_trigram_index``
+    + ``streaming/index_maintenance.py``) under the driver hash gate.
+    Half the corpus (``doc_id % 4 == 0``) is BOOTSTRAPPED into the
+    index (``batch=-1`` partitions), the other half of the gate slice
+    (``doc_id % 4 == 2``) arrives as streaming epoch 0 through the
+    real maintenance entry (``index_micro_batch`` → dynamic overwrite
+    of the (bucket, batch=0) partitions), the epoch is REPLAYED so
+    at-least-once delivery is exercised in the gated path (rewrites
+    its own increment with identical content — the fence-free member,
+    like the chunk store), the committed increment is COMPACTED into
+    the base (``compact_trigram_index`` — the OPTIMIZE half: pruned
+    read, exact-duplicate drop, dynamic base overwrite), and the
+    phrase search 'slow join' is SERVED by probing the maintained
+    index.  The DuckDB oracle is the full-scan ground truth over the
+    same slice — index maintained across bootstrap + epochs +
+    compaction ≡ a fresh index over the union, and the probe's exact
+    verification makes the result cap-independent.
+
+    Runs on the ``doc_id % 2 == 0`` slice (the lsh_store discipline)
+    to keep the suite cost bounded: the invariant exercises every
+    maintenance path; the slice size is not the contract."""
+    import shutil
+    import tempfile
+
+    from ..streaming.index_maintenance import index_micro_batch
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    idx = tempfile.mkdtemp(prefix="tri_index_q_")
+    try:
+        RET.build_trigram_index(
+            docs.where(F.col("doc_id") % 4 == 0), idx, n_buckets=32
+        )
+        meta = RET._read_index_meta(spark, idx)
+        inc = docs.where(F.col("doc_id") % 4 == 2)
+        index_micro_batch(inc, 0, idx, meta=meta)
+        # at-least-once replay of epoch 0: dynamic overwrite rewrites
+        # the identical increment — idempotent without a fence
+        index_micro_batch(inc, 0, idx, meta=meta)
+        RET.compact_trigram_index(spark, idx, 0, meta=meta)
+        served = RET.substring_search_indexed(
+            docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return served
+
+
+QUERIES["trigram_index_served"] = trigram_index_served
+ORACLES["trigram_index_served"] = """
+    SELECT doc_id,
+           CAST((length(lower(text))
+                 - length(replace(lower(text), 'slow join', ''))) // 9
+                AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE doc_id % 2 = 0 AND contains(lower(text), 'slow join')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -9666,10 +9877,15 @@ _DRIVER_FIRST = [
     "dq_checks_lineitem",
     "events_value_percentiles",
     # new in round 11 (never driver-gated; the no-never-gated
-    # invariant): the chunk-digest store as maintained-state invariant
-    # #5 — two epochs + compaction + post-fold replay through the real
-    # maintenance path, served report vs the one-shot oracle
+    # invariant): maintained-state invariants #5-#8 — the chunk-digest
+    # store, the hourly matview, the exact value-histogram rollup, and
+    # the trigram substring-search index, each driven through its real
+    # maintenance path (epochs + replay, compaction where it exists)
+    # with the served rows hash-checked against the one-shot oracle
     "cdc_chunk_store_served",
+    "matview_hourly_served",
+    "histogram_rollup_served",
+    "trigram_index_served",
     # implementation CHANGED in round 11 — needs a driver row on the
     # new path: ndcg_report now runs ONE token explode + one doc-keyed
     # aggregate instead of composing bm25_topk + a separate ideal-leg

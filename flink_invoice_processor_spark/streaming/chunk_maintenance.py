@@ -75,8 +75,12 @@ _STORE_SCHEMA = (
 
 
 def _write_meta(spark: SparkSession, store_path: str, meta: dict) -> None:
-    spark.createDataFrame(
-        [(json.dumps(meta, sort_keys=True),)], "j string"
+    # range(1)+lit, NOT createDataFrame([...]): a Python-local-list write
+    # round-trips through a Python worker and costs ~4.5 s per call — the
+    # same measured tax build_trigram_index documents; it dominated
+    # init_chunk_store until r11
+    spark.range(1).select(
+        F.lit(json.dumps(meta, sort_keys=True)).alias("j")
     ).coalesce(1).write.mode("overwrite").text(store_path + META_DIR)
 
 
@@ -190,38 +194,59 @@ def update_chunk_store(
     spark = batch_df.sparkSession
     if meta is None:
         meta = read_chunk_meta(spark, store_path)
-    rows = _batch_digest_rows(
-        batch_df, meta["window"], meta["n_buckets"], meta["text_col"]
-    ).localCheckpoint()
+    # bucket-partitioned at the checkpoint: the store write below then
+    # lands each partition's rows straight into its bucket dir with no
+    # second shuffle, and every downstream scan schedules n_buckets
+    # tasks instead of a full shuffle-partition fan
+    rows = (
+        _batch_digest_rows(
+            batch_df, meta["window"], meta["n_buckets"], meta["text_col"]
+        )
+        .repartition(meta["n_buckets"], "bucket")
+        .localCheckpoint()
+    )
 
     # fast path: bloom-miss digests are definitely new (one-sided
-    # guarantee), so only bloom hits ever touch the store
-    bloom = read_bloom_table(spark, store_path + _bloom_dir(meta))
-    probed = bloom_probe(
-        rows, F.col("digest"), bloom, m_bits=meta["m_bits"], k=meta["k"]
-    ).localCheckpoint()
-    cand = rows.join(
-        probed.where(F.col("bloom_hit")).select(
-            F.col("value").alias("digest")
-        ),
-        "digest",
-        "left_semi",
-    )
+    # guarantee), so only bloom hits ever touch the store.  Before the
+    # first bloom version exists (a fresh store's epoch 0) there is no
+    # history at all — skip the probe jobs entirely, the report is
+    # empty by construction.
+    from .sketch_rollup import _current_version
+
+    if _current_version(store_path + _bloom_dir(meta)) is None:
+        cand = rows.where(F.lit(False))
+    else:
+        bloom = read_bloom_table(spark, store_path + _bloom_dir(meta))
+        probed = bloom_probe(
+            rows, F.col("digest"), bloom,
+            m_bits=meta["m_bits"], k=meta["k"],
+        )
+        cand = rows.join(
+            probed.where(F.col("bloom_hit")).select(
+                F.col("value").alias("digest")
+            ),
+            "digest",
+            "left_semi",
+        )
     # saturation observability (fixed-capacity filter, unbounded digest
     # store — see init_chunk_store): a hit fraction near 1.0 on a batch
     # of mostly-new content means the filter is saturated and the fast
-    # path has degraded to probing the store for nearly every digest
-    stats = probed.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("bloom_hit").cast("long")).alias("hits"),
-    ).collect()[0]
-    if stats["n"]:
-        logger.info(
-            "chunk store %s epoch %s: bloom-hit fraction %.3f (%d/%d "
-            "distinct digests probe the store)",
-            store_path, batch_id, stats["hits"] / stats["n"],
-            stats["hits"], stats["n"],
-        )
+    # path has degraded to probing the store for nearly every digest.
+    # Level-gated so the extra aggregate job only runs when someone is
+    # listening.
+    if _current_version(store_path + _bloom_dir(meta)) is not None and \
+            logger.isEnabledFor(logging.INFO):
+        stats = probed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("hits"),
+        ).collect()[0]
+        if stats["n"]:
+            logger.info(
+                "chunk store %s epoch %s: bloom-hit fraction %.3f (%d/%d "
+                "distinct digests probe the store)",
+                store_path, batch_id, stats["hits"] / stats["n"],
+                stats["hits"], stats["n"],
+            )
 
     # exact membership against PRIOR epochs only, bucket-pruned: the
     # scan reads only the store buckets the candidate digests hash to.
@@ -268,9 +293,10 @@ def update_chunk_store(
     )(rows, batch_id)
     # land the epoch: ALL batch digests under (bucket, batch=epoch) —
     # dynamic overwrite makes a replayed epoch rewrite identical rows
+    # (rows are already bucket-partitioned from the checkpoint, so the
+    # write is shuffle-free: one file per bucket)
     (
         rows.withColumn("batch", F.lit(int(batch_id)))
-        .repartition(meta["n_buckets"], "bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket", "batch")
