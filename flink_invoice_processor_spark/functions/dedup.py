@@ -1411,3 +1411,91 @@ def sorted_neighborhood_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return _finish_pairs(out, sh)
+
+
+def lsh_blocking_audit(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    verified: DataFrame | None = None,
+) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH banding scheme — the
+    record-linkage metrics (reduction ratio, candidate precision,
+    bucket-size profile) a dedup pipeline checks before trusting a
+    band/row configuration at corpus scale: too few bands and recall
+    dies quietly; too many and a hot bucket quietly turns the candidate
+    join quadratic.  One row:
+
+    - ``n_docs`` — documents with at least one shingle (the blocked
+      population);
+    - ``n_buckets`` / ``n_colliding_buckets`` / ``max_bucket`` — the
+      (band, band_hash) bucket profile; ``max_bucket`` is THE skew
+      number: candidate work is Σ|bucket|², so one hot bucket dominates;
+    - ``candidates_raw`` — Σ c·(c−1)/2 over buckets (pair slots
+      including cross-band repeats: the join's true row count);
+    - ``candidates_distinct`` — distinct candidate pairs (stage-2
+      verification input);
+    - ``n_verified`` — pairs passing exact Jaccard ≥ ``threshold``;
+    - ``reduction6`` — 1e6 · (1 − candidates_distinct / all-pairs),
+      the fraction of the n² work the blocking avoided;
+    - ``precision6`` — 1e6 · verified/candidates (NULL with no
+      candidates).
+
+    All counts aggregate to 1-row frames joined by broadcast — the
+    report never shuffles corpus-sized data past the bucket histogram.
+    Pass ``candidates``/``verified`` to reuse suite- or store-cached
+    stages (the two-stage pipeline's own outputs); each defaults to
+    recomputing via :func:`minhash_lsh_pairs` /
+    :func:`lsh_verified_pairs`."""
+    banded = band_rows(df, k=k, bands=bands, n=n, text_col=text_col)
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, k=k, bands=bands, n=n, text_col=text_col
+        )
+    if verified is None:
+        verified = lsh_verified_pairs(
+            df, k=k, bands=bands, n=n, threshold=threshold,
+            text_col=text_col, candidates=candidates,
+        )
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("c")
+    )
+    bucket_stats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias(
+            "n_colliding_buckets"
+        ),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("candidates_raw"),
+    )
+    n_docs = banded.select("doc_id").distinct().agg(
+        F.count("*").alias("n_docs")
+    )
+    cand_n = candidates.agg(F.count("*").alias("candidates_distinct"))
+    ver_n = verified.agg(F.count("*").alias("n_verified"))
+    return (
+        bucket_stats.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(cand_n))
+        .crossJoin(F.broadcast(ver_n))
+        .select(
+            "n_docs",
+            "n_buckets",
+            "n_colliding_buckets",
+            "max_bucket",
+            "candidates_raw",
+            "candidates_distinct",
+            "n_verified",
+            F.expr(
+                "1000000 - candidates_distinct * 1000000"
+                " div (n_docs * (n_docs - 1) div 2)"
+            ).alias("reduction6"),
+            F.when(
+                F.col("candidates_distinct") > 0,
+                F.expr("n_verified * 1000000 div candidates_distinct"),
+            ).alias("precision6"),
+        )
+    )

@@ -383,3 +383,179 @@ def oof_target_encoding(
             ).alias("enc"),
         )
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact per-key ROC-AUC of an integer score against a boolean
+    label — the classifier-eval loop a curation pipeline runs after
+    every quality-model change (threshold-free, unlike the fixed-cut
+    confusion counts).
+
+    Computed as the Mann-Whitney U statistic with midrank tie handling
+    (== the area under the trapezoidal ROC curve), but never via a
+    per-row rank window: ranks come from the (key, score) value
+    HISTOGRAM — for a score bucket of ``c`` rows starting after
+    cumulative count ``cum_before``, the doubled midrank is
+    ``2*cum_before + c + 1``, so the doubled positive-rank sum is one
+    aggregate over histogram rows (bounded by the per-key distinct
+    score count, the events_value_percentiles discipline).  All BIGINT:
+    ``auc6 = (rs2 - n_pos*(n_pos+1)) * 1e6 div (2*n_pos*n_neg)``,
+    engine-exact; NULL when a key has no positives or no negatives
+    (AUC undefined).
+
+    Output: (key, n_pos, n_neg, auc6)."""
+    _check_key(key_col)
+    hist = (
+        df.select(
+            F.col(key_col),
+            F.col(score_col).alias("val"),
+            F.col(label_col).cast("long").alias("_pos"),
+        )
+        .groupBy(key_col, "val")
+        .agg(F.count("*").alias("cnt"), F.sum("_pos").alias("_c_pos"))
+    )
+    cum = _cum(hist, key_col)
+    per = cum.groupBy(key_col).agg(
+        F.sum(
+            F.col("_c_pos")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("_rs2"),
+        F.sum("_c_pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("_c_pos")).alias("n_neg"),
+    )
+    return per.select(
+        key_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "(_rs2 - n_pos * (n_pos + 1)) * 1000000"
+                " div (2 * n_pos * n_neg)"
+            ),
+        ).alias("auc6"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    key_col: str,
+    score6_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-key reliability diagram over a micro-unit confidence score
+    (``score6`` in [0, 1e6]): scores bucket into ``n_bins`` equal-width
+    bins; each bin reports its size, mean confidence, empirical
+    positive rate, and the |confidence − accuracy| gap — the per-bin
+    terms of expected calibration error (ECE = Σ n·gap6 / N, left to
+    the reader so the report stays per-bin).  Integer-exact end to
+    end: ``mean_conf6 = sum_score6 div n``, ``pos_rate6 = n_pos * 1e6
+    div n`` — one map-side-combined aggregate over (key, bin), never a
+    sort.
+
+    Output: (key, bin, n, mean_conf6, pos_rate6, gap6)."""
+    _check_key(key_col)
+    bin_c = F.expr(
+        f"least({score6_col} * {int(n_bins)} div 1000000, {int(n_bins) - 1})"
+    ).cast("long")
+    per = (
+        df.select(
+            F.col(key_col),
+            bin_c.alias("bin"),
+            F.col(score6_col).alias("_s6"),
+            F.col(label_col).cast("long").alias("_pos"),
+        )
+        .groupBy(key_col, "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_s6").alias("_sum_s6"),
+            F.sum("_pos").alias("n_pos"),
+        )
+    )
+    mean_conf6 = F.expr("_sum_s6 div n")
+    pos_rate6 = F.expr("n_pos * 1000000 div n")
+    return per.select(
+        key_col,
+        "bin",
+        "n",
+        mean_conf6.alias("mean_conf6"),
+        pos_rate6.alias("pos_rate6"),
+        F.abs(mean_conf6 - pos_rate6).alias("gap6"),
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_both: int = 1,
+) -> DataFrame:
+    """Item co-occurrence lift over grouped baskets: for every pair of
+    items appearing in the same group, ``lift6 = n_both * n_groups *
+    1e6 div (n_a * n_b)`` (>1e6 ⇒ the pair co-occurs more than
+    independence predicts), plus support and confidence in the same
+    micro-units — the association-mining report (market baskets,
+    event-type affinity, tag co-occurrence).
+
+    Scale shape: the pair expansion is a self-join of the DISTINCT
+    (group, item) rows on the group key — O(Σ_g d_g²) where ``d_g`` is
+    the group's distinct-ITEM count, which is vocabulary-bounded
+    (event types, brands), never row-count-bounded; item marginals and
+    the group count are broadcast 1-row/side aggregates.
+
+    Output: (item_a, item_b, n_a, n_b, n_both, support6, confidence6,
+    lift6), item_a < item_b, confidence6 = P(b | a) in micro-units."""
+    _check_key(group_col)
+    gi = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    marg = gi.groupBy(F.col("_i").alias("item")).agg(
+        F.count("*").alias("n_item")
+    )
+    n_groups = gi.select("_g").distinct().agg(
+        F.count("*").alias("n_groups")
+    )
+    a, b = gi.alias("a"), gi.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._i") < F.col("b._i")),
+        )
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= min_both)
+    )
+    return (
+        both.join(
+            F.broadcast(marg.select(F.col("item").alias("item_a"),
+                                    F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("item_b"),
+                                    F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("n_both * 1000000 div n_groups").alias("support6"),
+            F.expr("n_both * 1000000 div n_a").alias("confidence6"),
+            F.expr(
+                "n_both * n_groups * 1000000 div (n_a * n_b)"
+            ).alias("lift6"),
+        )
+    )

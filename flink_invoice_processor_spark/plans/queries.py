@@ -9825,6 +9825,359 @@ ORACLES["trigram_index_served"] = """
 
 
 # ---------------------------------------------------------------------------
+# Round 11, part 2: classifier-eval statistics (exact AUC, calibration),
+# robust stats (grouped MAD), association lift, and the LSH blocking
+# audit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "auc_report_docs",
+    """
+    WITH h AS (
+        SELECT source, n_chars AS val, COUNT(*) AS cnt,
+               SUM(CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END)
+                   AS c_pos
+        FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, val, cnt, c_pos,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY val) AS cum
+        FROM h
+    ),
+    p AS (
+        SELECT source,
+               CAST(SUM(c_pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+                   AS rs2,
+               CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt - c_pos) AS BIGINT) AS n_neg
+        FROM c GROUP BY 1
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (rs2 - n_pos * (n_pos + 1)) * 1000000
+                     // (2 * n_pos * n_neg)
+           END AS auc6
+    FROM p
+    """,
+)
+def auc_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source ROC-AUC (functions/stats.py:auc_by_group) of a
+    length proxy score (n_chars) against a content label (document
+    mentions 'join') — the threshold-free classifier-eval a curation
+    pipeline runs on every quality-model change; a real model score and
+    qrels column replace two expressions.  Mann-Whitney with midrank
+    ties, ranks from the (source, score) histogram — never a per-row
+    rank window — all BIGINT micro-units."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source",
+        "n_chars",
+        F.col("text").contains("join").alias("label"),
+    )
+    return ST.auc_by_group(labeled, "source", "n_chars", "label")
+
+
+@register(
+    "calibration_report_docs",
+    """
+    WITH h AS (
+        SELECT source, n_chars AS val, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, val, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY val) AS cum
+        FROM h
+    ),
+    t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src
+          FROM h GROUP BY 1),
+    s AS (
+        SELECT d.source, c.cum * 1000000 // t.n_src AS score6,
+               CASE WHEN contains(d.text, 'join') THEN 1 ELSE 0 END AS pos
+        FROM documents d
+        JOIN c ON c.source = d.source AND c.val = d.n_chars
+        JOIN t ON t.source = d.source
+    ),
+    b AS (
+        SELECT source, CAST(LEAST(score6 * 10 // 1000000, 9) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(score6) AS BIGINT) AS sum_s6,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM s GROUP BY 1, 2
+    )
+    SELECT source, bin, n,
+           sum_s6 // n AS mean_conf6,
+           n_pos * 1000000 // n AS pos_rate6,
+           ABS(sum_s6 // n - n_pos * 1000000 // n) AS gap6
+    FROM b
+    """,
+)
+def calibration_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reliability diagram (functions/stats.py:
+    calibration_report): the confidence score is the within-source
+    empirical CDF of n_chars (exact quantile in micro-units — the
+    quality_quantile_norm_docs transform), the label is content-based
+    ('join' mentioned), 10 equal-width bins with integer-exact mean
+    confidence, positive rate, and |conf − acc| gap (the per-bin ECE
+    terms).  The CDF join rides the (source, n_chars) histogram, never
+    a per-row sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", F.col("n_chars").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("val")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    scored = (
+        docs.select(
+            "source",
+            F.col("n_chars").alias("val"),
+            F.col("text").contains("join").alias("label"),
+        )
+        .join(cum.select("source", "val", "cum"), ["source", "val"])
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.expr("cum * 1000000 div n_src").alias("score6"),
+            "label",
+        )
+    )
+    return ST.calibration_report(scored, "source", "score6", "label")
+
+
+@register(
+    "events_value_mad",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS val
+        FROM events
+    ),
+    h AS (SELECT event_type, val, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+    c AS (
+        SELECT event_type, val, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY val) AS cum
+        FROM h
+    ),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM h GROUP BY 1),
+    m AS (
+        SELECT c.event_type, t.n,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END)
+               + MIN(CASE WHEN cum >= n // 2 + 1 THEN val END) AS median_x2
+        FROM c JOIN t USING (event_type) GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT h.event_type, ABS(2 * h.val - m.median_x2) AS dev,
+               CAST(SUM(h.cnt) AS BIGINT) AS cnt
+        FROM h JOIN m USING (event_type) GROUP BY 1, 2
+    ),
+    dc AS (
+        SELECT event_type, dev, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        FROM d
+    ),
+    md AS (
+        SELECT dc.event_type,
+               MIN(CASE WHEN cum >= (t.n + 1) // 2 THEN dev END)
+               + MIN(CASE WHEN cum >= t.n // 2 + 1 THEN dev END) AS mad_x4
+        FROM dc JOIN t USING (event_type) GROUP BY 1
+    )
+    SELECT m.event_type, m.n, m.median_x2, md.mad_x4
+    FROM m JOIN md USING (event_type)
+    """,
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median and MAD of event values in integer cents
+    (functions/stats.py:grouped_median_mad) — the robust center/spread
+    pair behind ``|v − med| > c·MAD`` outlier gates, where winsorized
+    means mislead on heavy tails.  Two histogram passes: the deviation
+    pass re-aggregates the FIRST histogram (shuffles at most
+    distinct(val) rows per key), and the doubled-integer carry
+    (median_x2, mad_x4) keeps even-count medians engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ST.grouped_median_mad(
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        "event_type",
+        "cents",
+    )
+
+
+@register(
+    "events_cooccurrence_lift",
+    """
+    WITH gi AS (
+        SELECT DISTINCT user_id AS g, event_type AS i FROM events
+    ),
+    marg AS (SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM gi GROUP BY 1),
+    ng AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups FROM gi),
+    pr AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, ma.n_item AS n_a, mb.n_item AS n_b, n_both,
+           n_both * 1000000 // ng.n_groups AS support6,
+           n_both * 1000000 // ma.n_item AS confidence6,
+           n_both * ng.n_groups * 1000000 // (ma.n_item * mb.n_item)
+               AS lift6
+    FROM pr
+    JOIN marg ma ON ma.item = item_a
+    JOIN marg mb ON mb.item = item_b
+    CROSS JOIN ng
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity (functions/stats.py:cooccurrence_lift): for
+    every pair of event types a user performs, support/confidence/lift
+    in micro-units — which behaviors travel together.  The pair
+    expansion self-joins the DISTINCT (user, type) rows, so per-user
+    work is bounded by the type vocabulary squared (here ≤ 5²), never
+    the user's event count; marginals and the user total are broadcast
+    1-row/side aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ST.cooccurrence_lift(ev, "user_id", "event_type")
+
+
+@register(
+    "basket_brand_lift_orders",
+    """
+    WITH gi AS (
+        SELECT DISTINCT l.l_orderkey AS g, p.p_brand AS i
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    marg AS (SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM gi GROUP BY 1),
+    ng AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups FROM gi),
+    pr AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, ma.n_item AS n_a, mb.n_item AS n_b, n_both,
+           n_both * 1000000 // ng.n_groups AS support6,
+           n_both * 1000000 // ma.n_item AS confidence6,
+           n_both * ng.n_groups * 1000000 // (ma.n_item * mb.n_item)
+               AS lift6
+    FROM pr
+    JOIN marg ma ON ma.item = item_a
+    JOIN marg mb ON mb.item = item_b
+    CROSS JOIN ng
+    """,
+)
+def basket_brand_lift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order baskets: which part brands
+    are co-purchased beyond what independence predicts
+    (functions/stats.py:cooccurrence_lift over (order, brand) baskets;
+    the part dimension joins broadcast).  Brand vocabulary bounds the
+    pair expansion at ≤ brands² per order — the classic
+    frequent-itemset report without ever materializing n² item
+    pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(dim), li["l_partkey"] == dim["p_partkey"]
+    ).select(F.col("l_orderkey").alias("g"), F.col("p_brand").alias("i"))
+    return ST.cooccurrence_lift(baskets, "g", "i")
+
+
+@register(
+    "lsh_blocking_audit_docs",
+    f"""
+    WITH sh0 AS ({{_SHINGLES}}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(16))}
+        FROM sh0 GROUP BY doc_id
+    ),
+    banded AS (
+        {{_BANDED}}
+    ),
+    bk AS (SELECT band_id, band_hash, COUNT(*) AS c
+           FROM banded GROUP BY 1, 2),
+    bs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_colliding_buckets,
+               CAST(MAX(c) AS BIGINT) AS max_bucket,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidates_raw
+        FROM bk
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM banded),
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cd AS (SELECT CAST(COUNT(*) AS BIGINT) AS candidates_distinct
+           FROM cand),
+    shh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_h
+        FROM sh0
+        WHERE doc_id IN (SELECT doc_id_a FROM cand
+                         UNION SELECT doc_id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh a ON a.doc_id = c.doc_id_a
+        JOIN shh b ON b.doc_id = c.doc_id_b AND b.shingle_h = a.shingle_h
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4)
+              >= 0.5
+    )
+    SELECT n_docs, n_buckets, n_colliding_buckets, max_bucket,
+           candidates_raw, candidates_distinct, n_verified,
+           1000000 - candidates_distinct * 1000000
+               // (n_docs * (n_docs - 1) // 2) AS reduction6,
+           CASE WHEN candidates_distinct > 0
+                THEN n_verified * 1000000 // candidates_distinct
+           END AS precision6
+    FROM bs, nd, cd, ver
+    """,
+)
+def lsh_blocking_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit of the suite's MinHash-LSH configuration
+    (functions/dedup.py:lsh_blocking_audit): reduction ratio vs
+    all-pairs, candidate precision against the exact-Jaccard verified
+    set, and the bucket-size profile whose max is THE skew number
+    (candidate work is Σ|bucket|²) — the report a dedup pipeline reads
+    before trusting a band/row scheme at corpus scale.  Candidate and
+    verified stages are the suite-cached two-stage pipeline outputs
+    (shared with minhash_lsh_docs / lsh_verified_pairs_docs), so the
+    audit itself adds one bucket histogram + three 1-row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = SC.memo(
+        (sf_dir, "minhash_lsh_pairs", 16, 4),
+        lambda: DD.minhash_lsh_pairs(docs, k=16, bands=4),
+    )
+    ver = _lsh_verified_shared(sf_dir, docs)
+    return DD.lsh_blocking_audit(docs, candidates=cand, verified=ver)
+
+
+ORACLES["lsh_blocking_audit_docs"] = (
+    ORACLES["lsh_blocking_audit_docs"]
+    .replace("{_SHINGLES}", _SHINGLES_SQL)
+    .replace("{_BANDED}", _banded_sql())
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -9891,6 +10244,16 @@ _DRIVER_FIRST = [
     # aggregate instead of composing bm25_topk + a separate ideal-leg
     # explode (VERDICT r10 item 3; oracle hash unchanged)
     "bm25_ndcg_report",
+    # new in round 11, part 2: classifier-eval statistics (exact
+    # histogram-ranked AUC, reliability/ECE bins), grouped median/MAD,
+    # association lift (event affinity + market baskets), and the LSH
+    # blocking-quality audit
+    "auc_report_docs",
+    "calibration_report_docs",
+    "events_value_mad",
+    "events_cooccurrence_lift",
+    "basket_brand_lift_orders",
+    "lsh_blocking_audit_docs",
 ]
 
 

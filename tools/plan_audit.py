@@ -63,6 +63,22 @@ ALLOWED_SOFT = {
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",
     "q22_idle_wealthy_customers": "1-row scalar sum/count aggregate, broadcast back",
     "events_approx_topk": "single-row merge of mergeable sketch partials",
+    "events_cooccurrence_lift": (
+        "1-row n_groups count + vocabulary-bounded (<=|types|-row)"
+        " marginals, broadcast back — the pair expansion stays keyed on"
+        " the group column"
+    ),
+    "basket_brand_lift_orders": (
+        "1-row n_groups count + vocabulary-bounded (<=|brands|-row)"
+        " marginals, broadcast back — the pair expansion stays keyed on"
+        " the order key"
+    ),
+    "lsh_blocking_audit_docs": (
+        "the report IS one row: four 1-row aggregates (bucket profile,"
+        " doc count, candidate count, verified count) cross-joined by"
+        " broadcast; the only corpus-scale shuffle is the bucket"
+        " histogram, which stays (band, hash)-keyed"
+    ),
     "bm25_topk_docs": "1-row corpus-stats aggregate (N, sum_dl), broadcast back",
     "substring_search_docs": (
         "1-row kept-query-trigram count aggregate, broadcast back"
