@@ -9824,6 +9824,159 @@ ORACLES["trigram_index_served"] = """
 """
 
 
+def scd2_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #9: the incrementally-maintained SCD2
+    history (``streaming/scd2_job.py`` — user-bucket partition
+    recompute over an epoch-fenced base) under the driver hash gate.
+    Events arrive in TWO epochs through the real maintenance path
+    (``upsert_scd2``: (ub, epoch) base landing via dynamic overwrite,
+    touched-bucket-pruned recompute through the SHARED
+    ``functions/scd2.scd2_history``, ub-partition view overwrite),
+    epoch 1 is REPLAYED so at-least-once delivery is exercised in the
+    gated path (idempotent: the replay rewrites its own (ub, epoch=1)
+    base partitions with identical content, and the recompute then
+    reads identical rows), and the SERVED history is returned.  The
+    DuckDB oracle is ``events_scd2_history``'s one-shot SQL verbatim —
+    history maintained across epochs ≡ the one-shot rebuild, under ANY
+    arrival split (the job's order-free-correctness contract).
+
+    The base/view live in a per-call temp dir, deleted after the
+    served rows are realized; n_buckets=8 at gate scale (at 100 TB,
+    size buckets to a few hundred MB — the module docstring's sizing
+    rule)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.scd2_job import upsert_scd2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    root = tempfile.mkdtemp(prefix="scd2_q_")
+    base, view = root + "/base", root + "/view"
+    try:
+        e0 = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+        e1 = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+        upsert_scd2(spark, e0, base, view, 0, n_buckets=8)
+        upsert_scd2(spark, e1, base, view, 1, n_buckets=8)
+        # at-least-once replay of epoch 1: bit-identical base rewrite,
+        # bit-identical recompute
+        upsert_scd2(spark, e1, base, view, 1, n_buckets=8)
+        served = (
+            spark.read.parquet(view)
+            .select(
+                "user_id", "state", "valid_from", "valid_to",
+                "is_current", "version",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return served
+
+
+QUERIES["scd2_store_served"] = scd2_store_served
+ORACLES["scd2_store_served"] = ORACLES["events_scd2_history"]
+
+
+def cdc_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #10: the version-swapped CDC snapshot
+    (``streaming/cdc_job.py`` — the streaming half of the reference's
+    row-at-a-time MySQL MERGE, `REF/sink/InvoiceRetrySink.java:33-42`)
+    under the driver hash gate.  The orders base arrives as epoch 0's
+    insert batch, the deterministic D/U/I change batch (the shared
+    ``orders_cdc_apply`` scenario) as epoch 1, and epoch 1 is REPLAYED
+    so the batch-id fence on the NON-idempotent merge is exercised in
+    the gated path — and like the histogram invariant, a broken fence
+    is DETECTED by the final rows: a replayed INSERT whose previous
+    attempt committed would duplicate its row, changing the served row
+    count and breaking the hash.  The DuckDB oracle replays the merge
+    relationally (the ``orders_cdc_apply`` CTEs without the
+    provenance column, which the stored snapshot deliberately drops).
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.cdc_job import cdc_snapshot_writer, read_snapshot
+
+    base, changes = _cdc_base_changes(spark, sf_dir)
+    schema = (
+        "o_orderkey LONG, o_custkey LONG, totalprice_cents LONG,"
+        " o_orderpriority STRING"
+    )
+    table = tempfile.mkdtemp(prefix="cdc_snap_q_")
+    try:
+        writer = cdc_snapshot_writer(table, ["o_orderkey"], schema)
+        writer(base.select(F.lit("I").alias("op"), *base.columns), 0)
+        writer(changes, 1)
+        # at-least-once replay of the change epoch: MUST be a fenced
+        # no-op or the replayed inserts duplicate and the hash breaks
+        writer(changes, 1)
+        served = read_snapshot(spark, table, schema).localCheckpoint()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return served
+
+
+QUERIES["cdc_snapshot_served"] = cdc_snapshot_served
+ORACLES["cdc_snapshot_served"] = f"""
+    WITH {_CDC_CTES_SQL}
+    SELECT b.o_orderkey, b.o_custkey,
+           COALESCE(u.p, b.totalprice_cents) AS totalprice_cents,
+           COALESCE(u.pr, b.o_orderpriority) AS o_orderpriority
+    FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
+    WHERE b.o_orderkey NOT IN (SELECT k FROM del)
+    UNION ALL
+    SELECT k, c, p, 'CDC-NEW' FROM ins
+"""
+
+
+def drift_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #11: the streaming drift monitor
+    (``streaming/drift_job.py`` — per-snapshot (dim, bin, cnt)
+    histograms maintained across micro-batches, TVD served from the
+    two stored model-sized tables without re-scanning either corpus)
+    under the driver hash gate.  Each snapshot (even/odd ``vec_id`` —
+    the ``embedding_drift_tvd`` split) accrues in TWO fenced
+    micro-batches through the real writer, the current side's second
+    epoch is REPLAYED so the batch-id fence on the SUM-merge is
+    exercised in the gated path (a broken fence doubles that batch's
+    bin counts AND the served n_b — caught by the hash), and the
+    report is ``drift_report`` over the two maintained tables.  The
+    DuckDB oracle is ``embedding_drift_tvd``'s one-shot SQL verbatim —
+    the maintained histograms equal the batch ``binned_counts`` over
+    every vector ever streamed (count-SUM merge law), so the report is
+    bit-identical by construction."""
+    import shutil
+    import tempfile
+
+    from ..streaming.drift_job import drift_histogram_writer, drift_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="drift_q_")
+    pa, pb = root + "/baseline", root + "/current"
+    try:
+        wa = drift_histogram_writer(pa)
+        wb = drift_histogram_writer(pb)
+        wa(a.where(F.col("vec_id") % 4 == 0), 0)
+        wa(a.where(F.col("vec_id") % 4 == 2), 1)
+        wb(b.where(F.col("vec_id") % 4 == 1), 0)
+        wb(b.where(F.col("vec_id") % 4 == 3), 1)
+        # at-least-once replay of an already-merged epoch: MUST be a
+        # fenced no-op or the bin counts (and served n_b) double
+        wb(b.where(F.col("vec_id") % 4 == 3), 1)
+        served = drift_report(spark, pa, pb).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return served
+
+
+QUERIES["drift_store_served"] = drift_store_served
+ORACLES["drift_store_served"] = ORACLES["embedding_drift_tvd"]
+
+
 # ---------------------------------------------------------------------------
 # Round 11, part 2: classifier-eval statistics (exact AUC, calibration),
 # robust stats (grouped MAD), association lift, and the LSH blocking
@@ -10239,6 +10392,13 @@ _DRIVER_FIRST = [
     "matview_hourly_served",
     "histogram_rollup_served",
     "trigram_index_served",
+    # round 11, part 2 continued: invariants #9-#11 — SCD2 bucket
+    # recompute, CDC snapshot (insert-replay fence detected by the
+    # hash), and the streaming drift monitor (SUM fence detected via
+    # the served n_b)
+    "scd2_store_served",
+    "cdc_snapshot_served",
+    "drift_store_served",
     # implementation CHANGED in round 11 — needs a driver row on the
     # new path: ndcg_report now runs ONE token explode + one doc-keyed
     # aggregate instead of composing bm25_topk + a separate ideal-leg
