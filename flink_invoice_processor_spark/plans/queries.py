@@ -9977,6 +9977,61 @@ QUERIES["drift_store_served"] = drift_store_served
 ORACLES["drift_store_served"] = ORACLES["embedding_drift_tvd"]
 
 
+def curation_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-STATE invariant #12: the ADAPTIVE curation gate
+    (``streaming/curation_job.py`` — per-source exact-percentile
+    threshold maintained as a histogram rollup + scored-docs table,
+    the gated corpus a VIEW over both) under the driver hash gate.
+    Documents arrive in TWO epochs through the real maintenance path
+    (``adaptive_curation_micro_batch``: score once with the batch
+    operator's own ``classifier_score6``, fold into the fenced
+    (source, score6) histogram rollup, land scored rows under
+    ``batch=epoch``), epoch 1 is REPLAYED so both state commits are
+    exercised under at-least-once delivery in the gated path (the
+    histogram fence skips the replay — a broken fence inflates the
+    histogram counts and moves rank-selected thresholds, caught by the
+    hash; the scored-partition rewrite is idempotent), and the gate is
+    SERVED via ``adaptive_survivors`` — threshold rank-selected from
+    the rollup, no corpus re-scan.  The DuckDB oracle is
+    ``adaptive_quality_cut_docs``'s one-shot SQL verbatim: because the
+    score and threshold algebra are THE batch operator's functions and
+    histogram merge is exact, serving at an epoch boundary equals the
+    batch gate over everything ingested, bit for bit (the view
+    re-evaluates admission, so early documents are never grandfathered
+    past a cut later data tightened)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.curation_job import (
+        adaptive_curation_micro_batch,
+        adaptive_survivors,
+        init_scored_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="curation_q_")
+    scored, hist = root + "/scored", root + "/hist"
+    try:
+        init_scored_table(spark, scored)
+        e0 = docs.where(F.col("doc_id") % 2 == 0)
+        e1 = docs.where(F.col("doc_id") % 2 == 1)
+        adaptive_curation_micro_batch(e0, 0, scored, hist)
+        adaptive_curation_micro_batch(e1, 1, scored, hist)
+        # at-least-once replay of epoch 1: fenced histogram no-op +
+        # idempotent scored-partition rewrite
+        adaptive_curation_micro_batch(e1, 1, scored, hist)
+        served = adaptive_survivors(
+            spark, scored, hist, pct=75
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return served
+
+
+QUERIES["curation_store_served"] = curation_store_served
+ORACLES["curation_store_served"] = ORACLES["adaptive_quality_cut_docs"]
+
+
 # ---------------------------------------------------------------------------
 # Round 11, part 2: classifier-eval statistics (exact AUC, calibration),
 # robust stats (grouped MAD), association lift, and the LSH blocking
@@ -10399,6 +10454,7 @@ _DRIVER_FIRST = [
     "scd2_store_served",
     "cdc_snapshot_served",
     "drift_store_served",
+    "curation_store_served",
     # implementation CHANGED in round 11 — needs a driver row on the
     # new path: ndcg_report now runs ONE token explode + one doc-keyed
     # aggregate instead of composing bm25_topk + a separate ideal-leg

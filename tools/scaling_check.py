@@ -140,7 +140,30 @@ REPRESENTATIVE = [
     "events_minmax_pruning",
     "doc_lm_backoff",
     "bm25_ndcg_report",
+    "events_minmax_pruning",
+    "doc_lm_backoff",
+    "bm25_ndcg_report",
     "image_dhash_neardup",
+    # round-11 families: the seven maintained-state invariants (each
+    # builds its store through the real maintenance path per call, so
+    # the timing is build-inclusive by construction), classifier-eval
+    # statistics (histogram-ranked AUC, calibration bins), grouped
+    # median/MAD, association lift (vocabulary-bounded pair expansion),
+    # and the LSH blocking audit (bucket histogram + 1-row counts)
+    "cdc_chunk_store_served",
+    "matview_hourly_served",
+    "histogram_rollup_served",
+    "trigram_index_served",
+    "scd2_store_served",
+    "cdc_snapshot_served",
+    "drift_store_served",
+    "auc_report_docs",
+    "calibration_report_docs",
+    "events_value_mad",
+    "events_cooccurrence_lift",
+    "basket_brand_lift_orders",
+    "lsh_blocking_audit_docs",
+    "curation_store_served",
 ]
 
 
@@ -217,6 +240,21 @@ DECADE_FAMILIES = [
     "doc_lm_backoff",
     "bm25_ndcg_report",
     "image_dhash_neardup",
+    # round-11 (all tables are decade-synthesized)
+    "cdc_chunk_store_served",
+    "matview_hourly_served",
+    "histogram_rollup_served",
+    "trigram_index_served",
+    "scd2_store_served",
+    "cdc_snapshot_served",
+    "drift_store_served",
+    "auc_report_docs",
+    "calibration_report_docs",
+    "events_value_mad",
+    "events_cooccurrence_lift",
+    "basket_brand_lift_orders",
+    "lsh_blocking_audit_docs",
+    "curation_store_served",
 ]
 
 
