@@ -10386,6 +10386,330 @@ ORACLES["lsh_blocking_audit_docs"] = (
 
 
 # ---------------------------------------------------------------------------
+# Round 11, part 3: vocabulary coverage curve, column profiling,
+# seasonal-naive backtest, and the dataset-card report.
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_coverage_curve_docs",
+    f"""
+    WITH tc AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (
+            SELECT unnest(list_transform({_TOKENS_SQL}, x -> lower(x)))
+                       AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        )
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok ASC) AS rn
+        FROM tc
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(n) AS BIGINT) AS total_tokens
+        FROM tc
+    ),
+    ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS k),
+    cov AS (
+        SELECT ks.k,
+               CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.n ELSE 0 END)
+                    AS BIGINT) AS covered_tokens
+        FROM r CROSS JOIN ks GROUP BY 1
+    )
+    SELECT cov.k, t.n_vocab, t.total_tokens, cov.covered_tokens,
+           CAST(cov.covered_tokens * 1000000 // t.total_tokens AS BIGINT)
+               AS coverage6
+    FROM cov CROSS JOIN t
+    """,
+)
+def vocab_coverage_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus token MASS the
+    top-k most frequent tokens cover, at k ∈ {100, 1000, 10000} — the
+    tokenizer/vocab-sizing report (where the curve flattens is where a
+    bigger vocab stops paying; the complement of ``vocab_oov_docs``'s
+    fixed-cut OOV rate).  Global ranks ride the two-phase distributed
+    row_number over the VOCABULARY (never a single-partition window,
+    never raw tokens); the curve aggregate is vocab × 3 rows; totals
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.transform(TX.tokens(F.col("text")), F.lower)
+    tc = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = CUR.distributed_row_number(
+        tc, [F.col("n").desc(), F.col("tok").asc()], out_col="rn"
+    )
+    tot = tc.agg(
+        F.count("*").alias("n_vocab"), F.sum("n").alias("total_tokens")
+    )
+    ks = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(100), F.lit(1000), F.lit(10000))
+            ).alias("k")
+        )
+        .select(F.col("k").cast("long").alias("k"))
+    )
+    cov = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.col("n")).otherwise(0)
+            ).alias("covered_tokens")
+        )
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_vocab",
+        "total_tokens",
+        "covered_tokens",
+        F.expr("covered_tokens * 1000000 div total_tokens").alias(
+            "coverage6"
+        ),
+    )
+
+
+@register(
+    "column_profile_lineitem",
+    """
+    SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS min_s,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice_cents', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(MIN(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS VARCHAR),
+           CAST(MAX(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+           MIN(l_linestatus), MAX(l_linestatus)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           strftime(MIN(l_shipdate), '%Y-%m-%d'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    """,
+)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — null count, EXACT distinct count, and
+    min/max rendered as strings — the DQ report a warehouse publishes
+    per load (the profiling complement of ``dq_checks_lineitem``'s
+    pass/fail gate).  One scan: all five columns' (count, nulls,
+    distinct, min, max) in a single aggregate (Spark plans the
+    multi-count-distinct via expand — one shuffle, 5× expanded rows,
+    bounded by the column count), unpivoted to one row per column.
+    Floats are profiled in integer units (quantity is integral, price
+    in cents) and dates in ISO day strings so both engines render
+    identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "l_quantity": F.col("l_quantity").cast("long"),
+        "l_extendedprice_cents": F.floor(
+            F.col("l_extendedprice") * 100
+        ).cast("long"),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_shipdate": F.date_format(F.col("l_shipdate"), "yyyy-MM-dd"),
+    }
+    aggs = [F.count("*").alias("_n")]
+    for name, c in cols.items():
+        aggs += [
+            F.count(c).alias(f"_nn_{name}"),
+            F.countDistinct(c).alias(f"_nd_{name}"),
+            F.min(c).cast("string").alias(f"_mn_{name}"),
+            F.max(c).cast("string").alias(f"_mx_{name}"),
+        ]
+    one = li.agg(*aggs)
+    profile = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col("_n").alias("n"),
+                    (F.col("_n") - F.col(f"_nn_{name}")).alias("n_null"),
+                    F.col(f"_nd_{name}").alias("n_distinct"),
+                    F.col(f"_mn_{name}").alias("min_s"),
+                    F.col(f"_mx_{name}").alias("max_s"),
+                )
+                for name in cols
+            ]
+        )
+    )
+    return one.select(profile.alias("p")).select(
+        "p.col_name", "p.n", "p.n_null", "p.n_distinct", "p.min_s",
+        "p.max_s",
+    )
+
+
+@register(
+    "events_forecast_baseline",
+    """
+    WITH v AS (
+        SELECT event_type, ts,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               (EXTRACT(dow FROM ts) * 24 + EXTRACT(hour FROM ts))
+                   AS how
+        FROM events
+    ),
+    seas AS (
+        SELECT event_type, how,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+        FROM v WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1, 2
+    ),
+    gl AS (
+        SELECT event_type,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS gpred
+        FROM v WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1
+    )
+    SELECT t.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(ABS(t.cents - COALESCE(s.pred, g.gpred))) // COUNT(*)
+                AS BIGINT) AS mae_seasonal_cents,
+           CAST(SUM(ABS(t.cents - g.gpred)) // COUNT(*) AS BIGINT)
+               AS mae_global_cents
+    FROM v t
+    LEFT JOIN seas s ON s.event_type = t.event_type AND s.how = t.how
+    JOIN gl g ON g.event_type = t.event_type
+    WHERE t.ts >= TIMESTAMP '2024-01-24'
+    GROUP BY 1
+    """,
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: train on the first 23 days,
+    predict each test event's value as its (type, hour-of-week) train
+    mean (global train mean where that cell was never seen), and report
+    per-type MAE against the global-mean baseline — the sanity check
+    run before shipping any real forecaster (if seasonal-naive doesn't
+    beat global-mean, hour-of-week carries no signal).  All integer
+    cents: predictions by truncating division, MAE summed exactly.
+    Scale shape: the prediction table is (types × 168) rows broadcast
+    against the test scan; the train pass is one map-side-combined
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-24").cast("timestamp")
+    v = ev.select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+        ).cast("long").alias("how"),
+    )
+    train = v.where(F.col("ts") < cut)
+    seas = train.groupBy("event_type", "how").agg(
+        F.expr("sum(cents) div count(*)").alias("pred")
+    )
+    glob = train.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("gpred")
+    )
+    test = v.where(F.col("ts") >= cut)
+    return (
+        test.join(F.broadcast(seas), ["event_type", "how"], "left")
+        .join(F.broadcast(glob), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.expr(
+                "sum(abs(cents - coalesce(pred, gpred))) div count(*)"
+            ).alias("mae_seasonal_cents"),
+            F.expr("sum(abs(cents - gpred)) div count(*)").alias(
+                "mae_global_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "dataset_card_report",
+    f"""
+    WITH d AS (
+        SELECT source, lang, n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS_SQL}) END AS n_toks
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM d GROUP BY 1
+    ),
+    lc AS (
+        SELECT source, lang, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        FROM d GROUP BY 1, 2
+    )
+    SELECT a.source, a.n_docs, a.n_tokens, a.n_chars,
+           l.lang AS top_lang,
+           CAST(l.c * 1000000 // a.n_docs AS BIGINT) AS top_lang_share6
+    FROM agg a JOIN lc l ON l.source = a.source AND l.rn = 1
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row per source — doc / token / char
+    totals and the dominant language tag with its share — the header
+    block of the datasheet published alongside a training corpus.  One
+    doc-level scan into a source-keyed aggregate; the language mode is
+    a row_number over (source, lang) COUNT rows (vocabulary-bounded
+    keyed window, never raw docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(TX.tokens(F.col("text"))))
+    d = docs.select("source", "lang", "n_chars", n_toks.alias("n_toks"))
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    top = lc.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return agg.join(
+        F.broadcast(top.select("source", "lang", "c")), "source"
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.col("lang").alias("top_lang"),
+        F.expr("c * 1000000 div n_docs").alias("top_lang_share6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering.
 #
 # The round driver's correctness gate checks the FIRST 50 entries of
@@ -10470,6 +10794,13 @@ _DRIVER_FIRST = [
     "events_cooccurrence_lift",
     "basket_brand_lift_orders",
     "lsh_blocking_audit_docs",
+    # round 11, part 3: vocabulary coverage curve (two-phase global
+    # rank), one-pass column profiling, seasonal-naive backtest, and
+    # the dataset-card summary
+    "vocab_coverage_curve_docs",
+    "column_profile_lineitem",
+    "events_forecast_baseline",
+    "dataset_card_report",
 ]
 
 

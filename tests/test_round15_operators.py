@@ -163,3 +163,71 @@ class TestLshBlockingAudit:
         assert audit.candidates_distinct == 10
         assert audit.reduction6 == 0  # blocking avoided nothing
         assert audit.precision6 == 1000000
+
+
+class TestRound11Part3Queries:
+    """Consistency pins for the part-3 inline queries at sf0.001 (their
+    value correctness is oracle-gated; these pin cross-row invariants a
+    hash can't express)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_vocab_coverage_monotone(self, spark):
+        from flink_invoice_processor_spark.plans.queries import QUERIES
+
+        rows = {
+            r.k: r
+            for r in QUERIES["vocab_coverage_curve_docs"](
+                spark, self.SF
+            ).collect()
+        }
+        assert sorted(rows) == [100, 1000, 10000]
+        # more vocabulary can only cover more mass, never less
+        assert (
+            rows[100].covered_tokens
+            <= rows[1000].covered_tokens
+            <= rows[10000].covered_tokens
+            <= rows[100].total_tokens
+        )
+        # k beyond the vocabulary covers everything
+        if rows[10000].n_vocab <= 10000:
+            assert rows[10000].covered_tokens == rows[10000].total_tokens
+            assert rows[10000].coverage6 == 1000000
+
+    def test_column_profile_bounds(self, spark):
+        from flink_invoice_processor_spark.plans.queries import QUERIES
+
+        rows = QUERIES["column_profile_lineitem"](spark, self.SF).collect()
+        assert {r.col_name for r in rows} == {
+            "l_quantity", "l_extendedprice_cents", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        }
+        n = rows[0].n
+        for r in rows:
+            assert r.n == n  # same table, same row count
+            assert 0 <= r.n_null <= r.n
+            assert 1 <= r.n_distinct <= r.n - r.n_null
+            # min/max are rendered strings; compare in value space
+            try:
+                assert int(r.min_s) <= int(r.max_s)
+            except ValueError:
+                assert r.min_s <= r.max_s
+
+    def test_forecast_baseline_shapes(self, spark):
+        from flink_invoice_processor_spark.plans.queries import QUERIES
+
+        rows = QUERIES["events_forecast_baseline"](spark, self.SF).collect()
+        assert rows  # the test week is non-empty
+        for r in rows:
+            assert r.n_test > 0
+            assert r.mae_seasonal_cents >= 0
+            assert r.mae_global_cents >= 0
+
+    def test_dataset_card_shares(self, spark):
+        from flink_invoice_processor_spark.plans.queries import QUERIES
+
+        rows = QUERIES["dataset_card_report"](spark, self.SF).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.top_lang_share6 <= 1000000
+            assert r.n_tokens <= r.n_chars  # tokens are >=1 char + space

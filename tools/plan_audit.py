@@ -63,6 +63,16 @@ ALLOWED_SOFT = {
     "q15_top_supplier": "1-row scalar MAX aggregate, broadcast back",
     "q22_idle_wealthy_customers": "1-row scalar sum/count aggregate, broadcast back",
     "events_approx_topk": "single-row merge of mergeable sketch partials",
+    "column_profile_lineitem": (
+        "the profile IS one row pre-unpivot: a single global aggregate"
+        " (5 columns x count/nulls/distinct/min/max via expand) whose"
+        " final partial merge is the funnel"
+    ),
+    "vocab_coverage_curve_docs": (
+        "1-row vocab totals aggregate + <=P-row per-partition offset"
+        " cumsum (distributed_row_number) — the rank itself never"
+        " funnels; the curve aggregate is 3 keys"
+    ),
     "events_cooccurrence_lift": (
         "1-row n_groups count + vocabulary-bounded (<=|types|-row)"
         " marginals, broadcast back — the pair expansion stays keyed on"

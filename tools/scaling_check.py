@@ -164,6 +164,10 @@ REPRESENTATIVE = [
     "basket_brand_lift_orders",
     "lsh_blocking_audit_docs",
     "curation_store_served",
+    "vocab_coverage_curve_docs",
+    "column_profile_lineitem",
+    "events_forecast_baseline",
+    "dataset_card_report",
 ]
 
 
@@ -255,6 +259,10 @@ DECADE_FAMILIES = [
     "basket_brand_lift_orders",
     "lsh_blocking_audit_docs",
     "curation_store_served",
+    "vocab_coverage_curve_docs",
+    "column_profile_lineitem",
+    "events_forecast_baseline",
+    "dataset_card_report",
 ]
 
 
