@@ -121,6 +121,38 @@ def calibration_probe(spark: SparkSession, reps: int = 5) -> dict:
     }
 
 
+def mini_probe(spark: SparkSession) -> float:
+    """One-shot light host-speed probe (~0.2 s): the calibration_probe's
+    parallel work shape at 1/4 the rows, single repetition, no warmup.
+
+    Purpose (r11 verdict item 2): the scaling harness embeds one of
+    these BEFORE EVERY FAMILY so each family's measurement carries its
+    own drift control — r11's run-to-run agreement collapsed to 28/68
+    while the START-of-run probes agreed, i.e. the drift developed
+    mid-run where a start probe can't see it.  Per-family normalization
+    divides the family's seconds by its own probe, so a host slowdown
+    that hits minute 17 of run A and minute 4 of run B cancels instead
+    of reading as disagreement.
+
+    Deliberately a SEPARATE function from ``calibration_probe`` — that
+    probe's constants are versioned for cross-round comparability and
+    must not change; this one is an intra-run relative signal only (it
+    is meaningless to compare mini-probe values across hosts or to the
+    big probe).  Same two traps apply: ``collect()`` (count() would let
+    Catalyst eliminate the hash) on a FRESH DataFrame (re-collecting
+    one DataFrame skips its shuffle map stage)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500_000_000, 1, 32).select(
+        F.sum(F.xxhash64("id") % 1_000_000).alias("h")
+    )
+    t0 = _time.perf_counter()
+    df.collect()
+    return round(_time.perf_counter() - t0, 4)
+
+
 def drain_block_store(spark: SparkSession, timeout_s: float = 30.0) -> int:
     """Deterministically release dead cached/localCheckpoint RDD blocks.
 

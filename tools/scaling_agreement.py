@@ -9,6 +9,16 @@ raw MEDIAN SECONDS (not the ratio): |a - b| / max(a, b) <= tol, the
 symmetric relative difference.  Families under 0.3 s on both sides are
 reported separately — at that absolute, scheduler jitter exceeds any
 meaningful tolerance.
+
+PROBE-NORMALIZED AGREEMENT (round 12): when both files carry per-family
+``probe_s`` mini-probes (scaling_check.py embeds one before every
+family since r12 — r11 verdict item 2), a second agreement pass runs on
+probe-normalized seconds (family seconds ÷ that family's own probe), so
+host drift that developed MID-RUN — which start-of-run probes proved
+unable to explain in r11 (28/68 agreement at agreeing start probes) —
+divides out family-by-family.  Both views are reported: ``agree`` (raw)
+and ``agree_norm``; a family that disagrees raw but agrees normalized
+was measured on a drifted host, not changed by code.
 """
 
 from __future__ import annotations
@@ -33,10 +43,17 @@ def main() -> None:
     ):
         qa = a["decade"]["queries"] if section == "decade" else a["queries"]
         qb = b["decade"]["queries"] if section == "decade" else b["queries"]
-        agree, tiny, diff = 0, 0, {}
+        agree, agree_norm, tiny = 0, 0, 0
+        diff: dict = {}
+        diff_norm: dict = {}
+        have_probes = True
         for name in qa:
             if name not in qb:
                 continue
+            pa = qa[name].get("probe_s")
+            pb = qb[name].get("probe_s")
+            if not pa or not pb:
+                have_probes = False
             vals = [(k, qa[name][k], qb[name][k]) for k in keys]
             if all(max(x, y) < 0.3 for _, x, y in vals):
                 tiny += 1
@@ -49,12 +66,27 @@ def main() -> None:
                 diff[name] = bad
             else:
                 agree += 1
+            if pa and pb:
+                # normalized values are in "probe units"; the 0.3 s
+                # jitter floor applies to the RAW seconds, same as above
+                bad_n = {
+                    k: [round(x / pa, 2), round(y / pb, 2)]
+                    for k, x, y in vals
+                    if max(x, y) >= 0.3 and not _close(x / pa, y / pb, tol)
+                }
+                if bad_n:
+                    diff_norm[name] = bad_n
+                else:
+                    agree_norm += 1
         out[section] = {
             "families": len([n for n in qa if n in qb]),
             "agree": agree,
             "sub_300ms_both": tiny,
             "disagree": diff,
         }
+        if have_probes:
+            out[section]["agree_norm"] = agree_norm
+            out[section]["disagree_norm"] = diff_norm
     print(json.dumps(out))
 
 

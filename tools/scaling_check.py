@@ -29,6 +29,28 @@ whole section, which is exactly why committed build ratios oscillated
 1.28x vs 3.29x between clean runs — and (b) one GC pause or JIT
 compilation can no longer own a committed number.  The output embeds the
 producing git sha so artifact identity is checkable from git alone.
+
+PER-FAMILY DRIFT CONTROL (round 12, r11 verdict item 2): r11's paired
+runs disagreed on 40/68 decade families while their START-of-run probes
+agreed — the drift developed mid-run, where a start probe cannot see
+it.  Two mechanisms now localize it:
+
+- a ~0.2 s ``mini_probe`` runs BEFORE EVERY FAMILY and lands as
+  ``probe_s`` in that family's dict, so scaling_agreement.py can
+  compare probe-NORMALIZED seconds (a slowdown that hits minute 17 of
+  run A and minute 4 of run B divides out instead of reading as
+  disagreement);
+- ``--order=sorted|reverse`` permutes the family iteration order, so a
+  paired run executes each family at a DIFFERENT point in the run —
+  mid-run interference then hits different families in the two runs
+  instead of the same suite position twice.
+
+ISOLATION COLUMN (round 12, r11 verdict item 9): every decade family
+whose harness steady ratio exceeds ``--isolate`` (default 2.0) is
+re-measured by ``tools/isolate_family.py`` in a FRESH subprocess/JVM
+(nothing else run first) and the result lands as ``isolated_*`` keys in
+the family dict — the hand-run tail-defense protocol of r9-r11, now
+mechanical.  ``--isolate=0`` disables.
 """
 
 from __future__ import annotations
@@ -275,16 +297,33 @@ def _median(xs: list[float]) -> float:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     reps = 3
+    order = "asis"
+    isolate = 2.0
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--order="):
+            order = a.split("=", 1)[1]
+        elif a.startswith("--isolate="):
+            isolate = float(a.split("=", 1)[1])
     small = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     large = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     xlarge = args[2] if len(args) > 2 else None
 
+    def _ordered(names: list[str]) -> list[str]:
+        # dedup first (the hand-maintained lists carry a few repeats;
+        # re-measuring a family twice only wastes wall-clock — the dict
+        # write made the second measurement win anyway)
+        uniq = list(dict.fromkeys(names))
+        if order == "sorted":
+            return sorted(uniq)
+        if order == "reverse":
+            return sorted(uniq, reverse=True)
+        return uniq
+
     from flink_invoice_processor_spark.functions import suite_cache
     from flink_invoice_processor_spark.plans.queries import QUERIES
-    from flink_invoice_processor_spark.session import get_spark
+    from flink_invoice_processor_spark.session import get_spark, mini_probe
 
     spark = get_spark("scaling_check")
 
@@ -295,11 +334,15 @@ def main() -> None:
     from flink_invoice_processor_spark.session import calibration_probe
 
     probe = calibration_probe(spark)
+    # warm the mini-probe's plan shape once: its first execution pays
+    # ~4 s of whole-stage-codegen JIT that would otherwise land in the
+    # first family's probe_s and wreck that family's normalization
+    mini_probe(spark)
 
     out: dict[str, dict[str, float]] = {}
-    for name in REPRESENTATIVE:
+    for name in _ordered(REPRESENTATIVE):
         fn = QUERIES[name]
-        times = {}
+        times = {"probe_s": mini_probe(spark)}
         for label, sf_dir in (("small_s", small), ("large_s", large)):
             fn(spark, sf_dir).count()  # warm (codegen + footers)
             samples = []
@@ -314,9 +357,9 @@ def main() -> None:
     decade: dict[str, dict[str, float]] = {}
     if xlarge:
         try:
-            for name in DECADE_FAMILIES:
+            for name in _ordered(DECADE_FAMILIES):
                 fn = QUERIES[name]
-                times = {}
+                times = {"probe_s": mini_probe(spark)}
                 for label, sf_dir in (("large", large), ("xlarge", xlarge)):
                     builds, steadies = [], []
                     for _ in range(reps):
@@ -351,6 +394,37 @@ def main() -> None:
         finally:
             suite_cache.disable()
 
+    if decade and isolate > 0:
+        # r11 verdict item 9: tail members (harness steady ratio above
+        # the threshold) get a fresh-JVM isolation measurement so "the
+        # ratio doesn't reproduce in isolation" re-proves itself every
+        # round.  Subprocess per family: the whole point is a session
+        # with NO suite history (JIT state, block store, page cache
+        # residue from 60+ earlier families).
+        import os
+        import subprocess
+
+        tail = [n for n, t in decade.items() if t["ratio"] > isolate]
+        for name in tail:
+            cmd = [sys.executable,
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "isolate_family.py"),
+                   name, large, xlarge, f"--reps={reps}"]
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900
+                )
+                iso = json.loads(proc.stdout.strip().splitlines()[-1])
+                decade[name]["isolated_large_s"] = iso["large_s"]
+                decade[name]["isolated_xlarge_s"] = iso["xlarge_s"]
+                decade[name]["isolated_ratio"] = iso["ratio"]
+                decade[name]["isolated_probe_s"] = iso["probe_s"]
+            except Exception as e:  # noqa: BLE001 - isolation is evidence,
+                # not a gate; record the failure instead of killing the run
+                decade[name]["isolated_error"] = (
+                    f"{type(e).__name__}: {e}"[:200]
+                )
+
     def _sf(d: str) -> float:
         try:
             return float(d.rstrip("/").rsplit("sf", 1)[-1])
@@ -364,6 +438,8 @@ def main() -> None:
         "git_head": git_head(),
         "calibration": probe,
         "reps": reps,
+        "order": order,
+        "isolate_threshold": isolate,
         "sf_ratio": ratio,
         "queries": out,
     }
