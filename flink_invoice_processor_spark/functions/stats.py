@@ -559,3 +559,175 @@ def cooccurrence_lift(
             ).alias("lift6"),
         )
     )
+
+
+def hourly_type_correlation(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pairwise Pearson correlation between the hourly activity series
+    of every two event types — the co-movement matrix behind "do
+    errors spike when signups spike?" dashboards and behind pruning
+    redundant signals from a feature set.
+
+    Scale design: the corpus-sized work is ONE (hour, type) count
+    aggregate (map-side combined; output bounded by hours x |types|,
+    not rows).  The dense series — every type observed at every hour,
+    zeros filled in — comes from the distinct-hour list broadcast-
+    crossed with the |types|-row type list (both model-sized; the
+    broadcast cross join is the lsh_blocking_audit pattern, never a
+    shuffle cartesian).  Correlations are then ONE aggregate over the
+    hour-joined pair expansion, bounded by hours x |types|^2/2 rows.
+
+    Engine-exactness: all moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    BIGINT-exact; the only floating arithmetic is the final
+    ``num / sqrt(da * db)`` — cast, multiply, sqrt, divide are each
+    IEEE-correctly-rounded, so identical bigint moments give the
+    bit-identical double in Spark and DuckDB (no ln/exp in the
+    expression).  NULL when either series is constant (undefined).
+
+    Output: (type_a, type_b, n_hours, corr) with type_a < type_b."""
+    cnt = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("_hr"),
+            F.col(type_col).alias("_ty"),
+        )
+        .groupBy("_hr", "_ty")
+        .agg(F.count("*").alias("_c"))
+    )
+    hours = cnt.select("_hr").distinct()
+    types = cnt.select("_ty").distinct()
+    filled = (
+        hours.crossJoin(F.broadcast(types))
+        .join(cnt, ["_hr", "_ty"], "left")
+        .select("_hr", "_ty", F.coalesce("_c", F.lit(0)).alias("x"))
+    )
+    a = filled.select(
+        F.col("_hr"), F.col("_ty").alias("type_a"), F.col("x").alias("xa")
+    )
+    b = filled.select(
+        F.col("_hr"), F.col("_ty").alias("type_b"), F.col("x").alias("xb")
+    )
+    moments = (
+        a.join(b, "_hr")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("xa").alias("_sx"),
+            F.sum("xb").alias("_sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("_sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("_syy"),
+        )
+    )
+    return moments.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.expr(
+            "CASE WHEN n_hours * _sxx - _sx * _sx = 0"
+            "       OR n_hours * _syy - _sy * _sy = 0 THEN NULL"
+            " ELSE CAST(n_hours * _sxy - _sx * _sy AS DOUBLE)"
+            "      / sqrt(CAST(n_hours * _sxx - _sx * _sx AS DOUBLE)"
+            "             * CAST(n_hours * _syy - _sy * _sy AS DOUBLE))"
+            " END"
+        ).alias("corr"),
+    )
+
+
+def psi_report(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_width: int = 10,
+    n_bins: int = 10,
+    base_days: int = 7,
+) -> DataFrame:
+    """Population Stability Index per key: how far the value
+    distribution of the CURRENT period drifted from the BASE period
+    (first ``base_days`` days of the stream) — the industry-standard
+    go/no-go drift score for deployed model inputs (PSI < 0.1 stable,
+    > 0.25 retrain), here over fixed-width value bins with an overflow
+    top bin.
+
+    Scale design: one scan computes the global min timestamp (1-row
+    aggregate, broadcast back — the events_gap_fill bounds pattern);
+    one (type, bin, period) count aggregate bounds everything after it
+    by |types| x n_bins rows.  The dense bin grid (zero cells matter:
+    with Laplace +1 smoothing a bin empty in both periods still
+    contributes when the period sizes differ) is |types| rows exploded
+    by a constant 0..n_bins-1 sequence — pure map, no join.
+
+    Engine-exactness: shares (p6, q6) are integer micro-units with
+    Laplace +1/(n+B) smoothing — BIGINT-exact.  Each bin's PSI term
+    ``(p-q) * ln(p/q)`` is ONE double expression over those exact
+    integers, floored to integer micro-units BEFORE the per-type sum,
+    so the sum is order-free integer arithmetic (the bm25 ln
+    precedent, hardened: a last-ULP ln disagreement would have to
+    cross a floor boundary to surface).
+
+    Output: (key, n_base, n_curr, psi_micro) — psi_micro is PSI in
+    millionths."""
+    mints = df.agg(F.min(ts_col).alias("_mints"))
+    binned = (
+        df.crossJoin(F.broadcast(mints))
+        .select(
+            F.col(type_col).alias("_ty"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col(value_col) / bin_width).cast("long"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            (
+                F.col(ts_col)
+                < F.expr(f"_mints + INTERVAL {base_days} DAY")
+            ).alias("_is_base"),
+        )
+        .groupBy("_ty", "bin")
+        .agg(
+            F.sum(F.col("_is_base").cast("long")).alias("_cb"),
+            F.sum((~F.col("_is_base")).cast("long")).alias("_cc"),
+        )
+    )
+    totals = binned.groupBy("_ty").agg(
+        F.sum("_cb").alias("n_base"), F.sum("_cc").alias("n_curr")
+    )
+    grid = totals.select(
+        "_ty",
+        "n_base",
+        "n_curr",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    cells = grid.join(binned, ["_ty", "bin"], "left").select(
+        "_ty",
+        "n_base",
+        "n_curr",
+        F.expr(
+            f"(coalesce(_cb, 0) + 1) * 1000000 div (n_base + {n_bins})"
+        ).alias("_p6"),
+        F.expr(
+            f"(coalesce(_cc, 0) + 1) * 1000000 div (n_curr + {n_bins})"
+        ).alias("_q6"),
+    )
+    terms = cells.select(
+        "_ty",
+        "n_base",
+        "n_curr",
+        F.expr(
+            "CAST(floor((CAST(_p6 - _q6 AS DOUBLE) / 1000000.0)"
+            " * ln(CAST(_p6 AS DOUBLE) / CAST(_q6 AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("_t"),
+    )
+    return (
+        terms.groupBy("_ty", "n_base", "n_curr")
+        .agg(F.sum("_t").alias("psi_micro"))
+        .select(
+            F.col("_ty").alias(type_col), "n_base", "n_curr", "psi_micro"
+        )
+    )

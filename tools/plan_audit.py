@@ -32,6 +32,11 @@ SOFT = ("Exchange SinglePartition",)
 #: as "soft_unexpected" and deserves a look.
 ALLOWED_SOFT = {
     "events_gap_fill": "1-row global min/max bounds aggregate",
+    "events_psi_drift": (
+        "1-row global min-ts aggregate (the base/current period split),"
+        " broadcast back — the (type, bin, period) histogram and"
+        " everything after it stay bounded by |types| x n_bins rows"
+    ),
     "events_value_histogram": "1-row global min/max bounds aggregate",
     "pack_sequences_docs": "<=P-row per-partition offset cumsum (P = shuffle partitions)",
     "vocab_index": "<=P-row per-partition offset cumsum (distributed_row_number)",

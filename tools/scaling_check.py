@@ -190,6 +190,12 @@ REPRESENTATIVE = [
     "column_profile_lineitem",
     "events_forecast_baseline",
     "dataset_card_report",
+    # round-12 families: prefix-blocked edit-distance verification
+    # (Σ|block|² candidates, constant-cost verify), the zero-filled
+    # hours x types correlation matrix, and the PSI drift report
+    "edit_distance_pairs_docs",
+    "events_type_hourly_corr",
+    "events_psi_drift",
 ]
 
 
@@ -285,6 +291,10 @@ DECADE_FAMILIES = [
     "column_profile_lineitem",
     "events_forecast_baseline",
     "dataset_card_report",
+    # round-12 (documents/events inputs only)
+    "edit_distance_pairs_docs",
+    "events_type_hourly_corr",
+    "events_psi_drift",
 ]
 
 
