@@ -9608,7 +9608,13 @@ def cdc_chunk_store_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = tempfile.mkdtemp(prefix="chunk_store_q_")
     try:
-        meta = init_chunk_store(spark, store, window=16, n_buckets=8)
+        # n_buckets sized to the gate slice (~2.5k digests at sf0.1):
+        # bucket count is a LAYOUT parameter — the served aggregate and
+        # its hash are bucket-agnostic — and 8 buckets over a slice
+        # this small was pure small-file/task-scheduling tax (the
+        # matview 720-dir lesson at 1/10 scale); production stores keep
+        # the init_chunk_store default
+        meta = init_chunk_store(spark, store, window=16, n_buckets=4)
         e0 = docs.where(F.col("doc_id") % 4 == 0)
         e1 = docs.where(F.col("doc_id") % 4 == 2)
         update_chunk_store(e0, store, 0, meta=meta)

@@ -214,7 +214,11 @@ def update_chunk_store(
     from .sketch_rollup import _current_version
 
     if _current_version(store_path + _bloom_dir(meta)) is None:
-        cand = rows.where(F.lit(False))
+        # no bloom version yet == nothing ever landed: there is no
+        # history, so skip the candidate/bucket jobs entirely (r12 —
+        # the where(lit(False)) placeholder still cost a distinct+
+        # collect job per fresh-store epoch)
+        cand = None
     else:
         bloom = read_bloom_table(spark, store_path + _bloom_dir(meta))
         probed = bloom_probe(
@@ -255,7 +259,7 @@ def update_chunk_store(
     # OLDER epoch still sees only what preceded it — the replay-
     # idempotence of the report is pinned structurally, not by the
     # one-replay-at-a-time streaming assumption.
-    buckets = [
+    buckets = [] if cand is None else [
         r["bucket"] for r in cand.select("bucket").distinct().collect()
     ]
     if buckets:
@@ -269,15 +273,16 @@ def update_chunk_store(
         report = cand.join(history, "digest").select(
             "digest", "chunk", "n_tokens", "n_docs", "n_occurrences",
             "first_doc_id", "first_doc_id_history",
-        )
+        ).localCheckpoint()
     else:
+        # already store-independent (no reads behind it) — a checkpoint
+        # job would materialize an empty DataFrame for nothing
         report = spark.createDataFrame(
             [],
             "digest STRING, chunk STRING, n_tokens LONG, n_docs LONG,"
             " n_occurrences LONG, first_doc_id LONG,"
             " first_doc_id_history LONG",
         )
-    report = report.localCheckpoint()
 
     # bloom FIRST, store second: a crash between the two writes must
     # leave the bloom an OVER-approximation of the store (false

@@ -186,11 +186,18 @@ def bloom_rollup_writer(
         os.makedirs(table_path, exist_ok=True)
         batch_words = bloom_words(batch_df, value, m_bits=m_bits, k=k)
         prev = read_bloom_table(spark, table_path)
+        # no localCheckpoint before the swap (r12): _swap_in's write is
+        # the single action that materializes the merge, and it reads
+        # the PRIOR version dir, which _swap_in both writes around
+        # (fresh dir) and retains through the marker flip ("immediately
+        # prior" survives cleanup) — a pre-write checkpoint was one
+        # whole extra materialization job per epoch for rows that are
+        # <= m_bits/60 anyway
         merged = (
             prev.unionByName(batch_words)
             .groupBy("word_idx")
             .agg(F.bit_or("word").alias("word"))
-        ).localCheckpoint()
+        )
         _swap_in(merged, table_path, batch_id)
 
     return process
