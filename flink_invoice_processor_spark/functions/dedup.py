@@ -1500,78 +1500,3 @@ def lsh_blocking_audit(
         )
     )
 
-
-def edit_distance_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_cols: tuple[str, ...] = ("lang",),
-    block_prefix: int = 16,
-    length_bucket: int = 64,
-    verify_prefix: int = 256,
-    max_dist: int = 16,
-) -> DataFrame:
-    """Edit-distance-verified near-duplicate pairs: block cheaply, then
-    verify candidates with a CAPPED Levenshtein — the character-level
-    verifier that catches the near-dups token-set methods (Jaccard,
-    MinHash, SimHash) are blind to: small in-place edits, OCR noise,
-    version bumps that keep the token multiset almost intact.
-
-    Blocking is (block_cols, first ``block_prefix`` chars, length //
-    ``length_bucket``) — the prefix-blocking member of the candidate-
-    generation family (LSH bands block on signature hashes, SNM on
-    sort-key neighborhoods, SimHash on Hamming bands; this blocks on
-    the document head, the standard key for edit-distance linkage
-    where a shared prefix is implied by a small whole-text distance).
-    Candidates come from ONE equi-join on the block key: Σ|block|²
-    work, never corpus², exactly the LSH-bucket exposure that
-    lsh_blocking_audit_docs profiles.
-
-    Verification is ``levenshtein(prefix_a, prefix_b) <= max_dist`` on
-    ``verify_prefix``-char prefixes: O(verify_prefix²) per candidate —
-    a CONSTANT, so verify cost is linear in candidates regardless of
-    document length (full-text Levenshtein is quadratic in doc length
-    and unbounded per pair; capped-prefix distance is a lower bound on
-    full-text distance restricted to the head, the linkage-standard
-    compromise).  Both engines implement classic unit-cost
-    insert/delete/substitute Levenshtein, so the verdict is
-    engine-exact integer arithmetic.
-
-    Empty/whitespace-only texts are dropped up front — they would all
-    share one block and pair quadratically while carrying no signal.
-
-    Output: ({id}_a, {id}_b, lev) with id_a < id_b."""
-    t = F.trim(F.col(text_col))
-    d = df.where(F.length(t) > 0).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        F.substring(F.col(text_col), 1, block_prefix).alias("_blk"),
-        F.expr(
-            f"CAST(length({text_col}) AS BIGINT) div {length_bucket}"
-        ).alias("_lb"),
-        F.substring(F.col(text_col), 1, verify_prefix).alias("_pfx"),
-    )
-    a = d.select(
-        *[F.col(c) for c in block_cols],
-        "_blk",
-        "_lb",
-        F.col(id_col).alias(f"{id_col}_a"),
-        F.col("_pfx").alias("_pfx_a"),
-    )
-    b = d.select(
-        *[F.col(c) for c in block_cols],
-        "_blk",
-        "_lb",
-        F.col(id_col).alias(f"{id_col}_b"),
-        F.col("_pfx").alias("_pfx_b"),
-    )
-    return (
-        a.join(b, [*block_cols, "_blk", "_lb"])
-        .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .select(
-            f"{id_col}_a",
-            f"{id_col}_b",
-            F.levenshtein("_pfx_a", "_pfx_b").cast("long").alias("lev"),
-        )
-        .where(F.col("lev") <= max_dist)
-    )

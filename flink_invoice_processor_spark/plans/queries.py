@@ -10730,34 +10730,45 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "edit_distance_pairs_docs",
+    "length_gini_docs",
     """
-    WITH d AS (
-        SELECT doc_id, lang,
-               substring(text, 1, 16) AS blk,
-               CAST(length(text) AS BIGINT) // 64 AS lb,
-               substring(text, 1, 256) AS pfx
-        FROM documents WHERE length(trim(text)) > 0
+    WITH h AS (
+        SELECT source, n_chars AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, val, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY val) AS cum
+        FROM h
+    ),
+    g AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(val * cnt) AS BIGINT) AS sum_val,
+               CAST(SUM(cnt * val * (2 * (cum - cnt) + cnt + 1))
+                    AS BIGINT) AS b2
+        FROM c GROUP BY 1
     )
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.blk = b.blk AND a.lb = b.lb
-     AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= 16
+    SELECT source, n, sum_val,
+           CASE WHEN sum_val > 0
+                THEN (b2 - (n + 1) * sum_val) * 1000000 // (n * sum_val)
+           END AS gini6
+    FROM g
     """,
 )
-def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance-verified near-dup pairs over documents
-    (functions/dedup.py:edit_distance_pairs): prefix+length blocking
-    (lang, first 16 chars, length//64), then capped 256-char
-    Levenshtein <= 16 — the character-level verifier for small
-    in-place edits that token-set dedup (Jaccard/MinHash/SimHash)
-    under-weights.  Candidates from ONE equi-join on the block key
-    (Σ|block|², the LSH-bucket exposure class); verification is a
-    constant O(256²) per candidate, integer-exact in both engines."""
+def length_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source Gini coefficient of document lengths
+    (functions/stats.py:gini_by_group) — the concentration/inequality
+    audit for training-mix balance: a source whose token mass is
+    dominated by a handful of giant documents (gini → 1) needs
+    length-capping or resampling before it enters a mix, and the same
+    statistic over revenue/spend is the standard business
+    concentration score.  Computed from the (source, n_chars)
+    histogram with the auc_by_group doubled-midrank trick — one
+    aggregate over value-domain-bounded rows, no per-row rank window;
+    all BIGINT micro-units, numerator non-negative by Chebyshev's sum
+    inequality so truncating division agrees between engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.edit_distance_pairs(docs)
+    return ST.gini_by_group(docs, "source", "n_chars")
 
 
 @register(
@@ -10896,12 +10907,13 @@ _DRIVER_FIRST = [
     # path
     "cdc_chunk_store_served",
     # new in round 12 (never driver-gated; the no-never-gated
-    # invariant, fifth consecutive round): edit-distance-verified
-    # near-dup pairs, pairwise hourly-activity correlation, and the
-    # PSI drift report.  EXACTLY three additions this round — the r11
-    # verdict's window arithmetic (item 1): 7 pins + 39 r7-stale rows
-    # leave 4 slots, one of which the changed-impl row above takes.
-    "edit_distance_pairs_docs",
+    # invariant, fifth consecutive round): per-source length
+    # concentration (exact Gini), pairwise hourly-activity
+    # correlation, and the PSI drift report.  EXACTLY three additions
+    # this round — the r11 verdict's window arithmetic (item 1):
+    # 7 pins + 39 r7-stale rows leave 4 slots, one of which the
+    # changed-impl row above takes.
+    "length_gini_docs",
     "events_type_hourly_corr",
     "events_psi_drift",
     # ALL 39 rows whose last driver-green is r7 (VERDICT r11 item 1 —

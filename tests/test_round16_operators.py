@@ -1,5 +1,5 @@
-"""Unit tests for the round-12 batch operators (edit-distance-verified
-near-dup pairs, pairwise hourly-series correlation, PSI drift report) —
+"""Unit tests for the round-12 batch operators (exact per-group Gini
+concentration, pairwise hourly-series correlation, PSI drift report) —
 pinned against independent Python models and hand-built cases, beyond
 their DuckDB oracle rows at one dataset."""
 
@@ -10,95 +10,71 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import Row
 
-from flink_invoice_processor_spark.functions import dedup as DD
 from flink_invoice_processor_spark.functions import stats as ST
 
 
 # ---------------------------------------------------------------------------
-# edit_distance_pairs
+# gini_by_group
 # ---------------------------------------------------------------------------
 
-_PREFIX = "the quick brown fox jumps over the lazy dog "  # 45 chars
 
-
-def _docs(spark, rows):
+def _gini_df(spark, rows):
     return spark.createDataFrame(
-        [Row(doc_id=i, lang=lg, text=t) for i, lg, t in rows],
-        "doc_id long, lang string, text string",
+        [Row(source=s, n_chars=v) for s, v in rows],
+        "source string, n_chars long",
     )
 
 
-def _pairs(spark, rows, **kw):
+def _gini(spark, rows):
     return {
-        (r.doc_id_a, r.doc_id_b, r.lev)
-        for r in DD.edit_distance_pairs(_docs(spark, rows), **kw).collect()
+        r.source: (r.n, r.sum_val, r.gini6)
+        for r in ST.gini_by_group(
+            _gini_df(spark, rows), "source", "n_chars"
+        ).collect()
     }
 
 
-def test_edit_pairs_exact_and_near(spark):
-    base = _PREFIX + "sells seashells by the seashore every day"
-    rows = [
-        (1, "en", base),
-        (2, "en", base),                      # exact dup: lev 0
-        (3, "en", base.replace("every", "most")),  # small edit
-        (4, "en", "completely different opening sentence here okay"),
-    ]
-    got = _pairs(spark, rows)
-    # levenshtein("every", "most") within identical context: 4 subs + 1 del
-    assert (1, 2, 0) in got
-    assert (1, 3, 5) in got and (2, 3, 5) in got
-    assert not any(4 in (a, b) for a, b, _ in got)
+def _py_gini6(vals):
+    """Independent midrank model: sort, doubled-rank-weighted sum."""
+    n, s = len(vals), sum(vals)
+    if s == 0:
+        return None
+    b2 = 0
+    cum = 0
+    from collections import Counter
+
+    cnt = Counter(vals)
+    for v in sorted(cnt):
+        c = cnt[v]
+        b2 += c * v * (2 * cum + c + 1)
+        cum += c
+    return (b2 - (n + 1) * s) * 1000000 // (n * s)
 
 
-def test_edit_pairs_blocking_keys(spark):
-    base = _PREFIX + "one two three four five six seven eight nine"
-    rows = [
-        (1, "en", base),
-        (2, "de", base),               # same text, other lang: blocked apart
-        (3, "en", base + " " + "x" * 80),  # same prefix, length bucket differs
-    ]
-    assert _pairs(spark, rows) == set()
+def test_gini_known_values(spark):
+    got = _gini(spark, [("a", 0), ("a", 1)])
+    assert got["a"] == (2, 1, 500000)      # Gini([0, 1]) = 0.5 exactly
 
 
-def test_edit_pairs_max_dist_and_empty(spark):
-    base = _PREFIX + "alpha beta gamma delta epsilon zeta eta theta"
-    rows = [
-        (1, "en", base),
-        (2, "en", _PREFIX + "totally rewritten tail that shares nothing x"),
-        (3, "en", "   "),
-        (4, "en", "   "),              # blank pair must NOT appear
-    ]
-    got = _pairs(spark, rows)
-    assert not any({3, 4} & {a, b} for a, b, _ in got)
-    assert got == set()                # lev(1,2) > 16: verified away
-    # a looser threshold admits the same candidate pair
-    loose = _pairs(spark, rows, max_dist=100)
-    assert {(a, b) for a, b, _ in loose} == {(1, 2)}
+def test_gini_equal_values_zero_and_zero_sum_null(spark):
+    got = _gini(spark, [("eq", 7)] * 5 + [("z", 0), ("z", 0)])
+    assert got["eq"] == (5, 35, 0)
+    assert got["z"] == (2, 0, None)        # undefined on zero mass
 
 
-def _py_lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+def test_gini_matches_python_model_with_ties(spark):
+    vals = [3, 3, 10, 1, 7, 7, 7, 100, 2, 5]
+    other = [40, 1, 1, 9]
+    got = _gini(spark, [("x", v) for v in vals] + [("y", v) for v in other])
+    assert got["x"] == (len(vals), sum(vals), _py_gini6(vals))
+    assert got["y"] == (len(other), sum(other), _py_gini6(other))
 
 
-def test_edit_pairs_distance_matches_python_model(spark):
-    base = _PREFIX + "round trip latency is dominated by the shuffle"
-    variants = [
-        base,
-        base.replace("latency", "runtime"),
-        base.replace("shuffle", "scan") + " tail",
-    ]
-    rows = [(i, "en", t) for i, t in enumerate(variants)]
-    got = _pairs(spark, rows, max_dist=64)
-    for a, b, lev in got:
-        assert lev == _py_lev(variants[a][:256], variants[b][:256])
-    assert len(got) == 3
+def test_gini_extreme_concentration(spark):
+    # one doc owns all the mass: G = (n-1)/n
+    vals = [0] * 9 + [1000]
+    got = _gini(spark, [("c", v) for v in vals])
+    assert got["c"] == (10, 1000, 900000)
 
 
 # ---------------------------------------------------------------------------

@@ -190,10 +190,10 @@ REPRESENTATIVE = [
     "column_profile_lineitem",
     "events_forecast_baseline",
     "dataset_card_report",
-    # round-12 families: prefix-blocked edit-distance verification
-    # (Σ|block|² candidates, constant-cost verify), the zero-filled
-    # hours x types correlation matrix, and the PSI drift report
-    "edit_distance_pairs_docs",
+    # round-12 families: histogram-ranked exact Gini concentration,
+    # the zero-filled hours x types correlation matrix, and the PSI
+    # drift report
+    "length_gini_docs",
     "events_type_hourly_corr",
     "events_psi_drift",
 ]
@@ -292,7 +292,7 @@ DECADE_FAMILIES = [
     "events_forecast_baseline",
     "dataset_card_report",
     # round-12 (documents/events inputs only)
-    "edit_distance_pairs_docs",
+    "length_gini_docs",
     "events_type_hourly_corr",
     "events_psi_drift",
 ]
