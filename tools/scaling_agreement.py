@@ -19,6 +19,17 @@ unable to explain in r11 (28/68 agreement at agreeing start probes) —
 divides out family-by-family.  Both views are reported: ``agree`` (raw)
 and ``agree_norm``; a family that disagrees raw but agrees normalized
 was measured on a drifted host, not changed by code.
+
+RATIO AGREEMENT (round 12, the claim-level view): the decade section
+also reports ``agree_ratio`` — whether the two runs agree on each
+family's STEADY-STATE DECADE RATIO (``xlarge_s / large_s``), which is
+the number the docstrings actually claim.  Because scaling_check
+measures a family's two scales back-to-back, slow host drift hits
+numerator and denominator together and cancels in the ratio, so ratio
+agreement is robust to exactly the drift that wrecks absolute-seconds
+agreement (r12 paired runs: 69/71 ratio agreement at 44/71 seconds
+agreement).  Read ``agree_ratio`` for "do the committed scaling claims
+reproduce", and the seconds views for "was the host steady".
 """
 
 from __future__ import annotations
@@ -87,6 +98,20 @@ def main() -> None:
         if have_probes:
             out[section]["agree_norm"] = agree_norm
             out[section]["disagree_norm"] = diff_norm
+        if section == "decade":
+            r_agree, r_dis = 0, {}
+            for name in qa:
+                if name not in qb:
+                    continue
+                ra, rb = qa[name].get("ratio"), qb[name].get("ratio")
+                if ra is None or rb is None:
+                    continue
+                if _close(ra, rb, tol):
+                    r_agree += 1
+                else:
+                    r_dis[name] = [ra, rb]
+            out[section]["agree_ratio"] = r_agree
+            out[section]["disagree_ratio"] = r_dis
     print(json.dumps(out))
 
 
