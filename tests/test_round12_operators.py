@@ -1,209 +1,200 @@
-"""Round-10 part-3 operators: content-defined chunking dedup,
-sorted-neighborhood near-dup pairs, URL canonicalization, and the
-fenced CMS rollup serving exact heavy hitters.  Properties are checked
-against independent Python reimplementations or first principles,
-never the operator's own arithmetic."""
+"""Unit tests for the round-12 batch operators (exact per-group Gini
+concentration, pairwise hourly-series correlation, PSI drift report) —
+pinned against independent Python models and hand-built cases, beyond
+their DuckDB oracle rows at one dataset."""
 
 from __future__ import annotations
 
-import hashlib
+import math
+from datetime import datetime, timedelta
 
-from pyspark.sql import functions as F
+from pyspark.sql import Row
 
-from flink_invoice_processor_spark.functions import curation as CUR
-from flink_invoice_processor_spark.functions import dedup as DD
-
-
-def _cuts(toks: list[str], window: int = 16) -> list[int]:
-    """Independent reimplementation of the CDC boundary rule."""
-    return [
-        i + 1
-        for i, t in enumerate(toks)
-        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % window == 0
-    ]
+from flink_invoice_processor_spark.functions import stats as ST
 
 
-def _chunks(toks: list[str], window: int = 16) -> list[list[str]]:
-    cuts = _cuts(toks, window)
-    bounds = list(zip([0] + cuts, cuts + [len(toks)]))
-    return [toks[s:e] for s, e in bounds if e > s]
+# ---------------------------------------------------------------------------
+# gini_by_group
+# ---------------------------------------------------------------------------
 
 
-class TestContentDefinedChunks:
-    def test_matches_reference_reimplementation(self, spark):
-        text = "the quick brown fox jumps over the lazy dog " * 20
-        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-        got = (
-            DD.content_defined_chunks(df, window=4)
-            .orderBy("chunk_id")
-            .collect()
-        )
-        want = _chunks(text.split(), window=4)
-        assert [r.chunk.split(" ") for r in got] == want
-        assert [r.n_tokens for r in got] == [len(c) for c in want]
-        assert [r.chunk_id for r in got] == list(range(len(want)))
-
-    def test_chunks_partition_the_document(self, spark):
-        words = [f"w{i * 37 % 101}" for i in range(300)]
-        df = spark.createDataFrame(
-            [(1, " ".join(words))], "doc_id long, text string"
-        )
-        got = DD.content_defined_chunks(df, window=8).orderBy("chunk_id")
-        joined = " ".join(r.chunk for r in got.collect())
-        assert joined == " ".join(words)
-
-    def test_boundaries_resynchronize_after_insertion(self, spark):
-        # THE property fixed windows lack: prepending tokens shifts
-        # only chunks up to the next content cut; everything after the
-        # first shared boundary is identical.
-        base = [f"t{i * 13 % 59}" for i in range(200)]
-        edited = ["inserted", "tokens", "here"] + base
-        df = spark.createDataFrame(
-            [(1, " ".join(base)), (2, " ".join(edited))],
-            "doc_id long, text string",
-        )
-        rows = DD.content_defined_chunks(df, window=8).collect()
-        a = {r.chunk for r in rows if r.doc_id == 1}
-        b = {r.chunk for r in rows if r.doc_id == 2}
-        shared = a & b
-        # every base chunk after the first cut following the insertion
-        # point survives verbatim; with ~25 chunks the overlap must be
-        # nearly total
-        assert len(shared) >= len(a) - 2
-
-    def test_empty_and_whitespace_docs_emit_nothing(self, spark):
-        df = spark.createDataFrame(
-            [(1, ""), (2, "   "), (3, "one two")],
-            "doc_id long, text string",
-        )
-        rows = DD.content_defined_chunks(df, window=4).collect()
-        assert {r.doc_id for r in rows} == {3}
-
-    def test_digest_mode_equals_text_mode(self, spark):
-        texts = [
-            (i, " ".join(f"v{(i * j) % 23}" for j in range(60)))
-            for i in range(12)
-        ]
-        df = spark.createDataFrame(texts, "doc_id long, text string")
-        plain = sorted(
-            map(tuple, DD.cdc_chunk_duplicates(df, window=4).collect())
-        )
-        digest = sorted(
-            map(
-                tuple,
-                DD.cdc_chunk_duplicates(
-                    df, window=4, key_on_digest=True
-                ).collect(),
-            )
-        )
-        assert plain == digest
-        assert len(plain) > 0
+def _gini_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(source=s, n_chars=v) for s, v in rows],
+        "source string, n_chars long",
+    )
 
 
-class TestSortedNeighborhoodPairs:
-    def test_finds_prefix_stable_near_dups(self, spark):
-        shared = "alpha beta gamma delta epsilon zeta eta theta " * 6
-        rows = [
-            (1, shared + "tail one extra"),
-            (2, shared + "tail two other"),
-            (3, "completely different text about nothing shared " * 8),
-        ]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = DD.sorted_neighborhood_pairs(df, w=4, threshold=0.3).collect()
-        pairs = {(r.doc_id_a, r.doc_id_b) for r in got}
-        assert (1, 2) in pairs
-        assert all(3 not in p for p in pairs)
-
-    def test_each_candidate_pair_generated_once(self, spark):
-        # identical docs sort adjacently; the bucket-adjacency join must
-        # not duplicate a pair even when both docs share a bucket edge
-        rows = [(i, "same words everywhere repeated " * 10) for i in range(9)]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = DD.sorted_neighborhood_pairs(df, w=3, threshold=0.9).collect()
-        pairs = [(r.doc_id_a, r.doc_id_b) for r in got]
-        assert len(pairs) == len(set(pairs))
-        # ranks are doc_id order here; every pair at rank distance <= 3
-        expect = {
-            (a, b) for a in range(9) for b in range(9) if 0 < b - a <= 3
-        }
-        assert set(pairs) == expect
-
-    def test_beyond_window_not_candidates(self, spark):
-        # two identical docs forced > w apart in the sort order by
-        # distinct middle keys cannot be paired (SNM's documented trade)
-        rows = [(i, f"key{i:02d} filler words " * 10) for i in range(10)]
-        rows.append((97, "zz twin document body " * 10))
-        rows.append((98, "zz twin document body " * 10))
-        df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = DD.sorted_neighborhood_pairs(
-            df, w=2, threshold=0.5
+def _gini(spark, rows):
+    return {
+        r.source: (r.n, r.sum_val, r.gini6)
+        for r in ST.gini_by_group(
+            _gini_df(spark, rows), "source", "n_chars"
         ).collect()
-        pairs = {(r.doc_id_a, r.doc_id_b) for r in got}
-        assert (97, 98) in pairs  # adjacent twins found
-        # the distant distinct docs produce no false pairs
-        assert all(a >= 97 for a, b in pairs)
+    }
 
 
-class TestCanonicalUrl:
-    def _canon(self, spark, urls: list[str]) -> list[str]:
-        df = spark.createDataFrame([(u,) for u in urls], "url string")
-        return [
-            r.c
-            for r in df.select(
-                CUR.canonical_url(F.col("url")).alias("c")
-            ).collect()
-        ]
+def _py_gini6(vals):
+    """Independent midrank model: sort, doubled-rank-weighted sum."""
+    n, s = len(vals), sum(vals)
+    if s == 0:
+        return None
+    b2 = 0
+    cum = 0
+    from collections import Counter
 
-    def test_rules(self, spark):
-        cases = {
-            # scheme + host casing, www
-            "HTTP://WWW.Ex.COM/a": "http://ex.com/a",
-            # default ports dropped, non-default kept
-            "http://ex.com:80/a": "http://ex.com/a",
-            "https://ex.com:443/a": "https://ex.com/a",
-            "http://ex.com:8080/a": "http://ex.com:8080/a",
-            # fragment dropped
-            "https://ex.com/a#frag": "https://ex.com/a",
-            # tracking params dropped, others sorted
-            "https://ex.com/a?utm_source=x&b=2&a=1": "https://ex.com/a?a=1&b=2",
-            "https://ex.com/a?b=2&a=1&fbclid=z": "https://ex.com/a?a=1&b=2",
-            # trailing slash; root path vanishes
-            "https://ex.com/a/": "https://ex.com/a",
-            "https://ex.com/": "https://ex.com",
-            # all params tracking -> no query at all
-            "https://ex.com/a?utm_x=1": "https://ex.com/a",
-        }
-        got = self._canon(spark, list(cases))
-        assert got == list(cases.values())
-
-    def test_idempotent(self, spark):
-        urls = [
-            "HTTP://WWW.Ex.COM:80/Articles/5/?utm_source=f&b=2&a=1#s",
-            "https://ex.com:9443/x?z=1&y=2",
-        ]
-        once = self._canon(spark, urls)
-        twice = self._canon(spark, once)
-        assert once == twice
+    cnt = Counter(vals)
+    for v in sorted(cnt):
+        c = cnt[v]
+        b2 += c * v * (2 * cum + c + 1)
+        cum += c
+    return (b2 - (n + 1) * s) * 1000000 // (n * s)
 
 
-class TestCmsRolloverFence:
-    def test_replayed_epoch_is_noop(self, spark, tmp_path):
-        from flink_invoice_processor_spark.streaming.sketch_rollup import (
-            cms_rollup_writer,
-            read_cms_table,
-        )
+def test_gini_known_values(spark):
+    got = _gini(spark, [("a", 0), ("a", 1)])
+    assert got["a"] == (2, 1, 500000)      # Gini([0, 1]) = 0.5 exactly
 
-        path = str(tmp_path / "cms")
-        df1 = spark.createDataFrame(
-            [(k,) for k in ["a", "a", "b"]], "k string"
-        )
-        df2 = spark.createDataFrame([(k,) for k in ["a", "c"]], "k string")
-        w = cms_rollup_writer(F.col("k"), path, depth=2, width=8)
-        w(df1, 0)
-        w(df2, 1)
-        after = sorted(map(tuple, read_cms_table(spark, path).collect()))
-        w(df2, 1)  # at-least-once replay: must be fenced
-        again = sorted(map(tuple, read_cms_table(spark, path).collect()))
-        assert after == again
-        total = sum(c for _, _, c in after)
-        assert total == 5 * 2  # 5 keys x depth 2, no double count
+
+def test_gini_equal_values_zero_and_zero_sum_null(spark):
+    got = _gini(spark, [("eq", 7)] * 5 + [("z", 0), ("z", 0)])
+    assert got["eq"] == (5, 35, 0)
+    assert got["z"] == (2, 0, None)        # undefined on zero mass
+
+
+def test_gini_matches_python_model_with_ties(spark):
+    vals = [3, 3, 10, 1, 7, 7, 7, 100, 2, 5]
+    other = [40, 1, 1, 9]
+    got = _gini(spark, [("x", v) for v in vals] + [("y", v) for v in other])
+    assert got["x"] == (len(vals), sum(vals), _py_gini6(vals))
+    assert got["y"] == (len(other), sum(other), _py_gini6(other))
+
+
+def test_gini_extreme_concentration(spark):
+    # one doc owns all the mass: G = (n-1)/n
+    vals = [0] * 9 + [1000]
+    got = _gini(spark, [("c", v) for v in vals])
+    assert got["c"] == (10, 1000, 900000)
+
+
+# ---------------------------------------------------------------------------
+# hourly_type_correlation
+# ---------------------------------------------------------------------------
+
+_T0 = datetime(2024, 1, 1, 0, 30, 0)
+
+
+def _events(spark, counts_by_type):
+    """counts_by_type: {type: [count in hour 0, hour 1, ...]}."""
+    rows = []
+    eid = 0
+    for ty, series in counts_by_type.items():
+        for h, c in enumerate(series):
+            for _ in range(c):
+                rows.append(Row(event_id=eid, ts=_T0 + timedelta(hours=h),
+                                event_type=ty, value=1.0))
+                eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, event_type string, value double",
+    )
+
+
+def _corr(spark, counts_by_type):
+    return {
+        (r.type_a, r.type_b): (r.n_hours, r.corr)
+        for r in ST.hourly_type_correlation(
+            _events(spark, counts_by_type)
+        ).collect()
+    }
+
+
+def test_corr_proportional_series_is_exactly_one(spark):
+    got = _corr(spark, {"a": [1, 2, 3], "b": [2, 4, 6]})
+    assert got == {("a", "b"): (3, 1.0)}
+
+
+def test_corr_constant_series_is_null(spark):
+    got = _corr(spark, {"a": [1, 2, 3], "c": [2, 2, 2]})
+    assert got[("a", "c")] == (3, None)
+
+
+def test_corr_zero_fill_and_python_model(spark):
+    # type d is absent from hours 0-1: the dense grid must see [0, 0, 3],
+    # not a 1-point series
+    series = {"a": [1, 2, 3], "d": [0, 0, 3]}
+    got = _corr(spark, series)
+    x, y = series["a"], series["d"]
+    n = len(x)
+    num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+    da = n * sum(a * a for a in x) - sum(x) ** 2
+    db = n * sum(b * b for b in y) - sum(y) ** 2
+    expect = num / math.sqrt(da * db)
+    n_hours, corr = got[("a", "d")]
+    assert n_hours == 3
+    assert abs(corr - expect) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# psi_report
+# ---------------------------------------------------------------------------
+
+
+def _psi_events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=ts, event_type=ty, value=v)
+         for i, (ts, ty, v) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, event_type string, value double",
+    )
+
+
+def _py_psi_micro(base_bins, curr_bins, n_bins=10):
+    """Independent model: Laplace-smoothed micro-unit shares, per-bin
+    terms floored to micro-units, integer sum."""
+    n_b, n_c = sum(base_bins), sum(curr_bins)
+    total = 0
+    for cb, cc in zip(base_bins, curr_bins):
+        p6 = (cb + 1) * 1000000 // (n_b + n_bins)
+        q6 = (cc + 1) * 1000000 // (n_c + n_bins)
+        total += math.floor(((p6 - q6) / 1000000.0)
+                            * math.log(p6 / q6) * 1000000.0)
+    return total
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    rows = []
+    for day in (0, 10):   # one base batch, one current batch, same shape
+        for v in (5.0, 5.0, 15.0, 25.0):
+            rows.append((_T0 + timedelta(days=day), "a", v))
+    out = {r.event_type: r for r in ST.psi_report(
+        _psi_events(spark, rows)).collect()}
+    r = out["a"]
+    assert (r.n_base, r.n_curr) == (4, 4)
+    # equal n and identical bin counts: p6 == q6 in every cell, ln(1) = 0
+    assert r.psi_micro == 0
+
+
+def test_psi_shifted_distribution_matches_python_model(spark):
+    rows = []
+    base_bins = [0] * 10
+    curr_bins = [0] * 10
+    for _ in range(10):
+        rows.append((_T0, "a", 5.0))            # bin 0, base week
+        base_bins[0] += 1
+    for _ in range(7):
+        rows.append((_T0 + timedelta(days=9), "a", 15.0))   # bin 1, current
+        curr_bins[1] += 1
+    for _ in range(3):
+        rows.append((_T0 + timedelta(days=9), "a", 999.0))  # overflow bin 9
+        curr_bins[9] += 1
+    r = ST.psi_report(_psi_events(spark, rows)).collect()[0]
+    assert (r.n_base, r.n_curr) == (10, 10)
+    assert r.psi_micro == _py_psi_micro(base_bins, curr_bins)
+    assert r.psi_micro > 250000   # a full bin shift reads as "retrain"
+
+
+def test_psi_boundary_day_seven_is_current(spark):
+    rows = [(_T0, "a", 5.0),
+            (_T0 + timedelta(days=7), "a", 5.0)]   # exactly min+7d: current
+    r = ST.psi_report(_psi_events(spark, rows)).collect()[0]
+    assert (r.n_base, r.n_curr) == (1, 1)
