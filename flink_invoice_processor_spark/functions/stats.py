@@ -587,6 +587,16 @@ def hourly_type_correlation(
     bit-identical double in Spark and DuckDB (no ln/exp in the
     expression).  NULL when either series is constant (undefined).
 
+    Headroom (the gini_by_group discipline): the variance/covariance
+    combinations ``n_hours·Σx² − (Σx)²`` are unchecked BIGINT — Spark
+    (non-ANSI) wraps silently on overflow where DuckDB raises, so the
+    caller must stay inside int64: with H hours and per-(hour, type)
+    counts ≤ C, the largest term is ``H²·C²``, int64-safe while
+    ``H·C < ~3e9`` (e.g. a full decade of hours, H≈8.8e4, allows
+    C≈3.4e4 events per type-hour; a year allows C≈3.5e5).  Beyond
+    that, pre-scale the counts (events → kilo-events) before calling,
+    or recompute the combination in DECIMAL(38,0).
+
     Output: (type_a, type_b, n_hours, corr) with type_a < type_b."""
     cnt = (
         df.select(
@@ -662,7 +672,9 @@ def psi_report(
     by a constant 0..n_bins-1 sequence — pure map, no join.
 
     Engine-exactness: shares (p6, q6) are integer micro-units with
-    Laplace +1/(n+B) smoothing — BIGINT-exact.  Each bin's PSI term
+    Laplace +1/(n+B) smoothing, clamped to >=1 micro-unit so a share
+    that would truncate to 0 (possible once a period holds >~1M rows
+    per type) can never feed ln a zero — BIGINT-exact.  Each bin's term
     ``(p-q) * ln(p/q)`` is ONE double expression over those exact
     integers, floored to integer micro-units BEFORE the per-type sum,
     so the sum is order-free integer arithmetic (the bm25 ln
@@ -703,15 +715,27 @@ def psi_report(
         "n_curr",
         F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
     )
+    # clamp each share to >=1 micro-unit: once a period exceeds ~1e6
+    # rows per type, an (almost-)empty bin's smoothed share truncates
+    # to 0 micro-units and ln(p/q) would be ln(0)/x-over-0 — Spark
+    # NULLs the term (silently understating PSI) while DuckDB raises.
+    # The clamp keeps every cell defined at ANY n, mirrored verbatim
+    # in the oracle SQL and the tests' Python model.  Precision
+    # headroom: micro-unit shares quantize at 1e-6, so bins below that
+    # share read as 1 micro-unit — adequate for a 10-bin drift score;
+    # use nano-units if a future caller needs finer shares (int64
+    # holds (cnt+1)*1e9 while cnt < ~9.2e9 rows per (type, bin)).
     cells = grid.join(binned, ["_ty", "bin"], "left").select(
         "_ty",
         "n_base",
         "n_curr",
         F.expr(
-            f"(coalesce(_cb, 0) + 1) * 1000000 div (n_base + {n_bins})"
+            f"greatest((coalesce(_cb, 0) + 1) * 1000000"
+            f" div (n_base + {n_bins}), 1)"
         ).alias("_p6"),
         F.expr(
-            f"(coalesce(_cc, 0) + 1) * 1000000 div (n_curr + {n_bins})"
+            f"greatest((coalesce(_cc, 0) + 1) * 1000000"
+            f" div (n_curr + {n_bins}), 1)"
         ).alias("_q6"),
     )
     terms = cells.select(

@@ -166,8 +166,8 @@ def _py_psi(rows, n_bins=10, width=10, base_days=7):
         n_b, n_c = sum(base.values()), sum(curr.values())
         total = 0
         for b in range(n_bins):
-            p6 = (base[b] + 1) * 1000000 // (n_b + n_bins)
-            q6 = (curr[b] + 1) * 1000000 // (n_c + n_bins)
+            p6 = max((base[b] + 1) * 1000000 // (n_b + n_bins), 1)
+            q6 = max((curr[b] + 1) * 1000000 // (n_c + n_bins), 1)
             total += math.floor(((p6 - q6) / 1000000.0)
                                 * math.log(p6 / q6) * 1000000.0)
         out[ty] = (n_b, n_c, total)

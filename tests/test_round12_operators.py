@@ -149,13 +149,14 @@ def _psi_events(spark, rows):
 
 
 def _py_psi_micro(base_bins, curr_bins, n_bins=10):
-    """Independent model: Laplace-smoothed micro-unit shares, per-bin
-    terms floored to micro-units, integer sum."""
+    """Independent model: Laplace-smoothed micro-unit shares clamped
+    to >=1 (so ln never sees a truncated-to-zero share at large n),
+    per-bin terms floored to micro-units, integer sum."""
     n_b, n_c = sum(base_bins), sum(curr_bins)
     total = 0
     for cb, cc in zip(base_bins, curr_bins):
-        p6 = (cb + 1) * 1000000 // (n_b + n_bins)
-        q6 = (cc + 1) * 1000000 // (n_c + n_bins)
+        p6 = max((cb + 1) * 1000000 // (n_b + n_bins), 1)
+        q6 = max((cc + 1) * 1000000 // (n_c + n_bins), 1)
         total += math.floor(((p6 - q6) / 1000000.0)
                             * math.log(p6 / q6) * 1000000.0)
     return total
@@ -191,6 +192,35 @@ def test_psi_shifted_distribution_matches_python_model(spark):
     assert (r.n_base, r.n_curr) == (10, 10)
     assert r.psi_micro == _py_psi_micro(base_bins, curr_bins)
     assert r.psi_micro > 250000   # a full bin shift reads as "retrain"
+
+
+def test_psi_truncated_share_clamps_instead_of_null(spark):
+    """The >~1M-rows-per-type failure mode (r12 ADVICE), made reachable
+    with tiny data by inflating n_bins: the smoothing denominator
+    n + n_bins exceeds 1e6, so an empty bin's share truncates to 0
+    micro-units — pre-clamp that fed ln a zero (Spark NULLed the term,
+    DuckDB errored).  With the clamp the term is finite, non-NULL, and
+    matches a clamped Python model bin-for-bin."""
+    n_bins = 1_100_000
+    rows = ([(_T0, "a", 5.0)] * 4            # base: 4 rows in bin 0
+            + [(_T0 + timedelta(days=9), "a", 15.0)] * 3)  # curr: bin 1
+    r = ST.psi_report(
+        _psi_events(spark, rows), n_bins=n_bins, bin_width=10
+    ).collect()[0]
+    assert (r.n_base, r.n_curr) == (4, 3)
+    assert r.psi_micro is not None
+    # model: every empty-in-both bin clamps to p6=q6=1 -> term 0, so
+    # only bins 0 and 1 contribute
+    def share(c, n):
+        return max((c + 1) * 1000000 // (n + n_bins), 1)
+    expect = 0
+    for cb, cc in ((4, 0), (0, 3)):
+        p6, q6 = share(cb, 4), share(cc, 3)
+        expect += math.floor(
+            ((p6 - q6) / 1000000.0) * math.log(p6 / q6) * 1000000.0
+        )
+    assert r.psi_micro == expect
+    assert r.psi_micro > 0
 
 
 def test_psi_boundary_day_seven_is_current(spark):

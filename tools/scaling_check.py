@@ -51,6 +51,27 @@ re-measured by ``tools/isolate_family.py`` in a FRESH subprocess/JVM
 (nothing else run first) and the result lands as ``isolated_*`` keys in
 the family dict — the hand-run tail-defense protocol of r9-r11, now
 mechanical.  ``--isolate=0`` disables.
+
+PARENT QUIESCE BEFORE ISOLATION (round 13, r12 ADVICE): the isolation
+subprocesses used to launch while the harness's own Spark JVM (heap,
+block store, page-cache residue from 60+ families) was still resident
+and competing for memory/CPU — weaker isolation than the hand-run
+protocol it mechanizes.  The parent session is now ``spark.stop()``ed
+BEFORE any isolation subprocess starts, and the artifact records
+``isolation_parent_quiesced`` so readers know which regime produced
+the ``isolated_*`` numbers (r12's were parent-resident).
+
+PROBE-ANOMALY RERUN (round 13, r12 verdict item 5): r12's run A had a
+measurably slower middle stretch that per-family probes could bracket
+but nothing could FIX in the run.  Now, when a family's pre-measurement
+``probe_s`` exceeds ``--probe-anomaly`` (default 1.5) x the run's
+post-warm baseline probe, the family is re-measured once immediately
+(the bench.py warm-anomaly pattern applied here): the artifact keeps
+the second attempt with ``probe_rerun: 1`` and the anomalous first
+probe in ``probe_s_first_attempt`` (plus ``probe_still_anomalous: 1``
+if the retry's probe is also above threshold — host interference
+outlasting one family, visible instead of silent).
+``--probe-anomaly=0`` disables.
 """
 
 from __future__ import annotations
@@ -309,6 +330,7 @@ def main() -> None:
     reps = 3
     order = "asis"
     isolate = 2.0
+    probe_anomaly = 1.5
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
@@ -316,6 +338,8 @@ def main() -> None:
             order = a.split("=", 1)[1]
         elif a.startswith("--isolate="):
             isolate = float(a.split("=", 1)[1])
+        elif a.startswith("--probe-anomaly="):
+            probe_anomaly = float(a.split("=", 1)[1])
     small = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     large = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     xlarge = args[2] if len(args) > 2 else None
@@ -348,61 +372,103 @@ def main() -> None:
     # ~4 s of whole-stage-codegen JIT that would otherwise land in the
     # first family's probe_s and wreck that family's normalization
     mini_probe(spark)
+    # the run's baseline for the probe-anomaly rerun rule: a post-warm
+    # probe taken before any family has run
+    probe_baseline = mini_probe(spark)
+
+    def _guarded(measure) -> dict[str, float]:
+        """Measure one family with the probe-anomaly rerun rule: probe,
+        measure; if the probe exceeded the anomaly threshold, re-probe
+        and re-measure once and keep the retry (annotated)."""
+        p = mini_probe(spark)
+        times = measure()
+        times["probe_s"] = p
+        if probe_anomaly > 0 and p > probe_anomaly * probe_baseline:
+            p2 = mini_probe(spark)
+            retry = measure()
+            retry["probe_s"] = p2
+            retry["probe_s_first_attempt"] = p
+            retry["probe_rerun"] = 1
+            if p2 > probe_anomaly * probe_baseline:
+                retry["probe_still_anomalous"] = 1
+            return retry
+        return times
 
     out: dict[str, dict[str, float]] = {}
     for name in _ordered(REPRESENTATIVE):
         fn = QUERIES[name]
-        times = {"probe_s": mini_probe(spark)}
-        for label, sf_dir in (("small_s", small), ("large_s", large)):
-            fn(spark, sf_dir).count()  # warm (codegen + footers)
-            samples = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                samples.append(time.perf_counter() - t0)
-            times[label] = round(_median(samples), 3)
-        times["ratio"] = round(times["large_s"] / max(times["small_s"], 1e-9), 2)
-        out[name] = times
+
+        def measure_rep(fn=fn) -> dict[str, float]:
+            times: dict[str, float] = {}
+            for label, sf_dir in (("small_s", small), ("large_s", large)):
+                fn(spark, sf_dir).count()  # warm (codegen + footers)
+                samples = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    samples.append(time.perf_counter() - t0)
+                times[label] = round(_median(samples), 3)
+            times["ratio"] = round(
+                times["large_s"] / max(times["small_s"], 1e-9), 2
+            )
+            return times
+
+        out[name] = _guarded(measure_rep)
 
     decade: dict[str, dict[str, float]] = {}
     if xlarge:
         try:
             for name in _ordered(DECADE_FAMILIES):
                 fn = QUERIES[name]
-                times = {"probe_s": mini_probe(spark)}
-                for label, sf_dir in (("large", large), ("xlarge", xlarge)):
-                    builds, steadies = [], []
-                    for _ in range(reps):
-                        # fresh scope per repetition: THIS family pays its
-                        # own full artifact build every time, regardless of
-                        # what any other family (or earlier rep) warmed
-                        suite_cache.enable()
-                        t0 = time.perf_counter()
-                        fn(spark, sf_dir).count()
-                        builds.append(time.perf_counter() - t0)
-                        t0 = time.perf_counter()
-                        fn(spark, sf_dir).count()  # steady state
-                        steadies.append(time.perf_counter() - t0)
-                    times[f"{label}_s_build"] = round(_median(builds), 3)
-                    times[f"{label}_s"] = round(_median(steadies), 3)
-                times["ratio"] = round(
-                    times["xlarge_s"] / max(times["large_s"], 1e-9), 2
-                )
-                times["ratio_build"] = round(
-                    times["xlarge_s_build"] / max(times["large_s_build"], 1e-9),
-                    2,
-                )
-                # absolute seconds the decade costs: at sub-2 s large-side
-                # absolutes the RATIO is hypersensitive to how JIT-warm the
-                # baseline happens to be (the same query reads 1.6 s or
-                # 2.7 s at sf0.1 depending on session history), while the
-                # data-driven delta stays stable — report both
-                times["delta_s"] = round(
-                    times["xlarge_s"] - times["large_s"], 3
-                )
-                decade[name] = times
+
+                def measure_decade(fn=fn) -> dict[str, float]:
+                    times: dict[str, float] = {}
+                    for label, sf_dir in (
+                        ("large", large), ("xlarge", xlarge)
+                    ):
+                        builds, steadies = [], []
+                        for _ in range(reps):
+                            # fresh scope per repetition: THIS family pays
+                            # its own full artifact build every time,
+                            # regardless of what any other family (or
+                            # earlier rep) warmed
+                            suite_cache.enable()
+                            t0 = time.perf_counter()
+                            fn(spark, sf_dir).count()
+                            builds.append(time.perf_counter() - t0)
+                            t0 = time.perf_counter()
+                            fn(spark, sf_dir).count()  # steady state
+                            steadies.append(time.perf_counter() - t0)
+                        times[f"{label}_s_build"] = round(_median(builds), 3)
+                        times[f"{label}_s"] = round(_median(steadies), 3)
+                    times["ratio"] = round(
+                        times["xlarge_s"] / max(times["large_s"], 1e-9), 2
+                    )
+                    times["ratio_build"] = round(
+                        times["xlarge_s_build"]
+                        / max(times["large_s_build"], 1e-9),
+                        2,
+                    )
+                    # absolute seconds the decade costs: at sub-2 s
+                    # large-side absolutes the RATIO is hypersensitive to
+                    # how JIT-warm the baseline happens to be (the same
+                    # query reads 1.6 s or 2.7 s at sf0.1 depending on
+                    # session history), while the data-driven delta stays
+                    # stable — report both
+                    times["delta_s"] = round(
+                        times["xlarge_s"] - times["large_s"], 3
+                    )
+                    return times
+
+                decade[name] = _guarded(measure_decade)
         finally:
             suite_cache.disable()
+
+    # quiesce the parent JVM BEFORE any isolation subprocess (r12
+    # ADVICE): with the harness session still resident, its heap /
+    # block store / page-cache residue competes with the "fresh" JVM
+    # and weakens the isolation the column claims
+    spark.stop()
 
     if decade and isolate > 0:
         # r11 verdict item 9: tail members (harness steady ratio above
@@ -447,16 +513,18 @@ def main() -> None:
     result = {
         "git_head": git_head(),
         "calibration": probe,
+        "probe_baseline_s": round(probe_baseline, 4),
         "reps": reps,
         "order": order,
         "isolate_threshold": isolate,
+        "isolation_parent_quiesced": True,
+        "probe_anomaly_factor": probe_anomaly,
         "sf_ratio": ratio,
         "queries": out,
     }
     if decade:
         result["decade"] = {"sf_ratio": 10.0, "queries": decade}
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":
