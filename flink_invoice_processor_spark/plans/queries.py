@@ -10931,21 +10931,36 @@ _DRIVER_FIRST = [
     # The third is the r12 ADVICE medium: psi_report's smoothed shares
     # are now clamped to ≥1 micro-unit (truncation to 0 at >~1M rows
     # per type made ln(p/q) NULL in Spark / an error in DuckDB); the
-    # clamp is mirrored in the oracle SQL and both test models.
+    # clamp is mirrored in the oracle SQL and both test models.  The
+    # fourth and fifth are VERDICT r12 item 4 (the doc_lm join-input
+    # floor design pass): both LM operators now score once per
+    # aggregate-grain key ((w1,w2) / (source,w1,w2)) instead of per
+    # doc-bigram and join the growing side ONCE instead of six times,
+    # and the tokenize+explode base tables are localCheckpointed so
+    # the corpus is tokenized twice per query instead of nine times
+    # (isolated decade ratios 3.04-3.89 → 2.70 and 2.68-3.42 → 2.47;
+    # oracle hashes unchanged — same per-key expressions).
     "matview_hourly_served",
     "scd2_store_served",
     "events_psi_drift",
-    # 40 of the 42 rows whose last driver-green is r8 (VERDICT r12
+    "doc_lm_surprisal",
+    "doc_lm_backoff",
+    # 38 of the 42 rows whose last driver-green is r8 (VERDICT r12
     # item 2 — the judge-recomputed oldest cohort; zero new queries
-    # this round, per the pre-committed rotation plan).  The sweep's
-    # second changed-impl row and the ADVICE fix above take two cohort
-    # slots, so TWO r8 rows slip to r14 (verdict item 8 pre-authorized
-    # the slip-and-say-so pattern): events_sessionization and
-    # multimodal_decode, the two cohort rows with the freshest
-    # independent evidence (both judge-replica green in the r12
-    # session).  r14 arithmetic still closes exactly: 7 pins + the
-    # 41-row r9 cohort + these 2 = 50 with zero additions (and r15's
-    # r10 cohort is 42 ≤ 43, leaving slack again).
+    # this round, per the pre-committed rotation plan).  The five
+    # changed-impl rows above take four cohort slots beyond the one
+    # the verdict's arithmetic reserved, so FOUR r8 rows slip (verdict
+    # item 8 pre-authorized slip-and-say-so): events_sessionization
+    # and multimodal_decode (judge-replica green in the r12 session —
+    # the freshest independent evidence in the cohort) slip to r14,
+    # and token_count_docs and language_id_docs (single-scan text ops
+    # with hand-model pytest coverage) slip to r15.  The arithmetic
+    # still closes: r14 = 7 pins + 41-row r9 cohort + 2 slipped = 50
+    # (zero additions); r15 = 7 pins + the r10 cohort (42 − the two
+    # doc_lm rows gated here = 40) + 2 slipped = 49, one slot spare;
+    # staleness for the two r15-slipped rows peaks at 7 rounds — the
+    # no-never-gated and changed-impl invariants stay senior, and the
+    # bound returns to ≤5 from r16 on.
     "adaptive_quality_cut_docs",
     "ann_recall_report",
     "bm25_topk_docs",
@@ -10965,7 +10980,6 @@ _DRIVER_FIRST = [
     "heterogeneous_union",
     "json_extract_keying",
     "kmeans_clusters",
-    "language_id_docs",
     "lineitem_quantity_stats",
     "matryoshka_prefix_recall",
     "minhash_lsh_docs",
@@ -10982,7 +10996,6 @@ _DRIVER_FIRST = [
     "revenue_rollup",
     "simhash_docs",
     "simhash_pairs_docs",
-    "token_count_docs",
     "top_orders_global",
     "top_parts_per_brand",
     "users_click_no_purchase",
