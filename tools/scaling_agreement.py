@@ -89,10 +89,22 @@ def main() -> None:
                     diff_norm[name] = bad_n
                 else:
                     agree_norm += 1
+        comparable = len([n for n in qa if n in qb]) - tiny
         out[section] = {
             "families": len([n for n in qa if n in qb]),
             "agree": agree,
             "sub_300ms_both": tiny,
+            # BOTH accountings, mechanically (r12 verdict item 5): the
+            # strict rate excludes the sub-300ms jitter-floor families
+            # from the DENOMINATOR too (they are excluded from
+            # comparison, not judged as agreeing); the inclusive rate
+            # counts them as non-disagreeing.  Quote strict first.
+            "agree_pct_strict": round(100.0 * agree / max(comparable, 1), 1),
+            "agree_pct_incl_sub300ms": round(
+                100.0 * (agree + tiny)
+                / max(len([n for n in qa if n in qb]), 1),
+                1,
+            ),
             "disagree": diff,
         }
         if have_probes:
