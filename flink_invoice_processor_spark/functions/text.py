@@ -794,11 +794,18 @@ def lm_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     subplans across a join's inputs and the executed plan otherwise
     re-ran the tokenize+explode chain once per consumer.  s6 per pair
     is bit-identical to the old per-row expression — oracle hash
-    unchanged.  Isolated decade ratio after the pass: 2.47 for 10×
-    rows and a measured 10.24× join-input growth (was 2.68-3.42 in
-    SCALING_r12*; the remaining growth is the irreducible corpus
-    tokenize+group plus the single scoring join and per-doc aggregate,
-    all linear in their inputs).
+    unchanged.  KEPT on absolute-seconds evidence (unlike the backoff
+    twin's re-plan, reverted the same round — see
+    :func:`loo_backoff_surprisal`): a clean-host interleaved 3-way A/B
+    (4 reps, fresh DataFrames, drained block store) measured this plan
+    fastest at BOTH scales — sf0.1 1.40 s vs 1.46 (old) / 1.44
+    (no-checkpoint), decade 4.54 vs 4.89 / 4.94.  Decade ratio ≈3.2
+    on a clean host for 10× rows and a measured 10.24× join-input
+    growth (harness readings 3.2-3.6 in SCALING_r13*, within the old
+    plan's 2.68-4.3 spread across SCALING_r12* runs — the win is real
+    but sub-noise in ratio form; the remaining growth is the
+    irreducible corpus tokenize+group plus the single scoring join and
+    per-doc aggregate, all linear in their inputs).
 
     Output: (doc_id, n_bigrams, surprisal6)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -905,25 +912,31 @@ def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     bigram is by construction present in its own source's tables, so
     the source-side joins are inner, not outer.
 
-    r13 design pass (VERDICT r12 item 4): the executed plan previously
-    joined the distinct doc-bigram table (the 10×-growing side:
-    256,477 → 2,626,697 rows at the decade) against SIX aggregate
-    tables on six different keys — six exchanges of the growing side —
-    and re-ran the tokenize+explode chain in every aggregate consumer
-    (9 Generate nodes, 0 ReusedExchange).  Now the LOO score and
-    backoff flag — pure functions of (source, w1, w2) — are computed
-    once in a scored-LM table bounded by |sources| × |distinct pairs|
-    (18,210 vs 256,477 at sf0.1, and vocabulary-bounded so it grows
-    sub-linearly), the doc side joins it ONCE, and the doc-bigram /
-    source-unigram base tables are localCheckpointed so the corpus is
-    tokenized twice per query, not nine times.  Branch expressions
-    unchanged — oracle hash identical.  Isolated decade ratio after
-    the pass: 2.70 (was 3.04-3.89 in SCALING_r12*); an interleaved
-    A/B at both scales confirmed the checkpointed variant beats the
-    no-checkpoint one at sf0.1 (2.95 vs 3.28 s median) AND the decade
-    (8.84 vs 11.09 s).  The remaining decade growth is the
-    irreducible corpus tokenize+group, the single scoring join, and
-    the per-doc aggregate — each linear in its input.
+    r13 design pass (VERDICT r12 item 4) — tried and REVERTED: a
+    score-once-per-(source, w1, w2) re-plan (vocabulary-bounded
+    scored-LM table joined ONCE by the doc side, base tables
+    localCheckpointed so the corpus tokenizes twice per query instead
+    of nine times) was landed mid-round, then backed out after a
+    same-session interleaved 3-way A/B on an idle host (4 reps, fresh
+    DataFrames per rep, block store drained between reps) measured
+    THIS plan faster in absolute seconds at BOTH scales: sf0.1 1.70 s
+    vs 2.67 (re-plan) / 2.28 (re-plan minus checkpoints); decade
+    6.49 s vs 8.16 / 9.93.  Mechanism: the six aggregate right sides
+    are all model-sized at measured scales, so Spark BROADCASTS every
+    enrichment join — the growing doc-bigram side is never exchanged,
+    it streams through the join chain pipelined — while the re-plan
+    replaced cheap re-scans with a corpus-sized localCheckpoint
+    materialization barrier that costs more than it saves.  The
+    re-plan's better decade RATIO (≈2.5-3.1 vs ≈3.0-3.9) came from
+    inflating its sf0.1 denominator, not from a faster decade —
+    caught by comparing absolute seconds, not ratios (ROUND13_NOTES
+    r13 item 4).  Crossover: if |vocab|·|sources| ever outgrows the
+    broadcast threshold, the joins degrade to key shuffles of the BIG
+    side and the single-exchange scored-LM shape (git 6807691) becomes
+    right; at every measured scale the broadcast regime wins.  The
+    decade growth above the suite's scan families remains the join
+    input (distinct doc-bigrams) growing at the full data rate — the
+    committed r10 floor defense stands.
 
     Output: (doc_id, n_bigrams, n_backoff, surprisal6)."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -948,20 +961,12 @@ def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
         )
     )
-    # materialized ONCE (see lm_surprisal: the executed plan otherwise
-    # re-runs the tokenize+explode chain in every aggregate consumer —
-    # 9 Generate nodes, 0 ReusedExchange at the decade)
-    docbgc = (
-        docbg.groupBy("doc_id", "source", "w1", "w2")
-        .agg(F.count("*").alias("_c"))
-        .localCheckpoint(eager=False)
+    docbgc = docbg.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count("*").alias("_c")
     )
-    # global tables (aggregate-bounded); src_pair checkpointed too —
-    # three aggregates and the lm_src join all re-derive from it
-    src_pair = (
-        docbgc.groupBy("source", "w1", "w2")
-        .agg(F.sum("_c").alias("ns_pair"))
-        .localCheckpoint(eager=False)
+    # global tables (aggregate-bounded)
+    src_pair = docbgc.groupBy("source", "w1", "w2").agg(
+        F.sum("_c").alias("ns_pair")
     )
     pair = src_pair.groupBy("w1", "w2").agg(
         F.sum("ns_pair").alias("n_pair")
@@ -973,38 +978,20 @@ def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     toksrc = df.select(
         "source", F.explode(toks).alias("tok")
     )
-    # materialized ONCE: consumed by uni, src_n, and the (source, w2)
-    # enrichment join — three more re-tokenizations otherwise
-    src_uni = (
-        toksrc.groupBy("source", "tok")
-        .agg(F.count("*").alias("ns_uni"))
-        .localCheckpoint(eager=False)
+    src_uni = toksrc.groupBy("source", "tok").agg(
+        F.count("*").alias("ns_uni")
     )
     uni = src_uni.groupBy("tok").agg(F.sum("ns_uni").alias("n_uni"))
     src_n = src_uni.groupBy("source").agg(F.sum("ns_uni").alias("ns_tok"))
     n_tot = uni.agg(F.sum("n_uni").alias("n_tok_total"))
 
-    # r13 design pass (VERDICT r12 item 4): the LOO score s6 and the
-    # backoff flag are pure functions of (source, w1, w2) — nothing
-    # per-doc — so build ONE scored LM table at the (source, w1, w2)
-    # grain and join the doc-bigram table ONCE.  The old plan joined
-    # docbgc (the 10x-growing side: 256k → 2.6M distinct doc-bigrams
-    # at the decade) against SIX aggregate tables on six different
-    # keys — six full exchanges of the growing side.  src_pair is
-    # bounded by |sources| x |distinct pairs| (18,210 vs 256,477 at
-    # sf0.1 — 14x smaller, and vocabulary-bounded so it grows
-    # sub-linearly), so all the enrichment joins now move model-sized
-    # rows; the single big-side equi-join is AQE-broadcastable at
-    # closed-vocabulary scale and one key shuffle otherwise.  Every
-    # branch expression is unchanged, so s6 per (source, w1, w2) is
-    # bit-identical to the old per-row computation — oracle hash
-    # unchanged.
-    lm_src = (
-        src_pair.join(pair, ["w1", "w2"])
-        .join(src_ctx, ["source", "w1"])
+    j = (
+        docbgc.join(pair, ["w1", "w2"])
+        .join(src_pair, ["source", "w1", "w2"])
         .join(ctx, "w1")
-        .join(src_uni.withColumnRenamed("tok", "w2"), ["source", "w2"])
+        .join(src_ctx, ["source", "w1"])
         .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(src_uni.withColumnRenamed("tok", "w2"), ["source", "w2"])
         .join(F.broadcast(src_n), "source")
         .crossJoin(F.broadcast(n_tot))
     )
@@ -1027,18 +1014,15 @@ def loo_backoff_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
             -F.log2(F.lit(0.4) / (loo_n + F.lit(1)).cast("double"))
         )
     )
-    lm_scored = lm_src.select(
-        "source",
-        "w1",
-        "w2",
-        (loo_pair == 0).alias("_is_bk"),
-        F.round(s * F.lit(1000000.0)).cast("long").alias("_p6"),
-    )
-    scored = docbgc.join(lm_scored, ["source", "w1", "w2"]).select(
+    scored = j.select(
         "doc_id",
         F.col("_c"),
-        F.when(F.col("_is_bk"), F.col("_c")).otherwise(F.lit(0)).alias("_bk"),
-        (F.col("_c") * F.col("_p6")).alias("_s6"),
+        F.when(loo_pair == 0, F.col("_c"))
+        .otherwise(F.lit(0))
+        .alias("_bk"),
+        (
+            F.col("_c") * F.round(s * F.lit(1000000.0)).cast("long")
+        ).alias("_s6"),
     )
     return (
         scored.groupBy("doc_id")

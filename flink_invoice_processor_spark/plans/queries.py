@@ -10932,14 +10932,20 @@ _DRIVER_FIRST = [
     # are now clamped to ≥1 micro-unit (truncation to 0 at >~1M rows
     # per type made ln(p/q) NULL in Spark / an error in DuckDB); the
     # clamp is mirrored in the oracle SQL and both test models.  The
-    # fourth and fifth are VERDICT r12 item 4 (the doc_lm join-input
-    # floor design pass): both LM operators now score once per
-    # aggregate-grain key ((w1,w2) / (source,w1,w2)) instead of per
-    # doc-bigram and join the growing side ONCE instead of six times,
-    # and the tokenize+explode base tables are localCheckpointed so
-    # the corpus is tokenized twice per query instead of nine times
-    # (isolated decade ratios 3.04-3.89 → 2.70 and 2.68-3.42 → 2.47;
-    # oracle hashes unchanged — same per-key expressions).
+    # fourth and fifth are VERDICT r12 item 4 (the doc_lm design
+    # pass), which settled ASYMMETRICALLY: doc_lm_surprisal keeps the
+    # score-once-per-(w1,w2) re-plan (a clean-host interleaved 3-way
+    # A/B measured it fastest in absolute seconds at BOTH scales:
+    # sf0.1 1.40 s vs 1.46 old, decade 4.54 vs 4.89); doc_lm_backoff's
+    # re-plan was landed mid-round and then REVERTED after the same
+    # A/B showed the old six-broadcast-join plan faster at both scales
+    # (sf0.1 1.70 vs 2.67, decade 6.49 vs 8.16 — the re-plan's better
+    # decade RATIO came from inflating its sf0.1 denominator, not a
+    # faster decade; see loo_backoff_surprisal's docstring).  Both
+    # rows need fresh driver evidence: surprisal's implementation is
+    # new, and backoff's changed twice within the round (netting back
+    # to the r12 code, whose last driver row is r10).  Oracle hashes
+    # unchanged throughout — same per-key expressions.
     "matview_hourly_served",
     "scd2_store_served",
     "events_psi_drift",
