@@ -112,10 +112,28 @@ def test_streaming_matview_end_to_end(spark, tmp_path):
 
 def test_upsert_replay_of_same_epoch_is_idempotent(spark, tmp_path):
     """Crash-replay: foreachBatch re-delivers an epoch whose base write
-    already committed — the rewrite must not double-count the view."""
+    already committed — the rewrite must not double-count the view.
+
+    Pins the STRONG property (the cdc_chunk_store r12 discipline): the
+    replay is a bit-exact no-op on BOTH tables — base rows AND view
+    rows identical before/after — across a multi-hour, multi-epoch
+    store with untouched history.  This test is the reason the gated
+    query ``matview_hourly_served`` no longer re-runs the replay leg
+    per pass (r13)."""
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
-    b = spark.createDataFrame([_ev(0, 5, "click", 1.0)], SCHEMA)
-    upsert_hourly_counts(spark, b, base, view, epoch_id=7)
-    upsert_hourly_counts(spark, b, base, view, epoch_id=7)  # replay
-    (r,) = spark.read.parquet(view).collect()
-    assert (r["event_type"], r["n_events"], r["sum_value_1e4"]) == ("click", 1, 10000)
+    b0 = spark.createDataFrame(
+        [_ev(0, 5, "click", 1.0), _ev(1, 0, "view", 2.0)], SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [_ev(1, 30, "click", 3.0), _ev(2, 0, "view", 4.0)], SCHEMA
+    )
+    upsert_hourly_counts(spark, b0, base, view, epoch_id=6)
+    upsert_hourly_counts(spark, b1, base, view, epoch_id=7)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    base_once, view_once = snap(base), snap(view)
+    upsert_hourly_counts(spark, b1, base, view, epoch_id=7)  # replay
+    assert snap(base) == base_once
+    assert snap(view) == view_once

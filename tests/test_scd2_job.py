@@ -64,12 +64,25 @@ def test_upserts_converge_to_batch_history(spark, tmp_path):
 
 
 def test_replay_of_same_epoch_is_idempotent(spark, tmp_path):
+    """Pins the STRONG replay property (the cdc_chunk_store r12
+    discipline): the crash-replay of an epoch is a bit-exact no-op on
+    BOTH tables — base rows AND view history identical before/after —
+    across a multi-bucket, multi-epoch store.  This test is the reason
+    the gated query ``scd2_store_served`` no longer re-runs the replay
+    leg per pass (r13)."""
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
-    b = spark.createDataFrame([_ev(1, 0, "view"), _ev(1, 9, "click")], SCHEMA)
-    upsert_scd2(spark, b, base, view, 7, 8)
-    once = _hist(spark, view)
-    upsert_scd2(spark, b, base, view, 7, 8)  # crash-replay of epoch 7
-    assert _hist(spark, view) == once
+    b0 = spark.createDataFrame([_ev(0, 0, "view"), _ev(2, 3, "view")], SCHEMA)
+    b1 = spark.createDataFrame([_ev(1, 0, "view"), _ev(1, 9, "click")], SCHEMA)
+    upsert_scd2(spark, b0, base, view, 6, 8)
+    upsert_scd2(spark, b1, base, view, 7, 8)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    base_once, hist_once = snap(base), _hist(spark, view)
+    upsert_scd2(spark, b1, base, view, 7, 8)  # crash-replay of epoch 7
+    assert snap(base) == base_once
+    assert _hist(spark, view) == hist_once
 
 
 def test_cross_epoch_duplicate_delivery_collapses(spark, tmp_path):
