@@ -152,31 +152,17 @@ _SYNTH_CLS_SQL = """
 """
 
 
-def _parsed_packets_shared(spark: SparkSession, sf_dir: str):
-    """Suite-shared (valid, retry) split of the synthesized request
-    packets.  ``request_parse_explode`` consumes the valid side and
-    ``request_validation_split`` the retry side, but each previously
-    re-ran the identical packet synthesis + JSON parse + explode +
-    derive pipeline (guide §2.4 — one corpus pass per pass, not one
-    per consumer).  The retry side carries no uuid/now-derived column
-    (see ``parse_request_packets``), so the deterministic stub
-    expressions serve both consumers bit-identically.  Standalone
-    (cache disabled) both sides stay lazy and self-contained, exactly
-    the r12 plans."""
-    def split():
-        packets = _synth_packets(spark, sf_dir)
-        return parse_request_packets(
-            packets, CFG, uuid_expr=F.lit("uuid-stub"),
-            now_expr=F.lit("2026-01-01 00:00:00").cast("timestamp"),
-        )
-    if not SC.enabled():
-        return split()
-    return SC.memo(
-        (sf_dir, "parsed_packets"),
-        lambda: tuple(df.localCheckpoint() for df in split()),
-    )
-
-
+# NOTE (r13 optimization round, measured and REJECTED): suite-sharing
+# the parsed-packet (valid, retry) split between request_parse_explode
+# and request_validation_split looked like the standard memo win, but
+# benched NEUTRAL-to-SLOWER (packets family cold/warm 3.7/2.8 s before
+# vs 3.8/4.4 and 3.3/3.3 after, two runs each): the shared build must
+# MATERIALIZE the full wide valid table, while the independent
+# consumers' aggregate-only plans let Catalyst prune to a handful of
+# columns each — the pruning saves more than the recompute costs
+# (guide §2.3).  The same held for sharing the in-only response
+# envelope across its three consumers.  Both reverted; the losing
+# variants live in git history (commit a572fa3).
 @register(
     "request_parse_explode",
     f"""
@@ -192,7 +178,11 @@ def request_parse_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2+T3: packet JSON → explode → validate/derive (valid rows).
 
     Reference: process/request/InvoiceRequestTransformer.java:34-110."""
-    valid, _ = _parsed_packets_shared(spark, sf_dir)
+    packets = _synth_packets(spark, sf_dir)
+    valid, _ = parse_request_packets(
+        packets, CFG, uuid_expr=F.lit("uuid-stub"),
+        now_expr=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
     return valid.select(
         "sid", "syncid", "tax_schema",
         F.col("api_type").cast("int").alias("api_type"),
@@ -216,7 +206,8 @@ def request_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3/T4 error routing: per-element failures become typed retry rows.
 
     Reference: InvoiceRequestTransformer.java:62-96,157-168."""
-    _, retry = _parsed_packets_shared(spark, sf_dir)
+    packets = _synth_packets(spark, sf_dir)
+    _, retry = parse_request_packets(packets, CFG)
     return retry.groupBy("error_message", "error_code").agg(
         F.count("*").alias("n")
     )
@@ -322,25 +313,6 @@ def _synth_inv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _response_env_in_only_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suite-shared in-only response envelope: THREE registered queries
-    (``response_status_derivation``, ``response_batch_envelope``,
-    ``response_dedup``) build the identical
-    ``make_response_envelope(synth_inv_in, synth_inv_out.limit(0))``
-    before diverging — share the one synthesis per pass (guide §2.4).
-    ``response_dedup`` additionally consumes the envelope twice
-    (redelivery union), which the checkpoint makes free.  Standalone
-    plans unchanged (cache disabled ⇒ lazy self-contained build)."""
-    def build() -> DataFrame:
-        return make_response_envelope(
-            _synth_inv_in(spark, sf_dir),
-            _synth_inv_out(spark, sf_dir).limit(0),
-        )
-    if not SC.enabled():
-        return build()
-    return SC.memo_df((sf_dir, "response_env_in_only"), build)
-
-
 @register(
     "response_status_derivation",
     """
@@ -355,7 +327,10 @@ def _response_env_in_only_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 def response_status_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7: item projection — status/message derived from null-ness of
     fpt_einvoice_res_msg.  Reference: InvoiceResponseItemFactory.java:25-47."""
-    env = _response_env_in_only_shared(spark, sf_dir)
+    env = make_response_envelope(
+        _synth_inv_in(spark, sf_dir),
+        _synth_inv_out(spark, sf_dir).limit(0),
+    )
     items = build_response_items(env)
     return items.where(F.col("_error_code").isNull()).select(
         F.col("item.sid").alias("sid"),
@@ -386,7 +361,9 @@ def response_batch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 (count cap): deterministic ≤100-item batch envelopes per api_type.
 
     Reference: InvoiceResponseBatchProcessor.java:130 (batchSize)."""
-    env = _response_env_in_only_shared(spark, sf_dir)
+    env = make_response_envelope(
+        _synth_inv_in(spark, sf_dir), _synth_inv_out(spark, sf_dir).limit(0)
+    )
     batched = assign_batch_seq(env, CFG)
     return batched.groupBy(
         F.col("api_type").cast("int").alias("api_type"), F.col("batch_seq")
@@ -432,7 +409,8 @@ def response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: InvoiceResponseBatchProcessor.java:110-121 +
     InvoiceResponseRecordKeyGenerator.java:9-18."""
-    env = _response_env_in_only_shared(spark, sf_dir)
+    inv_in = _synth_inv_in(spark, sf_dir)
+    env = make_response_envelope(inv_in, _synth_inv_out(spark, sf_dir).limit(0))
     doubled = env.unionByName(env)  # simulate redelivery
     return dedup_records(doubled).groupBy(
         F.col("api_type").cast("int").alias("api_type")
