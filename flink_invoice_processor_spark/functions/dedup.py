@@ -965,12 +965,30 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, bits: int = 32, max_hamming: int = 3, text_col: str = "text"
+    df: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: block on 8-bit bands (a pair within
     Hamming distance d < bands must share ≥ one band — pigeonhole), then
-    filter on exact Hamming distance via ``bit_count(a XOR b)``."""
-    sig = simhash(df, bits, text_col)
+    filter on exact Hamming distance via ``bit_count(a XOR b)``.
+
+    ``sig`` optionally supplies a precomputed :func:`simhash` signature
+    table (doc_id, simhash) so suite passes that build pair sets at
+    several thresholds share the one corpus-scan signature aggregate —
+    the dominant cost of the pipeline (measured sf0.1: signature 1.84 s
+    of the 2.09 s tight build).  The signature table is one row per
+    document (linear), so sharing it is scale-safe; sharing the PAIR
+    set across thresholds is not — deriving the tight set by filtering
+    the loose (<=16) artifact holds the near-full quadratic candidate
+    set in the distinct's hash-agg state (the hamming<=3 predicate can
+    no longer be pushed below the distinct) and OOMs one node's heap at
+    10x sf0.1, re-measured round 13 (the round-6 finding on the <=16
+    graph, rediscovered the hard way)."""
+    if sig is None:
+        sig = simhash(df, bits, text_col)
     n_bands = 4
     width = bits // n_bands
     # one pass: explode (band_id, band_val) structs instead of a bands-way

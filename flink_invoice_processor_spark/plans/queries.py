@@ -1455,9 +1455,11 @@ def lsh_incremental_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures (bitwise token-hash majority)."""
+    """32-bit SimHash signatures (bitwise token-hash majority); the
+    signature table is the suite-shared artifact every simhash pair
+    pipeline builds on (standalone: plain ``DD.simhash``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash(docs, bits=32)
+    return _simhash_sig_shared(sf_dir, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -1757,7 +1759,10 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SC.memo(
         (sf_dir, "simhash_pairs", 32, 16),
-        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+        lambda: DD.simhash_pairs(
+            docs, bits=32, max_hamming=16,
+            sig=_simhash_sig_shared(sf_dir, docs),
+        ),
     )
 
 
@@ -5624,7 +5629,10 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's SQL verbatim, so the edge sets must match exactly
     pairs = SC.memo(
         (sf_dir, "simhash_pairs", 32, 16),
-        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
+        lambda: DD.simhash_pairs(
+            docs, bits=32, max_hamming=16,
+            sig=_simhash_sig_shared(sf_dir, docs),
+        ),
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -5638,38 +5646,53 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sig_shared(sf_dir: str, docs: DataFrame) -> DataFrame:
+    """The suite-shared 32-bit SimHash SIGNATURE table (doc_id, simhash —
+    one row per document).  The signature aggregate (token explode +
+    32-vote sum) is the dominant cost of every simhash pipeline
+    (measured sf0.1: 1.84 s of the tight build's 2.09 s), and one suite
+    pass runs FOUR consumers over it (signatures, loose pairs, tight
+    pairs via three graph queries) — share the corpus scan, let each
+    pair pipeline do its own cheap band join (guide §2.4).
+
+    Scale-safe by construction: the artifact is linear in documents
+    (same class as ``shingle_base``).  Standalone (suite cache disabled
+    — the driver's correctness gate) this is exactly ``DD.simhash``."""
+    if not SC.enabled():
+        return DD.simhash(docs, bits=32)
+    return SC.memo_df(
+        (sf_dir, "simhash_sig", 32), lambda: DD.simhash(docs, bits=32)
+    )
+
+
 def _simhash_tight_shared(sf_dir: str, docs: DataFrame) -> DataFrame:
-    """The TIGHT (Hamming<=3) SimHash pair set, derived by FILTERING the
-    suite-shared loose (<=16) artifact when the suite cache is active.
+    """The TIGHT (Hamming<=3) SimHash pair set over the suite-shared
+    signature table.
 
-    Equivalence: both parameterizations of ``DD.simhash_pairs`` run the
-    IDENTICAL signature aggregation, band explode, band self-join, and
-    candidate distinct (bits=32, n_bands=4 are the same); only the final
-    ``hamming <= d`` predicate differs.  The candidate set is determined
-    by the blocking alone, so tight == loose.where(hamming <= 3) row for
-    row — the predicate only narrows, never adds.
+    History (round 13): this was briefly derived by FILTERING the
+    suite-shared loose (<=16) PAIR artifact — row-equivalent (the
+    blocking determines the candidate set; the predicate only narrows)
+    and ~6 s/pass faster at sf0.1, but a scale-killer: with the filter
+    applied above the already-materialized loose rows, the candidate
+    distinct holds the near-full quadratic pair set (the <=16 edge set
+    is near-quadratic in documents — the round-6 finding pinned in
+    ``pagerank_docs``'s docstring), which OOMs one node's heap at 10x
+    sf0.1 (re-measured: a bare count of the loose build dies in the
+    harness's 8 GB JVM while this tight build runs in 11.8 s).  The
+    three consumers (pagerank_tight, triangle_counts, kcore) are
+    precisely the corpus-scale graph paths, so the sharing now stops at
+    the linear-size signature table and the tight pipeline keeps its
+    own band join, whose hamming<=3 filter Catalyst pushes below the
+    candidate distinct (tiny hash-agg state at any scale).
 
-    Why: one suite pass previously built BOTH pipelines — two full token
-    explodes + 32-vote signature aggregates + band self-joins over the
-    corpus — for artifacts that differ by a filter (guide §2.4: remove
-    recomputed work outright).  The tight build is now a filter +
-    checkpoint over the loose artifact's already-materialized pair rows
-    (~2.5M rows at sf0.1 vs a corpus-sized token explode), keyed under
-    the SAME artifact label as before so bench attribution keeps the
-    ``__artifact:simhash_pairs:32:3`` entry.
-
-    Standalone (suite cache disabled — the driver's correctness gate,
-    any single-query caller) the call degrades to the original
+    Standalone (suite cache disabled) the call degrades to the original
     self-contained pipeline, byte-identical plans to r12."""
     if not SC.enabled():
         return DD.simhash_pairs(docs, bits=32, max_hamming=3)
-    loose = SC.memo(
-        (sf_dir, "simhash_pairs", 32, 16),
-        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=16),
-    )
+    sig = _simhash_sig_shared(sf_dir, docs)
     return SC.memo(
         (sf_dir, "simhash_pairs", 32, 3),
-        lambda: loose.where(F.col("hamming") <= 3).localCheckpoint(),
+        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=3, sig=sig),
     )
 
 

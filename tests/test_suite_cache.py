@@ -80,3 +80,27 @@ def test_key_label_strips_paths_anywhere():
     assert _key_label(("trigram_index", "/tmp/x")) == "trigram_index"
     # degenerate all-path key keeps SOMETHING rather than an empty label
     assert _key_label(("/a/b",)) == "/a/b"
+
+
+def test_simhash_tight_shares_signature_never_loose_pairs(spark, sf_dir):
+    """Scale-safety pin (round 13): the tight (<=3) graph queries share
+    the linear-size SIGNATURE artifact, never the loose (<=16) PAIR
+    artifact — the <=16 pair set is near-quadratic in documents and a
+    bare build of it OOMs one node's 8 GB heap at 10x sf0.1 (round-6
+    finding on the dense graph, re-measured round 13), while the tight
+    band join keeps its hamming filter below the candidate distinct."""
+    from flink_invoice_processor_spark.plans.queries import QUERIES
+
+    SC.enable()
+    try:
+        QUERIES["kcore_docs"](spark, sf_dir).count()
+        keys = set(SC._CACHE)
+        assert ("%s" % sf_dir, "simhash_sig", 32) in keys
+        assert ("%s" % sf_dir, "simhash_pairs", 32, 3) in keys
+        assert ("%s" % sf_dir, "simhash_pairs", 32, 16) not in keys
+        # and the signature artifact is REUSED by the loose pipeline
+        QUERIES["simhash_pairs_docs"](spark, sf_dir).count()
+        assert ("%s" % sf_dir, "simhash_pairs", 32, 16) in SC._CACHE
+        assert sum(1 for k in SC._CACHE if k and k[1] == "simhash_sig") == 1
+    finally:
+        SC.disable()
