@@ -20,6 +20,16 @@ which is what a long-running cluster actually pays per query).
 ``SPARK_GRAFT_COLD_ONLY=1`` skips the warm pass.  The cache is cleared
 between passes so persisted dedup intermediates from the cold pass don't
 accumulate (and the warm pass measures plan cost, not cache hits).
+
+Round 14 (additions only, same timing methodology and output contract):
+each timed leg is bracketed with /proc/stat snapshots and the steal/user
+delta emitted as ``steal_pct`` {cold, warm, run}, and the calibration
+probe is re-run mid-suite (between the legs) and at end
+(``calibration_mid`` / ``calibration_end``) — this host's neighbors
+steal 2-40% of user CPU under sustained load, invisible to a
+start-of-run probe, and r13's 0.68x phantom headline took a forensic
+8-core control run to dismiss.  A run with steal above a few percent
+should be discarded and re-run, mechanically, from the JSON alone.
 """
 
 from __future__ import annotations
@@ -84,7 +94,11 @@ def main() -> None:
     # host-drift calibration probe (VERDICT r9 item 3): fixed synthetic
     # work timed at run start so cross-session suite ratios can be
     # mechanically normalized by the probe ratio instead of by prose
-    from flink_invoice_processor_spark.session import calibration_probe
+    from flink_invoice_processor_spark.session import (
+        calibration_probe,
+        cpu_stat,
+        steal_pct,
+    )
 
     probe = calibration_probe(spark)
 
@@ -163,7 +177,20 @@ def main() -> None:
             suite_cache.disable()
         return t, errs, loads
 
+    # Steal brackets (VERDICT r13 item 1): this host's hypervisor
+    # neighbors steal 2-40% of user CPU under sustained load, and the
+    # start-of-run probe cannot see it (r13's 0.68x "regression" was
+    # host steal; proving that took an 8-core control run).  Each timed
+    # leg is bracketed with /proc/stat snapshots and its steal/user
+    # delta emitted, so a degraded run self-identifies in the JSON.
+    stat_run_start = cpu_stat()
+    stat_cold_start = cpu_stat()
     timings, errors, loads = timed_pass()  # cold: first execution of every plan
+    stat_cold_end = cpu_stat()
+    # mid-suite probe re-run: r13 showed drift developing MID-run where
+    # the start probe can't see it (overnight neighbor ramp) — a second
+    # probe between the legs localizes when the host turned.
+    probe_mid = calibration_probe(spark)
     detail = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(timings.values()), 3),
@@ -178,8 +205,10 @@ def main() -> None:
         "sf": sf,
         "git_head": git_head(),
         "calibration": probe,
+        "calibration_mid": probe_mid,
         "load_at_start": load_at_start,
         "load_before_query": loads,
+        "steal_pct": {"cold": steal_pct(stat_cold_start, stat_cold_end)},
     }
     if load_warning:
         detail["load_warning"] = (
@@ -205,7 +234,9 @@ def main() -> None:
         from flink_invoice_processor_spark.session import drain_block_store
 
         leftover = drain_block_store(spark, timeout_s=45.0)
+        stat_warm_start = cpu_stat()
         warm_timings, warm_errors, warm_loads = timed_pass()  # codegen JIT'd
+        detail["steal_pct"]["warm"] = steal_pct(stat_warm_start, cpu_stat())
         detail["rdds_left_after_drain"] = leftover
         detail["value_warm"] = round(sum(warm_timings.values()), 3)
         detail["queries_warm"] = warm_timings
@@ -244,6 +275,12 @@ def main() -> None:
         if rerun:
             detail["queries_warm_rerun"] = rerun
 
+    # end-of-run probe + whole-run steal: with start/mid/end probes and
+    # per-leg steal deltas, a reader can tell WHEN the host turned (and
+    # by how much) without a control re-run.
+    detail["calibration_end"] = calibration_probe(spark)
+    detail["steal_pct"]["run"] = steal_pct(stat_run_start, cpu_stat())
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -262,6 +299,12 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "calibration": probe,
+        # steal + mid/end probes in the compact line too (VERDICT r13
+        # item 1): the driver only tail-captures this line, and a
+        # degraded run must self-identify there, not just in the detail
+        "calibration_mid": detail["calibration_mid"],
+        "calibration_end": detail["calibration_end"],
+        "steal_pct": detail["steal_pct"],
     }
     if load_warning:
         out["load_warning"] = detail["load_warning"]

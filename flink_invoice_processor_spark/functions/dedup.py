@@ -986,9 +986,21 @@ def simhash_pairs(
     set in the distinct's hash-agg state (the hamming<=3 predicate can
     no longer be pushed below the distinct) and OOMs one node's heap at
     10x sf0.1, re-measured round 13 (the round-6 finding on the <=16
-    graph, rediscovered the hard way)."""
+    graph, rediscovered the hard way).
+
+    Caller contract for ``sig`` (r13 ADVICE): it MUST be ``simhash(df,
+    bits, text_col)`` for the SAME df and the SAME bits as this call —
+    a signature built at a different width would silently band and
+    hamming-compare wrong (any width fits the one LONG column, so the
+    schema cannot carry the check).  The schema half is guarded below;
+    the bits/df half is the documented contract."""
     if sig is None:
         sig = simhash(df, bits, text_col)
+    elif not {"doc_id", "simhash"}.issubset(sig.columns):
+        raise ValueError(
+            "simhash_pairs: sig must be a simhash() signature table with "
+            f"columns (doc_id, simhash); got {sig.columns}"
+        )
     n_bands = 4
     width = bits // n_bands
     # one pass: explode (band_id, band_val) structs instead of a bands-way

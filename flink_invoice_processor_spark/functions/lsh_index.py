@@ -207,15 +207,19 @@ def compact_lsh_store(
     folded."""
     import os
 
-    from .fsops import delete_matching_dirs
+    from .fsops import delete_matching_dirs, list_partition_values
 
     if meta is None:
         meta = read_store_meta(spark, store_path)
-    store = spark.read.parquet(store_path)
-    batches = [r["batch"] for r in store.select("batch").distinct().collect()]
+    # partition existence from directory names, not a scan job (r14 —
+    # see fsops.list_partition_values)
+    batches = list_partition_values(
+        spark, os.path.join(store_path, "band_bucket=*", "batch=*"), "batch"
+    )
     todo = sorted(b for b in batches if b != -1 and b <= upto_batch)
     if not todo:
         return 0
+    store = spark.read.parquet(store_path)
     merged = (
         store.where(F.col("batch") <= upto_batch)
         .select("doc_id", "band_id", "band_hash", "band_bucket")

@@ -141,7 +141,7 @@ def build_trigram_index(
     index_path: str,
     text_col: str = "text",
     n_buckets: int = 32,
-) -> None:
+) -> dict:
     """Materialize the trigram postings as a PERSISTED index table at
     ``index_path`` — the 100 TB shape for substring search: the inverted
     index is built once (and appended to incrementally, see
@@ -158,7 +158,12 @@ def build_trigram_index(
     ``_index_meta.json`` so probes and appends can't drift from the
     build.  At 100 TB raise ``n_buckets`` so one bucket's posting lists
     fit an executor's scan budget (the write is one linear pass + one
-    shuffle by bucket)."""
+    shuffle by bucket).
+
+    Returns the meta dict (the ``build_lsh_store`` contract): hand it to
+    ``update_trigram_index`` / ``compact_trigram_index`` /
+    ``substring_search_indexed`` so maintenance and probe hot paths skip
+    the per-call metadata read job."""
     import json
 
     spark = df.sparkSession
@@ -183,10 +188,11 @@ def build_trigram_index(
     # range(1)+lit, NOT createDataFrame([...]): a Python-local-list write
     # round-trips through a Python worker and costs ~4.5 s per call —
     # measured, and it dominated the whole index build
-    meta = json.dumps({"n_buckets": n_buckets, "text_col": text_col})
-    spark.range(1).select(F.lit(meta).alias("v")).coalesce(1).write.mode(
-        "overwrite"
-    ).text(index_path + "/_index_meta")
+    meta = {"n_buckets": n_buckets, "text_col": text_col}
+    spark.range(1).select(
+        F.lit(json.dumps(meta)).alias("v")
+    ).coalesce(1).write.mode("overwrite").text(index_path + "/_index_meta")
+    return meta
 
 
 def _read_index_meta(spark, index_path: str) -> dict:
@@ -282,17 +288,20 @@ def compact_trigram_index(
     this contract from inside the maintainer."""
     import os
 
-    from .fsops import delete_matching_dirs
+    from .fsops import delete_matching_dirs, list_partition_values
 
     if meta is None:
         meta = _read_index_meta(spark, index_path)
-    idx = spark.read.parquet(index_path)
-    batches = [
-        r["batch"] for r in idx.select("batch").distinct().collect()
-    ]
+    # which increments exist is a pure partition-layout question — read
+    # the batch values from the directory names (no Spark job) instead
+    # of a select-distinct scan job (r14, see list_partition_values)
+    batches = list_partition_values(
+        spark, os.path.join(index_path, "tri_bucket=*", "batch=*"), "batch"
+    )
     todo = sorted(b for b in batches if b != -1 and b <= upto_batch)
     if not todo:
         return 0
+    idx = spark.read.parquet(index_path)
     merged = (
         idx.where(F.col("batch") <= upto_batch)
         .select("tri", "doc_id", "tri_bucket")
@@ -323,6 +332,7 @@ def substring_search_indexed(
     index_path: str,
     text_col: str = "text",
     max_trigram_doc_freq: int | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """:func:`substring_search` semantics, but PROBE-BOUND: candidates
     come from the persisted trigram index at ``index_path`` instead of a
@@ -337,7 +347,12 @@ def substring_search_indexed(
 
     ``df`` must be the corpus the index was built+updated from (it is
     scanned only for the candidate verification equi-join and the
-    all-trigrams-hot degrade path)."""
+    all-trigrams-hot degrade path).
+
+    ``meta``: pass the dict from :func:`_read_index_meta` to skip the
+    per-probe metadata read job — the same hot-path contract as
+    ``update_trigram_index`` (the meta is immutable after bootstrap, so
+    a caller probing the same index repeatedly reads it once)."""
     import zlib
 
     q = query.lower()
@@ -345,7 +360,8 @@ def substring_search_indexed(
         raise ValueError("substring_search needs a query of >= 3 chars")
     q_tris = sorted({q[i:i + 3] for i in range(len(q) - 2)})
     spark = df.sparkSession
-    meta = _read_index_meta(spark, index_path)
+    if meta is None:
+        meta = _read_index_meta(spark, index_path)
     if text_col != meta["text_col"]:
         # candidates would gate on one column while verification counts
         # another — silently wrong results, so collide loudly

@@ -35,6 +35,51 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 _CACHE: dict | None = None
+
+#: The artifact-scale registry (VERDICT r13 item 6 — the sharing rule
+#: enforced in code, not prose).  Every label that may be cached in a
+#: suite scope is listed here with its scale class; ``memo``/``memo_df``
+#: REFUSE unregistered labels, so adding a new shared artifact forces a
+#: conscious review of how it grows with the corpus.  The rule (the r13
+#: simhash decade-OOM lesson): a MATERIALIZED artifact must be
+#: corpus-LINEAR or smaller — materializing a superlinear candidate/pair
+#: set so a cheaper consumer can filter it moves the filter ABOVE the
+#: checkpoint, Catalyst stops pushing it below the distinct/aggregate,
+#: and the full quadratic set lands in one node's hash-agg state (OOM'd
+#: an 8 GB JVM at 10x sf0.1 for simhash loose<=16 while the standalone
+#: tight build ran in 11.8 s).  Labels are ``_key_label``'s first
+#: segment; the value documents why the artifact is scale-safe.
+ARTIFACT_ALLOWLIST: dict[str, str] = {
+    # corpus-linear tables (<= ~1 row per document/vector/part)
+    "shingle_base": "capped shingle rows per doc (max_shingle_doc_freq)",
+    "simhash_sig": "one signature row per document",
+    "tfidf_top_terms": "k rows per document",
+    "dup_clusters": "<= one cluster row per document",
+    "kmeans_assign": "one assignment row per vector + k centroids",
+    "pq_codes": "one code row per vector",
+    "pseudo_partsupp": "4 rows per part (TPC-H partsupp shape)",
+    # model-sized / constant-sized results
+    "cosine_topk_exact": "k x |queries| result rows",
+    "ivf_kmeans_topk": "k x |queries| result rows",
+    "coarse_cents": "n_cells centroid rows",
+    "pq_cents": "m x ksub codebook rows",
+    "bpe_merges": "n_merges driver-side tuples",
+    # bounded pair/scored sets (NOT materialized beyond their standalone
+    # pipelines' own persists; memo() shares the plan + internal persist)
+    "minhash_lsh_pairs": "LSH band-collision candidates - the banding IS "
+                         "the output bound; shared as the standalone plan",
+    "lsh_verified_pairs": "subset of minhash_lsh_pairs candidates",
+    "simhash_pairs": "tight<=3: small by blocking; loose<=16: the "
+                     "documented small-scale-only pipeline, shared as the "
+                     "standalone plan (hamming filter stays pushed below "
+                     "its candidate distinct; NEVER derive tight from it)",
+    "pq_adq_scored": "|corpus| x |queries| scored rows, |queries| bounded "
+                     "by the queries_token contract (10 here)",
+    # path handles to per-process maintained artifacts (disk-resident,
+    # corpus-linear index/store tables; the memo holds only the path)
+    "trigram_index": "path + meta of the corpus-linear posting table",
+    "lsh_store": "path + meta of the corpus-linear band-row table",
+}
 #: wall-clock seconds spent BUILDING each cached artifact this scope —
 #: the bench reads (and drains) this to charge shared-artifact builds to
 #: explicit ``__artifact:<name>`` pseudo-entries instead of whichever
@@ -80,6 +125,17 @@ def drain_build_times() -> dict[str, float]:
     return out
 
 
+def _check_registered(key: tuple) -> None:
+    label = _key_label(key).split(":", 1)[0]
+    if label not in ARTIFACT_ALLOWLIST:
+        raise ValueError(
+            f"suite_cache: artifact label {label!r} (key {key!r}) is not in "
+            "ARTIFACT_ALLOWLIST - register it WITH a scale-class "
+            "justification (materialized artifacts must be corpus-linear "
+            "or smaller; see the allowlist docstring for the r13 OOM rule)"
+        )
+
+
 def memo(key: tuple | None, builder: Callable):
     """Build-or-reuse an arbitrary artifact (driver-side values, tuples of
     DFs already materialized by their builder).  ``key=None`` always calls
@@ -87,6 +143,7 @@ def memo(key: tuple | None, builder: Callable):
     token (an un-tokenized key could collide across datasets)."""
     if _CACHE is None or key is None:
         return builder()
+    _check_registered(key)
     if key not in _CACHE:
         t0 = time.perf_counter()
         _CACHE[key] = builder()
@@ -100,6 +157,7 @@ def memo_df(key: tuple | None, builder: Callable[[], DataFrame]) -> DataFrame:
     re-execute per consumer and save nothing)."""
     if _CACHE is None or key is None:
         return builder()
+    _check_registered(key)
     if key not in _CACHE:
         t0 = time.perf_counter()
         _CACHE[key] = builder().localCheckpoint()

@@ -5166,6 +5166,11 @@ def substring_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"fips_tri_index_{os.getpid()}")
     idx = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
 
+    # NOT meta-threaded like trigram_index_served (r14): passing the
+    # build's meta into the probe would save one tiny read job (~0.1 s)
+    # but makes this a changed implementation needing a fresh gate row —
+    # the r9-cohort rotation has no spare slot for a third changed-impl
+    # query this round, and the saving is below the host's noise floor
     def build() -> str:
         RET.build_trigram_index(docs, idx, n_buckets=32)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -5689,10 +5694,16 @@ def _simhash_tight_shared(sf_dir: str, docs: DataFrame) -> DataFrame:
     self-contained pipeline, byte-identical plans to r12."""
     if not SC.enabled():
         return DD.simhash_pairs(docs, bits=32, max_hamming=3)
-    sig = _simhash_sig_shared(sf_dir, docs)
+    # sig resolves INSIDE the builder (r13 ADVICE): a tight cache hit
+    # then never touches the sig memo, and build attribution stays with
+    # the pass that actually built — same shape as simhash_pairs_docs
+    # and pagerank_docs
     return SC.memo(
         (sf_dir, "simhash_pairs", 32, 3),
-        lambda: DD.simhash_pairs(docs, bits=32, max_hamming=3, sig=sig),
+        lambda: DD.simhash_pairs(
+            docs, bits=32, max_hamming=3,
+            sig=_simhash_sig_shared(sf_dir, docs),
+        ),
     )
 
 
@@ -9895,14 +9906,15 @@ def trigram_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (``batch=-1`` partitions), the other half of the gate slice
     (``doc_id % 4 == 2``) arrives as streaming epoch 0 through the
     real maintenance entry (``index_micro_batch`` → dynamic overwrite
-    of the (bucket, batch=0) partitions), the epoch is REPLAYED so
-    at-least-once delivery is exercised in the gated path (rewrites
-    its own increment with identical content — the fence-free member,
-    like the chunk store), the committed increment is COMPACTED into
-    the base (``compact_trigram_index`` — the OPTIMIZE half: pruned
-    read, exact-duplicate drop, dynamic base overwrite), and the
-    phrase search 'slow join' is SERVED by probing the maintained
-    index.  The DuckDB oracle is the full-scan ground truth over the
+    of the (bucket, batch=0) partitions), the committed increment is
+    COMPACTED into the base (``compact_trigram_index`` — the OPTIMIZE
+    half: pruned read, exact-duplicate drop, dynamic base overwrite),
+    and the phrase search 'slow join' is SERVED by probing the
+    maintained index.  At-least-once replay idempotence (a replayed
+    epoch rewrites its own increment with identical content — the
+    fence-free member, like the chunk store) is pinned by structural
+    pytest, not re-run per gate pass (r14; see the inline comment at
+    the replay site below).  The DuckDB oracle is the full-scan ground truth over the
     same slice — index maintained across bootstrap + epochs +
     compaction ≡ a fresh index over the union, and the probe's exact
     verification makes the result cap-independent.
@@ -9920,18 +9932,28 @@ def trigram_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = tempfile.mkdtemp(prefix="tri_index_q_")
     try:
-        RET.build_trigram_index(
+        # the bootstrap returns the meta it just pinned — re-reading it
+        # through Spark was one more tiny read job per pass (r14)
+        meta = RET.build_trigram_index(
             docs.where(F.col("doc_id") % 4 == 0), idx, n_buckets=32
         )
-        meta = RET._read_index_meta(spark, idx)
         inc = docs.where(F.col("doc_id") % 4 == 2)
         index_micro_batch(inc, 0, idx, meta=meta)
-        # at-least-once replay of epoch 0: dynamic overwrite rewrites
-        # the identical increment — idempotent without a fence
-        index_micro_batch(inc, 0, idx, meta=meta)
+        # The at-least-once REPLAY leg (a second index_micro_batch of
+        # epoch 0) moved out of the gated path in r14 — the
+        # matview/scd2 r13 precedent (itself the cdc r12 precedent):
+        # replay idempotence is pinned by the STRONGER structural
+        # pytest (index rows AND served probe rows bit-identical
+        # before/after a replay over a multi-bucket, multi-epoch index,
+        # tests/test_index_maintenance.py::
+        # test_replayed_epoch_is_idempotent), while the driver hash
+        # keeps gating bootstrap + epoch + compaction + serve.  The
+        # index contents are identical with or without the replay (the
+        # dynamic overwrite rewrites identical content — that IS the
+        # pinned property), so the oracle hash is unchanged.
         RET.compact_trigram_index(spark, idx, 0, meta=meta)
         served = RET.substring_search_indexed(
-            docs, "slow join", idx, max_trigram_doc_freq=1000
+            docs, "slow join", idx, max_trigram_doc_freq=1000, meta=meta
         ).localCheckpoint()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -11022,93 +11044,85 @@ _DRIVER_FIRST = [
     "response_batch_envelope",
     "response_topic_routing",
     "response_dedup",
-    # implementations CHANGED in round 13 — each needs a driver row on
-    # its new path (the changed-implementation rule).  The first two
-    # are the landing-fan fix the r12 verdict queued (items 1 and 3):
-    # matview_hourly_served now repartition("hour")s the raw-batch
-    # landing AND the view write (768 → 24 files/epoch at the decade,
-    # write 7.7 → 1.8 s); scd2_store_served now repartition("ub")s its
-    # base landing and view writes (the store-writer sweep found the
-    # same tasks × bucket-dirs fan).  Oracle hashes unchanged — both
-    # fixes are layout-only; tests/test_landing_fan.py pins one file
-    # per partition dir per epoch for every dir-partitioned writer.
-    # The third is the r12 ADVICE medium: psi_report's smoothed shares
-    # are now clamped to ≥1 micro-unit (truncation to 0 at >~1M rows
-    # per type made ln(p/q) NULL in Spark / an error in DuckDB); the
-    # clamp is mirrored in the oracle SQL and both test models.  The
-    # fourth and fifth are VERDICT r12 item 4 (the doc_lm design
-    # pass), which settled ASYMMETRICALLY: doc_lm_surprisal keeps the
-    # score-once-per-(w1,w2) re-plan (a clean-host interleaved 3-way
-    # A/B measured it fastest in absolute seconds at BOTH scales:
-    # sf0.1 1.40 s vs 1.46 old, decade 4.54 vs 4.89); doc_lm_backoff's
-    # re-plan was landed mid-round and then REVERTED after the same
-    # A/B showed the old six-broadcast-join plan faster at both scales
-    # (sf0.1 1.70 vs 2.67, decade 6.49 vs 8.16 — the re-plan's better
-    # decade RATIO came from inflating its sf0.1 denominator, not a
-    # faster decade; see loo_backoff_surprisal's docstring).  Both
-    # rows need fresh driver evidence: surprisal's implementation is
-    # new, and backoff's changed twice within the round (netting back
-    # to the r12 code, whose last driver row is r10).  Oracle hashes
-    # unchanged throughout — same per-key expressions.
-    "matview_hourly_served",
-    "scd2_store_served",
-    "events_psi_drift",
-    "doc_lm_surprisal",
-    "doc_lm_backoff",
-    # 38 of the 42 rows whose last driver-green is r8 (VERDICT r12
-    # item 2 — the judge-recomputed oldest cohort; zero new queries
-    # this round, per the pre-committed rotation plan).  The five
-    # changed-impl rows above take four cohort slots beyond the one
-    # the verdict's arithmetic reserved, so FOUR r8 rows slip (verdict
-    # item 8 pre-authorized slip-and-say-so): events_sessionization
-    # and multimodal_decode (judge-replica green in the r12 session —
-    # the freshest independent evidence in the cohort) slip to r14,
-    # and token_count_docs and language_id_docs (single-scan text ops
-    # with hand-model pytest coverage) slip to r15.  The arithmetic
-    # still closes: r14 = 7 pins + 41-row r9 cohort + 2 slipped = 50
-    # (zero additions); r15 = 7 pins + the r10 cohort (42 − the two
-    # doc_lm rows gated here = 40) + 2 slipped = 49, one slot spare;
-    # staleness for the two r15-slipped rows peaks at 7 rounds — the
-    # no-never-gated and changed-impl invariants stay senior, and the
-    # bound returns to ≤5 from r16 on.
-    "adaptive_quality_cut_docs",
-    "ann_recall_report",
-    "bm25_topk_docs",
-    "cluster_weighted_sample_docs",
-    "embedding_density_outliers",
-    "embedding_matryoshka_fidelity",
-    "events_approx_stats",
-    "events_cube_counts",
-    "events_pivot_counts",
-    "events_purchase_click_window",
-    "events_rate_spikes",
-    "events_salted_counts",
-    "events_sliding",
-    "events_tumbling",
-    "exact_dedup_docs",
-    "fuzzy_decontaminate_docs",
-    "heterogeneous_union",
-    "json_extract_keying",
-    "kmeans_clusters",
-    "lineitem_quantity_stats",
-    "matryoshka_prefix_recall",
-    "minhash_lsh_docs",
-    "minhash_signatures_docs",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "ngram_jaccard_docs",
-    "orders_above_customer_avg",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "quality_quantile_norm_docs",
-    "revenue_rollup",
-    "simhash_docs",
-    "simhash_pairs_docs",
-    "top_orders_global",
-    "top_parts_per_brand",
-    "users_click_no_purchase",
+    # implementations CHANGED in round 14 — each needs a driver row on
+    # its new path (the changed-implementation rule).
+    # trigram_index_served (VERDICT r13 item 3): the at-least-once
+    # replay leg moved out of the gated path to the strengthened
+    # bit-identical pytest pin (test_index_maintenance.py::
+    # test_replayed_epoch_is_idempotent — base+served form), the
+    # bootstrap's returned meta is threaded into the probe (one fewer
+    # metadata read job), and compact_trigram_index discovers its
+    # increments from the partition directory names instead of a
+    # select-distinct scan job (fsops.list_partition_values).
+    # cdc_chunk_store_served (VERDICT r13 item 4): compact_chunk_store
+    # likewise answers "which epochs are live?" from directory names +
+    # the compaction marker instead of TWO select-distinct scan jobs
+    # per fold.  Oracle hashes unchanged for both — the final store
+    # contents and served rows are identical by construction (replay
+    # was a no-op by design, and the listings answer the same metadata
+    # question); both re-verified vs their oracles at sf0.01 AND
+    # sf0.001 after the change.
+    "trigram_index_served",
+    "cdc_chunk_store_served",
+    # the 2 rows slipped from r13 (last driver-green r8, pre-committed
+    # to gate here; judge-replica green in the r12 session)
+    "events_sessionization",
+    "multimodal_decode",
+    # 39 of the 41 rows whose last driver-green is r9 (the oldest
+    # cohort — VERDICT r13 item 5's pre-committed rotation).  The two
+    # changed-impl rows above take two cohort slots the pre-committed
+    # arithmetic (7 pins + 41 + 2 slipped = 50, zero additions) did not
+    # reserve, exactly the ripple VERDICT r13 item 3 anticipated
+    # ("the trim would displace one more cohort row ... trim there if
+    # >=1 s holds"), so TWO r9 rows slip with say-so:
+    # q14_promo_revenue to r15 (fills r15's one spare slot — r15 = 7
+    # pins + 40-row r10 cohort + token_count_docs + language_id_docs +
+    # q14 = 50 exactly; staleness 6) and q19_disjunctive_filter to r16
+    # (r16 = 7 pins + 39-row r11 cohort [trigram_index_served gates
+    # here instead] + q19 = 47, three slots spare; staleness 7).  Both
+    # slips are single-scan TPC filter aggregates, driver-green in r9
+    # AND replica-checked against their DuckDB oracles every round
+    # since — the same freshest-independent-evidence criterion as the
+    # r13 slips.  The staleness bound returns to <=5 from r17 on.
+    "ann_ivf_kmeans_topk",
+    "compaction_bins_docs",
+    "corpus_curation_fuzzy",
+    "corpus_shuffle_positions",
+    "corpus_top_tokens",
+    "decayed_rollup_counts",
+    "decontaminate_docs",
+    "doc_chunking",
+    "domain_mix_weights_docs",
+    "dsir_weights_docs",
+    "embedding_jl_distortion",
+    "embedding_quantize",
+    "events_attribution",
+    "events_decayed_counts",
+    "events_gap_fill",
+    "events_key_skew_profile",
+    "events_seasonality",
+    "events_type_transitions",
+    "events_unpivot_counts",
+    "events_value_histogram",
+    "feature_hashing_docs",
+    "gopher_repetition_docs",
+    "kcore_docs",
+    "kfold_split_docs",
+    "kmv_rollup_distinct",
+    "label_centroids",
+    "lang_mismatch_docs",
+    "pagerank_docs",
+    "pii_redaction_docs",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_wealthy_customers",
+    "stratified_sample_docs",
+    "tfidf_top_terms",
+    "training_mix_pipeline",
+    "training_mix_soft_dedup",
+    "vocab_index",
+    "word_entropy_docs",
+    "zipf_fit_docs",
 ]
 
 

@@ -153,6 +153,49 @@ def mini_probe(spark: SparkSession) -> float:
     return round(_time.perf_counter() - t0, 4)
 
 
+def cpu_stat() -> dict[str, int] | None:
+    """Snapshot the aggregate ``cpu`` line of ``/proc/stat`` (jiffies since
+    boot, per mode).  Returns None on hosts without procfs.
+
+    Purpose (VERDICT r13 item 1): this sandbox's hypervisor neighbors
+    steal 2-40% of user CPU under sustained load, invisibly to the
+    start-of-run calibration probe (short probe bursts get cycles easily;
+    a 5-minute 32-core demand does not).  Bracketing a measured region
+    with two snapshots and reading the steal delta is the only mechanical
+    way found to tell host contention from code regressions — r13's
+    headline "47% slower" took a forensic 8-core control run to dismiss;
+    a steal bracket would have dismissed it in one line."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    names = ("user", "nice", "system", "idle", "iowait",
+                             "irq", "softirq", "steal", "guest",
+                             "guest_nice")
+                    vals = [int(x) for x in line.split()[1:]]
+                    return dict(zip(names, vals))
+    except OSError:
+        return None
+    return None
+
+
+def steal_pct(before: dict[str, int] | None,
+              after: dict[str, int] | None) -> float | None:
+    """Steal as a percentage of USER time consumed between two
+    ``cpu_stat`` snapshots (the round-13 hand-bracket methodology, kept
+    byte-compatible so numbers compare to the r13 notes: run 2 = 2.6%,
+    run 3 = 21.4%, discarded run 4 = 38.6%).  A few percent is a quiet
+    host; >10% means totals are inflated by neighbors and regressions
+    read from that run are not trustworthy."""
+    if not before or not after:
+        return None
+    du = after["user"] - before["user"]
+    ds = after["steal"] - before["steal"]
+    if du <= 0:
+        return None
+    return round(100.0 * ds / du, 1)
+
+
 def drain_block_store(spark: SparkSession, timeout_s: float = 30.0) -> int:
     """Deterministically release dead cached/localCheckpoint RDD blocks.
 

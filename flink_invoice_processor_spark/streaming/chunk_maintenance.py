@@ -465,15 +465,24 @@ def compact_chunk_store(
     DIRECT-API maintenance operation — a running ``run_chunk_dedup_job``
     pinned the old meta at start, so rebuild between jobs, not under
     one."""
+    from ..functions.fsops import list_partition_values
+
     if meta is None:
         meta = read_chunk_meta(spark, store_path)
     base_batch, folded = _compaction_state(store_path)
     live = _current_rows(spark, store_path)
-    epochs = [
-        r["batch"]
-        for r in live.select("batch").distinct().collect()
-        if r["batch"] >= 0 and r["batch"] <= upto_batch
+    # which epoch partitions are live is a layout + marker question —
+    # answered from the directory names and the marker, with the same
+    # liveness condition _current_rows applies, instead of TWO
+    # select-distinct scan jobs per fold (r14, see list_partition_values)
+    all_batches = list_partition_values(
+        spark, store_path + "/bucket=*/batch=*", "batch"
+    )
+    live_batches = [
+        b for b in all_batches
+        if b > folded or (base_batch is not None and b == base_batch)
     ]
+    epochs = [b for b in live_batches if b >= 0 and b <= upto_batch]
     if not epochs:
         if rebuild_bloom_m_bits is not None:
             _rebuild_bloom(spark, store_path, meta, rebuild_bloom_m_bits)
@@ -512,13 +521,14 @@ def compact_chunk_store(
     # orphaned generations an earlier crash left behind
     from ..functions.fsops import delete_matching_dirs
 
-    store = _read_store(spark, store_path)
     stale = [
-        r["batch"]
-        for r in store.select("batch").distinct().collect()
-        if r["batch"] != new_base          # keep the new base
-        and r["batch"] <= int(upto_batch)  # keep unfolded epochs
-        and r["batch"] != -2               # keep the init sentinel
+        b
+        for b in list_partition_values(
+            spark, store_path + "/bucket=*/batch=*", "batch"
+        )
+        if b != new_base          # keep the new base
+        and b <= int(upto_batch)  # keep unfolded epochs
+        and b != -2               # keep the init sentinel
     ]
     for b in stale:
         delete_matching_dirs(spark, store_path + f"/bucket=*/batch={b}")

@@ -25,17 +25,45 @@ def _docs(spark, rows):
 
 
 def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Crash-replay: foreachBatch re-delivers an epoch whose increment
+    already committed — the dynamic overwrite must rewrite identical
+    content, never append duplicates.
+
+    Pins the STRONG property (the matview/scd2/cdc r12-r13 discipline):
+    the replay is a bit-exact no-op on the WHOLE multi-bucket,
+    multi-epoch index — every (tri, doc_id, tri_bucket, batch) row
+    identical before/after — and the SERVED probe rows are identical
+    too.  This test is the reason the gated query
+    ``trigram_index_served`` no longer re-runs the replay leg per pass
+    (r14)."""
     idx = str(tmp_path / "idx")
-    RET.build_trigram_index(_docs(spark, [(1, "slow join here")]), idx,
-                            n_buckets=8)
-    batch = _docs(spark, [(2, "another slow join arrives")])
+    corpus = [(1, "slow join here"), (2, "nothing to see")]
+    RET.build_trigram_index(_docs(spark, corpus), idx, n_buckets=8)
+    index_micro_batch(_docs(spark, [(3, "early slow join epoch")]), 6, idx)
+    batch = _docs(spark, [(4, "another slow join arrives"),
+                          (5, "and more text rows")])
     index_micro_batch(batch, 7, idx)
-    n_once = spark.read.parquet(idx).count()
+
+    def snap_index():
+        return sorted(map(tuple, spark.read.parquet(idx).collect()))
+
+    all_docs = _docs(spark, corpus + [(3, "early slow join epoch"),
+                                      (4, "another slow join arrives"),
+                                      (5, "and more text rows")])
+
+    def snap_served():
+        return sorted(map(tuple, RET.substring_search_indexed(
+            all_docs, "slow join", idx, max_trigram_doc_freq=1000
+        ).collect()))
+
+    index_once, served_once = snap_index(), snap_served()
+    assert {r[0] for r in served_once} == {1, 3, 4}
     index_micro_batch(batch, 7, idx)  # at-least-once replay of epoch 7
-    assert spark.read.parquet(idx).count() == n_once
+    assert snap_index() == index_once
+    assert snap_served() == served_once
     # and a DIFFERENT epoch extends rather than overwrites
-    index_micro_batch(_docs(spark, [(3, "slow join again")]), 8, idx)
-    assert spark.read.parquet(idx).count() > n_once
+    index_micro_batch(_docs(spark, [(6, "slow join again")]), 8, idx)
+    assert len(snap_index()) > len(index_once)
 
 
 def test_streaming_job_extends_probes(spark, tmp_path):

@@ -12,29 +12,22 @@ store's bucket repartition is the original pattern) pay one bounded
 shuffle and keep the file count equal to the touched-dir count, which
 is what object stores and downstream scans need at 100 TB.
 
-Covered writers (one test each, input forced to 4 partitions so a
-missing co-locate repartition would visibly fan to up to 4 files/dir):
-
-- ``streaming/matview.py``   base (hour, epoch) + view (hour)
-- ``streaming/scd2_job.py``  base (ub, epoch)   + view (ub)
-- ``streaming/chunk_maintenance.py`` store (bucket, batch)
-- ``functions/retrieval.py`` trigram index (tri_bucket, batch),
-  bootstrap + increment + compaction
-
-Version-swap writers (sketch rollups, cdc snapshot, drift, decayed)
-write a SINGLE un-partitioned version dir per epoch — no directory
-fan is possible by construction; their file count equals the final
-stage's partition count (model-sized aggregates coalesce under AQE,
-the cdc snapshot's parallelism is the natural write width).  The
-curation job coalesces to one file explicitly.  See SCALE.md
-"Landing-fan sweep (r13)" for the measured figures.
+Registry form (r14, VERDICT r13 item 7): the invariant is asserted over
+``WRITER_REGISTRY`` below — one entry per ``partitionBy`` writer call
+site in the package — and ``test_every_partitionby_site_is_registered``
+AST-sweeps the package so a FIFTH writer cannot land without either an
+exercise entry (parametrized one-file-per-dir check) or a justified
+exemption (single-file ``coalesce(1)`` report writers; the generic
+``tables.write_partitioned`` helper, which co-locates inline).
 """
 
 from __future__ import annotations
 
+import ast
 import datetime
 import os
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 SENTINEL_DIRS = {"batch=-2", "bucket=-2", "tri_bucket=-2"}
@@ -84,7 +77,13 @@ def _events(spark, n_hours: int, rows_per_hour: int = 40):
     return spark.createDataFrame(rows).repartition(4)
 
 
-def test_matview_base_and_view_land_one_file_per_dir(spark, tmp_path):
+# --------------------------------------------------------------------------
+# Exercise functions: one per dir-partitioned store writer.  Each drives
+# the REAL writer (4-partition input, multiple epochs where the writer
+# maintains epochs) and asserts one file per touched partition dir.
+# --------------------------------------------------------------------------
+
+def _exercise_matview(spark, tmp_path):
     from flink_invoice_processor_spark.streaming.matview import (
         upsert_hourly_counts,
     )
@@ -104,7 +103,7 @@ def test_matview_base_and_view_land_one_file_per_dir(spark, tmp_path):
     _assert_one_file_per_dir(view, expect_dirs=6)
 
 
-def test_scd2_base_and_view_land_one_file_per_dir(spark, tmp_path):
+def _exercise_scd2(spark, tmp_path):
     from flink_invoice_processor_spark.streaming.scd2_job import upsert_scd2
 
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
@@ -118,8 +117,9 @@ def test_scd2_base_and_view_land_one_file_per_dir(spark, tmp_path):
     _assert_one_file_per_dir(view, expect_dirs=4)
 
 
-def test_chunk_store_lands_one_file_per_bucket_dir(spark, tmp_path):
+def _exercise_chunk_store(spark, tmp_path):
     from flink_invoice_processor_spark.streaming.chunk_maintenance import (
+        compact_chunk_store,
         init_chunk_store,
         update_chunk_store,
     )
@@ -134,9 +134,15 @@ def test_chunk_store_lands_one_file_per_bucket_dir(spark, tmp_path):
     per_dir = files_per_dir(store)
     data_dirs = {d: n for d, n in per_dir.items() if "batch=0" in d}
     assert data_dirs and set(data_dirs.values()) == {1}, per_dir
+    # the compaction's base-generation rewrite is a partitioned writer
+    # too — it must land one file per bucket dir
+    compact_chunk_store(spark, store, 0)
+    per_dir = files_per_dir(store)
+    base_dirs = {d: n for d, n in per_dir.items() if "batch=-10" in d}
+    assert base_dirs and set(base_dirs.values()) == {1}, per_dir
 
 
-def test_trigram_index_lands_one_file_per_bucket_dir(spark, tmp_path):
+def _exercise_trigram_index(spark, tmp_path):
     from flink_invoice_processor_spark.functions.retrieval import (
         build_trigram_index,
         compact_trigram_index,
@@ -157,3 +163,115 @@ def test_trigram_index_lands_one_file_per_bucket_dir(spark, tmp_path):
     _assert_one_file_per_dir(idx)
     compact_trigram_index(spark, idx, upto_batch=1)
     _assert_one_file_per_dir(idx)
+
+
+def _exercise_lsh_store(spark, tmp_path):
+    from flink_invoice_processor_spark.functions.lsh_index import (
+        build_lsh_store,
+        compact_lsh_store,
+        update_lsh_store,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared prefix words document {i} end")
+         for i in range(16)]
+    ).repartition(4)
+    meta = build_lsh_store(docs, store, k=8, bands=4, n=3, n_buckets=4)
+    _assert_one_file_per_dir(store)
+    more = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"shared prefix words document {i} end")
+         for i in range(8)]
+    ).repartition(4)
+    update_lsh_store(more, store, 0, meta=meta).count()
+    _assert_one_file_per_dir(store)
+    compact_lsh_store(spark, store, upto_batch=0, meta=meta)
+    _assert_one_file_per_dir(store)
+
+
+# --------------------------------------------------------------------------
+# The registry: EVERY .partitionBy( writer call site in the package,
+# claimed either by an exercise function or by a justified exemption.
+# Key = (module-relative path, sorted partition columns).
+# --------------------------------------------------------------------------
+
+WRITER_REGISTRY: dict[tuple[str, tuple[str, ...]], object] = {
+    ("streaming/matview.py", ("epoch", "hour")): _exercise_matview,
+    ("streaming/matview.py", ("hour",)): _exercise_matview,
+    ("streaming/scd2_job.py", ("epoch", "ub")): _exercise_scd2,
+    ("streaming/scd2_job.py", ("ub",)): _exercise_scd2,
+    ("streaming/chunk_maintenance.py", ("batch", "bucket")):
+        _exercise_chunk_store,
+    ("functions/retrieval.py", ("batch", "tri_bucket")):
+        _exercise_trigram_index,
+    ("functions/lsh_index.py", ("band_bucket", "batch")):
+        _exercise_lsh_store,
+    # exemptions: no directory fan possible by construction
+    ("streaming/chunk_maintenance.py", ("batch",)):
+        "report increments coalesce(1) — one tiny file per epoch",
+    ("streaming/lsh_maintenance.py", ("batch",)):
+        "pair increments coalesce(1) — one tiny file per epoch",
+    ("streaming/curation_job.py", ("batch",)):
+        "score increments coalesce(1) — one tiny file per epoch",
+    ("tables.py", ()):
+        "write_partitioned co-locates inline (repartition(*partition_cols) "
+        "immediately before its write) — the invariant is its own body",
+}
+
+_EXERCISES = sorted(
+    {
+        fn.__name__: fn
+        for fn in WRITER_REGISTRY.values()
+        if callable(fn)
+    }.items()
+)
+
+
+@pytest.mark.parametrize("name,exercise", _EXERCISES, ids=lambda x: x
+                         if isinstance(x, str) else "")
+def test_writer_lands_one_file_per_dir(spark, tmp_path, name, exercise):
+    exercise(spark, tmp_path)
+
+
+def test_every_partitionby_site_is_registered():
+    """AST sweep: every ``.partitionBy(`` WRITER call in the package
+    (window specs excluded by shape) must be claimed in WRITER_REGISTRY
+    — a new dir-partitioned writer cannot land silently without either
+    a one-file-per-dir exercise or a written exemption."""
+    import flink_invoice_processor_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    found: set[tuple[str, tuple[str, ...]]] = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "partitionBy"
+                ):
+                    continue
+                # writer sites hang off a .write/.writer chain or a
+                # variable; WINDOW partitionBy is Window.partitionBy /
+                # W.partitionBy — a Name receiver named like a Window
+                recv = node.func.value
+                if isinstance(recv, ast.Name) and recv.id in (
+                    "Window", "W",
+                ):
+                    continue
+                cols = tuple(sorted(
+                    a.value for a in node.args
+                    if isinstance(a, ast.Constant) and isinstance(a.value, str)
+                ))
+                found.add((rel, cols))
+    assert found, "AST sweep found no partitionBy writers - scanner broken?"
+    unclaimed = found - set(WRITER_REGISTRY)
+    assert not unclaimed, (
+        "dir-partitioned writer sites missing from WRITER_REGISTRY "
+        f"(add an exercise or a justified exemption): {sorted(unclaimed)}"
+    )

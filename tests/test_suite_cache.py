@@ -14,18 +14,83 @@ def test_memo_passthrough_and_scope():
         calls.append(1)
         return len(calls)
 
+    # registered labels (the allowlist is enforced inside a scope)
+    k1, k2 = ("bpe_merges", 1), ("bpe_merges", 2)
     # disabled: every call builds
-    assert SC.memo(("k",), build) == 1
-    assert SC.memo(("k",), build) == 2
+    assert SC.memo(k1, build) == 1
+    assert SC.memo(k1, build) == 2
     SC.enable()
     try:
-        assert SC.memo(("k",), build) == 3
-        assert SC.memo(("k",), build) == 3      # hit
-        assert SC.memo(("k2",), build) == 4     # different key misses
+        assert SC.memo(k1, build) == 3
+        assert SC.memo(k1, build) == 3          # hit
+        assert SC.memo(k2, build) == 4          # different key misses
         assert SC.memo(None, build) == 5        # None key never caches
     finally:
         SC.disable()
-    assert SC.memo(("k",), build) == 6          # scope gone
+    assert SC.memo(k1, build) == 6              # scope gone
+
+
+def test_unregistered_artifact_label_refused():
+    """The r13 sharing rule enforced in code (VERDICT r13 item 6): a
+    memo key whose label is not in ARTIFACT_ALLOWLIST fails loudly
+    inside a cache scope, so a new shared artifact cannot land without
+    a reviewed scale-class entry (the decade-OOM guard — materialized
+    artifacts must be corpus-linear or smaller)."""
+    import pytest
+
+    SC.enable()
+    try:
+        with pytest.raises(ValueError, match="ARTIFACT_ALLOWLIST"):
+            SC.memo(("quadratic_pair_dump", 1), lambda: 1)
+        with pytest.raises(ValueError, match="ARTIFACT_ALLOWLIST"):
+            SC.memo_df(("quadratic_pair_dump", 1), lambda: None)
+    finally:
+        SC.disable()
+    # outside a scope the call is a passthrough - no registry to protect
+    assert SC.memo(("quadratic_pair_dump", 1), lambda: 41) == 41
+
+
+def test_every_source_memo_label_is_registered():
+    """Static sync pin: every SC.memo/memo_df key literal in the query
+    catalog resolves to a registered allowlist label (keys built from
+    variables — the similarity.py codebook keys — are covered by the
+    runtime check + the cache-enabled pytest sweeps)."""
+    import ast
+    import os
+
+    import flink_invoice_processor_spark.plans.queries as Q
+
+    src = open(os.path.abspath(Q.__file__.rstrip("c"))).read()
+    labels = set()
+
+    class V(ast.NodeVisitor):
+        def visit_Call(self, node):
+            fn = node.func
+            if (
+                isinstance(fn, ast.Attribute)
+                and fn.attr in ("memo", "memo_df")
+                and isinstance(fn.value, ast.Name)
+                and fn.value.id == "SC"
+                and node.args
+                and isinstance(node.args[0], ast.Tuple)
+            ):
+                parts = [
+                    e.value
+                    for e in node.args[0].elts
+                    if isinstance(e, ast.Constant)
+                    and isinstance(e.value, str)
+                    and "/" not in e.value
+                ]
+                if parts:
+                    labels.add(parts[0])
+            self.generic_visit(node)
+
+    V().visit(ast.parse(src))
+    assert labels, "AST scan found no memo keys - scanner broken?"
+    unregistered = labels - set(SC.ARTIFACT_ALLOWLIST)
+    assert not unregistered, (
+        f"memo labels missing from ARTIFACT_ALLOWLIST: {unregistered}"
+    )
 
 
 def test_composed_queries_identical_with_cache_enabled(spark, sf_dir):
@@ -95,12 +160,12 @@ def test_simhash_tight_shares_signature_never_loose_pairs(spark, sf_dir):
     try:
         QUERIES["kcore_docs"](spark, sf_dir).count()
         keys = set(SC._CACHE)
-        assert ("%s" % sf_dir, "simhash_sig", 32) in keys
-        assert ("%s" % sf_dir, "simhash_pairs", 32, 3) in keys
-        assert ("%s" % sf_dir, "simhash_pairs", 32, 16) not in keys
+        assert (sf_dir, "simhash_sig", 32) in keys
+        assert (sf_dir, "simhash_pairs", 32, 3) in keys
+        assert (sf_dir, "simhash_pairs", 32, 16) not in keys
         # and the signature artifact is REUSED by the loose pipeline
         QUERIES["simhash_pairs_docs"](spark, sf_dir).count()
-        assert ("%s" % sf_dir, "simhash_pairs", 32, 16) in SC._CACHE
+        assert (sf_dir, "simhash_pairs", 32, 16) in SC._CACHE
         assert sum(1 for k in SC._CACHE if k and k[1] == "simhash_sig") == 1
     finally:
         SC.disable()
