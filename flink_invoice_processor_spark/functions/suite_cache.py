@@ -36,6 +36,17 @@ from pyspark.sql import DataFrame
 
 _CACHE: dict | None = None
 
+#: Build-nesting stack (r14): a builder may itself resolve another memo
+#: (the tight simhash pairs build the shared signature inside their
+#: builder lambda — the r13-ADVICE shape).  Without nesting-aware
+#: timing, the child's seconds land in BOTH artifacts' ledger entries
+#: and are subtracted TWICE from the triggering query — measured as a
+#: phantom +1.9 s on ``__artifact:simhash_pairs:32:3`` and −2.1 s on
+#: ``kcore_docs`` in the first r14 bench.  Each frame accumulates its
+#: children's wall-clock; a parent's recorded build time is its elapsed
+#: MINUS its children's, so the ledger sums to true total build seconds.
+_BUILD_STACK: list[float] = []
+
 #: The artifact-scale registry (VERDICT r13 item 6 — the sharing rule
 #: enforced in code, not prose).  Every label that may be cached in a
 #: suite scope is listed here with its scale class; ``memo``/``memo_df``
@@ -136,6 +147,26 @@ def _check_registered(key: tuple) -> None:
         )
 
 
+def _timed_build(key: tuple, builder: Callable):
+    """Run ``builder`` with nesting-aware build timing: the ledger entry
+    for ``key`` is the builder's wall-clock MINUS any nested memo builds
+    it triggered (each of which gets its own entry), so entries sum to
+    the true total and nothing is double-counted.  A failed build
+    records no entry (unchanged from r13) but still charges its seconds
+    to the enclosing frame — they are real seconds the parent spent."""
+    _BUILD_STACK.append(0.0)
+    t0 = time.perf_counter()
+    try:
+        val = builder()
+    finally:
+        elapsed = time.perf_counter() - t0
+        children = _BUILD_STACK.pop()
+        if _BUILD_STACK:
+            _BUILD_STACK[-1] += elapsed
+    _BUILD_TIMES[_key_label(key)] = round(max(elapsed - children, 0.0), 3)
+    return val
+
+
 def memo(key: tuple | None, builder: Callable):
     """Build-or-reuse an arbitrary artifact (driver-side values, tuples of
     DFs already materialized by their builder).  ``key=None`` always calls
@@ -145,9 +176,7 @@ def memo(key: tuple | None, builder: Callable):
         return builder()
     _check_registered(key)
     if key not in _CACHE:
-        t0 = time.perf_counter()
-        _CACHE[key] = builder()
-        _BUILD_TIMES[_key_label(key)] = round(time.perf_counter() - t0, 3)
+        _CACHE[key] = _timed_build(key, builder)
     return _CACHE[key]
 
 
@@ -159,7 +188,5 @@ def memo_df(key: tuple | None, builder: Callable[[], DataFrame]) -> DataFrame:
         return builder()
     _check_registered(key)
     if key not in _CACHE:
-        t0 = time.perf_counter()
-        _CACHE[key] = builder().localCheckpoint()
-        _BUILD_TIMES[_key_label(key)] = round(time.perf_counter() - t0, 3)
+        _CACHE[key] = _timed_build(key, lambda: builder().localCheckpoint())
     return _CACHE[key]
